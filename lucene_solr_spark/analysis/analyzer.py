@@ -1,0 +1,212 @@
+"""StandardAnalyzer-equivalent chain, Spark-first.
+
+Reference semantics (public Apache Lucene 4.10.5, studied at /root/reference):
+
+- ``StandardTokenizer`` — UAX#29 word segmentation
+  (lucene/analysis/common/src/java/org/apache/lucene/analysis/standard/StandardTokenizer.java:61-91);
+  tokens longer than ``maxTokenLength=255`` are *skipped*, bumping the position
+  counter (StandardTokenizer.java:204-216, StandardAnalyzer.java:55).
+- ``StandardFilter`` — no-op for Lucene >= 3.1 (StandardFilter.java:55-60).
+- ``LowerCaseFilter`` — Unicode lowercase (analysis/core/LowerCaseFilter.java).
+- ``StopFilter`` — removes the 33-word English stop set and bumps position
+  increments (analysis/core/StopFilter.java; set in StopAnalyzer.java:47-59).
+
+Spark-first design
+------------------
+Tokenization is a *single regex* engineered to (a) reproduce the UAX#29
+(Unicode 6.3) word-break rules on the Latin/digit/CJK subset and (b) behave
+identically under three regex engines with leftmost-first alternation and NO
+lookaround: Java ``java.util.regex`` (Spark's JVM-side ``regexp_extract_all``
+— the hot path, whole-stage-codegen friendly), Python ``re`` (the pandas/Arrow
+UDF path and the pure-Python test oracle), and RE2 (DuckDB's
+``regexp_extract_all`` — the driver's correctness oracle).  That single shared
+pattern is what makes Spark-vs-oracle comparisons byte-identical by
+construction.
+
+UAX#29 mapping encoded in the pattern (Unicode 6.3 word-break classes,
+restricted to the corpus alphabet):
+- ALetter runs joined across a single MidLetter/MidNumLet/Single_Quote
+  (``'``, ``.``, U+2019) when a letter follows: ``can't``, ``a.b.c``.
+- Numeric runs joined across a single MidNum/MidNumLet/Single_Quote
+  (``.``, ``,``, ``'``) when a digit follows: ``3.14``, ``1,000``.
+- ExtendNumLet ``_`` glues adjacent runs: ``foo_bar``, ``a_1``.
+- Letter/digit runs glue directly (WB9/WB10): ``abc123``.
+- CJK ideographs tokenize one char per token (Lucene type <IDEOGRAPHIC>).
+- Everything else breaks.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# One pattern, three engines (java.util.regex / Python re / RE2). No
+# lookaround, no backreferences; alternation order matters and is identical
+# (leftmost-first) in all three engines.
+TOKEN_PATTERN = (
+    "[一-鿿]"
+    "|(?:[A-Za-z]+(?:['.’][A-Za-z]+)*"
+    "|[0-9]+(?:[.,'][0-9]+)*"
+    "|[0-9A-Za-z_])+"
+)
+
+_PY_RE = re.compile(TOKEN_PATTERN)
+
+MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH
+
+# StopAnalyzer.ENGLISH_STOP_WORDS_SET (StopAnalyzer.java:47-59) — 33 words.
+ENGLISH_STOP_WORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by",
+    "for", "if", "in", "into", "is", "it",
+    "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these",
+    "they", "this", "to", "was", "will", "with",
+)
+_STOP_SET = frozenset(ENGLISH_STOP_WORDS)
+
+
+def sql_quoted_pattern() -> str:
+    """TOKEN_PATTERN as a single-quoted SQL string literal (for DuckDB/RE2)."""
+    return "'" + TOKEN_PATTERN.replace("'", "''") + "'"
+
+
+def sql_stopword_list() -> str:
+    """The stop set as a SQL IN-list literal."""
+    return "(" + ", ".join(f"'{w}'" for w in ENGLISH_STOP_WORDS) + ")"
+
+
+# ---------------------------------------------------------------------------
+# JVM-side path (preferred at scale: stays inside whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+def raw_tokens_expr(text: Column) -> Column:
+    """Raw tokenizer output (pre-filters), as array<string>.
+
+    Token *positions* are array indices here — Lucene's position counter
+    counts every tokenizer-emitted token, including ones later dropped by the
+    length cap (StandardTokenizer.java skippedPositions) or StopFilter.
+    """
+    return F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0)
+
+
+def tokens_expr(text: Column) -> Column:
+    """Full analyzer chain output: array<string> of final index terms.
+
+    regexp_extract_all -> drop >255-char tokens -> lowercase -> drop stopwords.
+    All JVM-side built-ins; no Python in the loop.
+    """
+    toks = raw_tokens_expr(text)
+    toks = F.filter(toks, lambda t: F.length(t) <= MAX_TOKEN_LENGTH)
+    toks = F.transform(toks, F.lower)
+    stop = F.array(*[F.lit(w) for w in ENGLISH_STOP_WORDS])
+    return F.filter(toks, lambda t: ~F.array_contains(stop, t))
+
+
+def positioned_tokens_expr(text: Column) -> Column:
+    """array<struct<pos:int, term:string>> with Lucene position semantics.
+
+    Positions are assigned over the raw tokenizer stream, THEN stopwords and
+    over-long tokens are removed — surviving tokens keep gapped positions,
+    exactly like StopFilter/StandardTokenizer position increments.
+    """
+    raw = raw_tokens_expr(text)
+    stop = F.array(*[F.lit(w) for w in ENGLISH_STOP_WORDS])
+    pos_structs = F.transform(
+        raw, lambda t, i: F.struct(i.alias("pos"), F.lower(t).alias("term"),
+                                   F.length(t).alias("_rawlen")),
+    )
+    kept = F.filter(
+        pos_structs,
+        lambda s: (s["_rawlen"] <= MAX_TOKEN_LENGTH)
+        & ~F.array_contains(stop, s["term"]),
+    )
+    return F.transform(kept, lambda s: F.struct(s["pos"].alias("pos"),
+                                                s["term"].alias("term")))
+
+
+# ---------------------------------------------------------------------------
+# Python path (pandas/Arrow UDFs + pure-Python oracle for golden tests)
+# ---------------------------------------------------------------------------
+
+def analyze_text(text: str | None) -> list[str]:
+    """Pure-Python analyzer (oracle for golden tests; identical semantics)."""
+    if not text:
+        return []
+    out = []
+    for t in _PY_RE.findall(text):
+        if not t or len(t) > MAX_TOKEN_LENGTH:
+            continue
+        t = t.lower()
+        if t not in _STOP_SET:
+            out.append(t)
+    return out
+
+
+def analyze_text_positions(text: str | None) -> list[tuple[int, str]]:
+    """Pure-Python positioned analyzer: [(pos, term)] with gapped positions."""
+    if not text:
+        return []
+    out = []
+    pos = 0
+    for t in _PY_RE.findall(text):
+        if not t:
+            continue
+        if len(t) > MAX_TOKEN_LENGTH:
+            pos += 1  # skipped token still advances position (skippedPositions)
+            continue
+        low = t.lower()
+        if low not in _STOP_SET:
+            out.append((pos, low))
+        pos += 1
+    return out
+
+
+def analyze_series(texts: pd.Series) -> pd.Series:
+    """Vectorized (Arrow-batched) analyzer over a pandas Series of strings.
+
+    Used from ``mapInPandas``/``pandas_udf`` contexts; semantics identical to
+    ``tokens_expr`` (property-tested against it).
+    """
+    return texts.map(analyze_text)
+
+
+@dataclass(frozen=True)
+class StandardAnalyzer:
+    """Pluggable analyzer descriptor (TokenFilterFactory-registry analog,
+    lucene/analysis/common/.../util/TokenFilterFactory.java). v0 ships the
+    standard chain; custom chains can override pattern/stopwords/cap."""
+
+    pattern: str = TOKEN_PATTERN
+    stopwords: tuple[str, ...] = ENGLISH_STOP_WORDS
+    max_token_length: int = MAX_TOKEN_LENGTH
+    lowercase: bool = True
+    _compiled: re.Pattern = field(init=False, repr=False, compare=False, default=None)
+
+    def tokens_col(self, text: Column) -> Column:
+        toks = F.regexp_extract_all(text, F.lit(self.pattern), 0)
+        toks = F.filter(toks, lambda t: F.length(t) <= self.max_token_length)
+        if self.lowercase:
+            toks = F.transform(toks, F.lower)
+        if self.stopwords:
+            stop = F.array(*[F.lit(w) for w in self.stopwords])
+            toks = F.filter(toks, lambda t: ~F.array_contains(stop, t))
+        return toks
+
+    def analyze(self, text: str | None) -> list[str]:
+        if not text:
+            return []
+        rx = re.compile(self.pattern)
+        stop = frozenset(self.stopwords)
+        out = []
+        for t in rx.findall(text):
+            if not t or len(t) > self.max_token_length:
+                continue
+            if self.lowercase:
+                t = t.lower()
+            if t not in stop:
+                out.append(t)
+        return out

@@ -1,0 +1,93 @@
+"""Token-level golden tests for the analyzer chain.
+
+Pattern follows the reference's BaseTokenStreamTestCase.assertTokenStreamContents
+(exact expected token arrays), with goldens derived by hand from the UAX#29
+(Unicode 6.3) word-break rules that Lucene 4.10.5's StandardTokenizer
+implements, plus StandardAnalyzer's 255-char cap, lowercase, and the 33-word
+stop set.  Also asserts the three-engine parity: Python re == Spark JVM regex
+== DuckDB RE2 on identical inputs.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.analysis.analyzer import (
+    ENGLISH_STOP_WORDS,
+    analyze_text,
+    analyze_text_positions,
+    sql_quoted_pattern,
+    tokens_expr,
+)
+
+GOLDENS = [
+    # (input, expected final terms)
+    ("Hello World", ["hello", "world"]),
+    ("can't won't", ["can't", "won't"]),
+    ("a.b.c d..e", ["a.b.c", "d", "e"]),  # single-dot joins letters, double breaks
+    ("3.14 1,000 1.2.3", ["3.14", "1,000", "1.2.3"]),
+    ("wi-fi state-of-the-art", ["wi", "fi", "state", "art"]),  # hyphen breaks; of/the stopped
+    ("foo_bar x_1 _lead trail_", ["foo_bar", "x_1", "_lead", "trail_"]),  # ExtendNumLet
+    ("abc123 a1.2b", ["abc123", "a1.2b"]),  # letter<->digit glue (WB9/10)
+    ("x.1 1.x", ["x", "1", "1", "x"]),  # mixed types do NOT join across '.'
+    ("The quick AND the dead", ["quick", "dead"]),  # stopwords (case-insensitive)
+    ("O'Brien's", ["o'brien's"]),
+    ("don't, stop. believing!", ["don't", "stop", "believing"]),
+    ("A", []),  # lone stopword
+    ("", []),
+    ("  \t\n ", []),
+    ("café Müller", ["caf", "m", "ller"]),  # v0 alphabet is ASCII+CJK (non-ASCII letters break)
+    ("日本語 test", ["日", "本", "語", "test"]),  # CJK: one token per ideograph
+    ("x" * 255 + " ok", ["x" * 255, "ok"]),  # exactly 255 kept
+    ("x" * 256 + " ok", ["ok"]),  # 256 dropped (StandardTokenizer maxTokenLength)
+    ("IT is AT an ON", []),  # all stopwords
+    ("1'000 can'T", ["1'000", "can't"]),  # Single_Quote joins digits and letters
+]
+
+
+@pytest.mark.parametrize("text,expected", GOLDENS)
+def test_python_analyzer_goldens(text, expected):
+    assert analyze_text(text) == expected
+
+
+def test_positions_gap_semantics():
+    # raw stream: the(0) quick(1) and(2) the(3) dead(4) -> stop leaves gaps
+    assert analyze_text_positions("the quick and the dead") == [(1, "quick"), (4, "dead")]
+    # over-long token advances position too (skippedPositions)
+    big = "x" * 300
+    assert analyze_text_positions(f"one {big} two") == [(0, "one"), (2, "two")]
+
+
+def test_stopword_set_is_lucene_33():
+    assert len(ENGLISH_STOP_WORDS) == 33
+    assert len(set(ENGLISH_STOP_WORDS)) == 33
+    for w in ("the", "a", "such", "will", "these", "into"):
+        assert w in ENGLISH_STOP_WORDS
+
+
+def test_jvm_regex_parity(spark):
+    texts = [t for t, _ in GOLDENS] + [
+        "edge'case' 'lead", "9.9.9.9 127.0.0.1", "e.g. i.e. U.S.A.",
+        "a'b'c''d", "tab\tsep\nnewline", "MiXeD CaSe TeXt",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [r[0] for r in df.select(tokens_expr(F.col("text"))).collect()]
+    want = [analyze_text(t) for t in texts]
+    assert got == want
+
+
+def test_duckdb_re2_parity():
+    texts = [t for t, _ in GOLDENS] + ["9.9.9.9", "a'b'c''d", "e.g. i.e."]
+    con = duckdb.connect()
+    pat = sql_quoted_pattern()
+    stop = ", ".join(f"'{w}'" for w in ENGLISH_STOP_WORDS)
+    for t in texts:
+        sq = t.replace("'", "''")
+        rows = con.execute(
+            f"""
+            SELECT t FROM (
+              SELECT lower(unnest(regexp_extract_all('{sq}', {pat}))) AS t
+            ) WHERE length(t) BETWEEN 1 AND 255 AND t NOT IN ({stop})
+            """
+        ).fetchall()
+        assert [r[0] for r in rows] == analyze_text(t), t
