@@ -1,0 +1,273 @@
+"""Inverted-index construction, Spark-first.
+
+Reference semantics re-expressed (Apache Lucene/Solr 4.10.5, /root/reference):
+
+- Per-doc inversion (DefaultIndexingChain.java:296,589-668): here a JVM-side
+  ``regexp_extract_all`` + ``posexplode`` + hash aggregate — no Python in the
+  hot loop.
+- Norms (DefaultIndexingChain.java:574-580, BM25Similarity.java:95-140):
+  ``norm_byte = floatToByte315(1/sqrt(num_terms))`` — realized as a broadcast
+  integer-range join against the precomputed dl-range table, exact by
+  construction (see smallfloat.norm_byte_dl_ranges).
+- Doc routing / docids: Lucene's per-segment dense ordinals
+  (BaseCompositeReader docBase) become ``docid = index_partition << 32 | local``
+  where the index partition is a *content hash* (like SolrCloudPartitioner /
+  CompositeIdRouter murmur3 routing) and ``local`` is the row's rank by key
+  within the partition.  Crucially this is independent of cluster parallelism:
+  the same input yields byte-identical docids at local[8] and local[1000].
+- Segment build + mtree merge (MapReduceIndexerTool.java:322-351): stage 1
+  aggregates per (term, index_partition) — a *natural salt* that bounds any
+  single reducer's work under head-term skew — and completes map-side because
+  the data is already hash-partitioned by partition id; stage 2 shuffles one
+  pre-aggregated row per (term, partition) and concatenates the runs, which
+  are globally sorted because docid ranges are disjoint and ordered by
+  partition id.  No per-element re-sort is needed.
+
+Execution-shape notes for 100 TB: exactly two wide shuffles
+(docid assignment by partition id; term merge of pre-aggregated runs), both
+over columns with controlled skew.  Everything between them is map-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.analysis.analyzer import positioned_tokens_expr, tokens_expr
+from lucene_solr_spark.smallfloat import norm_byte_dl_ranges
+
+K1 = 1.2
+B = 0.75
+
+DOCID_PARTITION_SHIFT = 32
+
+
+@dataclass
+class IndexTables:
+    """The engine's index: Lucene's segment structures as DataFrames.
+
+    docs      — the "stored fields + docvalues + norms" table:
+                docid, <key>, num_terms, norm_byte, dl_approx, passthrough cols
+    postings  — exploded postings (term, docid, tf, dl_approx): the scoring
+                source for the Catalyst-native query path
+    segments  — per-term posting lists (term, df, cf, doc_ids, tfs, run
+                metadata): source for the compressed/codec + WAND kernel path
+    stats     — collection stats: max_doc, sum_total_term_freq, avgdl
+                (avgdl computed float32 like BM25Similarity.java:82-87)
+    """
+
+    docs: DataFrame
+    postings: DataFrame
+    segments: DataFrame
+    max_doc: int
+    sum_total_term_freq: int
+    avgdl: float  # float32-rounded, as a Python float
+    positions: DataFrame | None = None  # (docid, term, pos, dl_approx) if built
+
+    def term_stats(self) -> DataFrame:
+        return self.segments.select("term", "df", "cf")
+
+
+def _norm_ranges_df(spark: SparkSession, max_dl: int = 1 << 40) -> DataFrame:
+    rows = [(lo, hi, b, float(dl)) for lo, hi, b, dl in norm_byte_dl_ranges(max_dl)]
+    return spark.createDataFrame(rows, "dl_lo long, dl_hi long, norm_byte int, dl_approx double")
+
+
+def assign_docids(
+    df: DataFrame,
+    key_col: str,
+    num_index_partitions: int = 32,
+) -> DataFrame:
+    """Deterministic docid assignment, parallelism-invariant.
+
+    partition = pmod(xxhash64(key), P); local = rank of key within partition.
+    docid = partition << 32 | local. Matches the reference's content-hash doc
+    routing (CompositeIdRouter.java:46-55) + per-segment ordinals.
+    """
+    pid = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_index_partitions)).cast("int")
+    w = Window.partitionBy("_pid").orderBy(key_col)
+    return (
+        df.withColumn("_pid", pid)
+        .withColumn("_local", F.row_number().over(w) - F.lit(1))
+        .withColumn(
+            "docid",
+            (F.col("_pid").cast("long") * F.lit(1 << DOCID_PARTITION_SHIFT)
+             + F.col("_local")).cast("long"),
+        )
+        .drop("_local")
+        .withColumnRenamed("_pid", "index_partition")
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    source: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    docid_col: str | None = None,
+    num_index_partitions: int = 32,
+    passthrough_cols: tuple[str, ...] = (),
+    persist: bool = True,
+    build_positions: bool = False,
+) -> IndexTables:
+    """Build the index tables from a source table.
+
+    ``docid_col``: if the source already carries a unique integer id (e.g. the
+    testdata ``documents.doc_id``), use it directly as the docid so external
+    oracles can address the same documents; the index partition then derives
+    from the id.  Otherwise docids are assigned content-deterministically from
+    ``key_col``.
+    """
+    cols = [key_col, text_col, *passthrough_cols]
+    src = source.select(*dict.fromkeys(cols))
+
+    if docid_col:
+        base = src.withColumn("docid", F.col(docid_col).cast("long")).withColumn(
+            "index_partition",
+            F.pmod(F.col("docid"), F.lit(num_index_partitions)).cast("int"),
+        )
+        # co-locate by index partition once; downstream aggs reuse this layout
+        base = base.repartition(num_index_partitions, "index_partition")
+    else:
+        base = assign_docids(src, key_col, num_index_partitions)
+
+    toks = F.coalesce(tokens_expr(F.col(text_col)), F.array())
+    with_tokens = base.withColumn("_tokens", toks).withColumn(
+        "num_terms", F.size("_tokens")
+    )
+
+    norm_ranges = F.broadcast(_norm_ranges_df(spark))
+    docs = (
+        with_tokens.join(
+            norm_ranges,
+            (F.col("num_terms") >= F.col("dl_lo")) & (F.col("num_terms") <= F.col("dl_hi")),
+            "left",
+        )
+        # num_terms == 0 -> norm byte 255 (Lucene encodes 1/sqrt(0)=inf -> 255);
+        # dl_approx for byte 255 is astronomically large; such docs never match.
+        .withColumn("norm_byte", F.coalesce(F.col("norm_byte"), F.lit(255)))
+        .withColumn("dl_approx", F.coalesce(F.col("dl_approx"), F.lit(float("inf"))))
+        .drop("dl_lo", "dl_hi")
+    )
+
+    doc_cols = ["docid", key_col, "index_partition", "num_terms", "norm_byte",
+                "dl_approx", *[c for c in passthrough_cols if c != key_col]]
+    docs_out = docs.select(*dict.fromkeys(doc_cols), "_tokens")
+    if persist:
+        docs_out = docs_out.persist()
+
+    # ---- inversion: one row per (docid, term) with tf ----------------------
+    # Rows are clustered by index_partition ⊇ docid, so the groupBy needs no
+    # extra shuffle (HashPartitioning(index_partition) from the repartition /
+    # window satisfies ClusteredDistribution(docid, term) only via docid; keep
+    # docid grouping local by grouping on (index_partition, docid, term)).
+    exploded = docs_out.select(
+        "index_partition", "docid", "dl_approx",
+        F.explode("_tokens").alias("term"),
+    )
+    postings = (
+        exploded.groupBy("index_partition", "docid", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"),
+             F.first("dl_approx").alias("dl_approx"))
+    )
+    if persist:
+        postings = postings.persist()
+
+    # ---- mtree merge: per-(term, partition) sorted runs, then per-term ------
+    runs = (
+        postings.groupBy("term", "index_partition")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("docid", "tf", "dl_approx"))
+            ).alias("run"),
+            F.count(F.lit(1)).cast("int").alias("run_df"),
+            F.sum("tf").alias("run_cf"),
+        )
+        .withColumn("first_docid", F.col("run")[0]["docid"])
+    )
+    merged = (
+        runs.groupBy("term")
+        .agg(
+            F.sum("run_df").cast("int").alias("df"),
+            F.sum("run_cf").cast("long").alias("cf"),
+            # Concatenate per-partition runs ordered by first docid, then a
+            # final array_sort: when docids are content-assigned the runs are
+            # already disjoint ranges (sort is a near-no-op); in docid_col
+            # mode (pid = docid % P) the runs interleave and the sort merges.
+            F.array_sort(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("first_docid", "run"))),
+                        lambda s: s["run"],
+                    )
+                )
+            ).alias("plist"),
+        )
+    )
+    segments = merged.select(
+        "term", "df", "cf",
+        F.transform("plist", lambda s: s["docid"]).alias("doc_ids"),
+        F.transform("plist", lambda s: s["tf"]).alias("tfs"),
+        F.transform("plist", lambda s: s["dl_approx"]).alias("dl_approxs"),
+    )
+    if persist:
+        segments = segments.persist()
+
+    # optional positions index (DOCS_AND_FREQS_AND_POSITIONS, FieldInfo.java:56-84)
+    positions = None
+    if build_positions:
+        pts = F.coalesce(positioned_tokens_expr(F.col(text_col)), F.array())
+        positions = docs.select(
+            "index_partition", "docid", "dl_approx", F.explode(pts).alias("pt")
+        ).select(
+            "index_partition", "docid", "dl_approx",
+            F.col("pt.pos").alias("pos"), F.col("pt.term").alias("term"),
+        )
+        if persist:
+            positions = positions.persist()
+
+    agg = docs_out.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("num_terms"), F.lit(0)).alias("s")
+    ).collect()[0]
+    n, sum_ttf = int(agg["n"]), int(agg["s"])
+    avgdl = float(np.float32(sum_ttf / n)) if n else 0.0  # BM25Similarity.java:82-87
+
+    return IndexTables(
+        docs=docs_out.drop("_tokens"),
+        postings=postings,
+        segments=segments,
+        max_doc=n,
+        sum_total_term_freq=sum_ttf,
+        avgdl=avgdl,
+        positions=positions,
+    )
+
+
+def verify_index(index: IndexTables) -> dict:
+    """CheckIndex analog (lucene/core/.../index/CheckIndex.java): structural
+    invariants over the built tables. Returns a dict of violation counts —
+    all zero on a healthy index."""
+    seg = index.segments
+    bad = seg.select(
+        F.sum((F.size("doc_ids") != F.col("df")).cast("int")).alias("df_mismatch"),
+        F.sum(
+            (F.aggregate("tfs", F.lit(0).cast("long"), lambda a, x: a + x) != F.col("cf")).cast("int")
+        ).alias("cf_mismatch"),
+        F.sum(
+            F.exists(
+                F.zip_with("doc_ids", F.slice("doc_ids", 2, 2147483646),
+                           lambda a, b: F.coalesce(b <= a, F.lit(False))),
+                lambda x: x,
+            ).cast("int")
+        ).alias("unsorted"),
+        F.sum(F.exists("tfs", lambda t: t <= 0).cast("int")).alias("nonpositive_tf"),
+    ).collect()[0]
+    post_count = index.postings.count()
+    df_total = seg.agg(F.sum("df")).collect()[0][0] or 0
+    out = {k: int(bad[k] or 0) for k in bad.asDict()}
+    out["postings_vs_df"] = int(post_count - df_total)
+    return out

@@ -1,0 +1,23 @@
+from lucene_solr_spark.search.query import (
+    BooleanQuery,
+    FuzzyQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    PrefixQuery,
+    RangeQuery,
+    RegexpQuery,
+    TermQuery,
+    WildcardQuery,
+)
+from lucene_solr_spark.search.bm25 import (
+    SCORE_TEMPLATE,
+    score_expr_sql,
+    search,
+    term_scores,
+)
+
+__all__ = [
+    "BooleanQuery", "FuzzyQuery", "MatchAllQuery", "PhraseQuery",
+    "PrefixQuery", "RangeQuery", "RegexpQuery", "TermQuery", "WildcardQuery",
+    "SCORE_TEMPLATE", "score_expr_sql", "search", "term_scores",
+]

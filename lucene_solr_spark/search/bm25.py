@@ -1,0 +1,222 @@
+"""BM25 scoring over the index tables — the Catalyst-native query path.
+
+Math is Lucene 4.10.5 BM25 (BM25Similarity.java, /root/reference):
+
+    idf(df)  = ln(1 + (N - df + 0.5) / (df + 0.5))              (:65-66)
+    avgdl    = float32(sumTotalTermFreq / maxDoc)               (:82-87)
+    norm     = k1 * ((1-b) + b * decoded_len / avgdl)           (:206-209)
+    score    = idf * (k1+1) * tf / (tf + norm)                  (:228-238)
+    k1=1.2, b=0.75; multi-term score = Σ per-term scores; ties break by
+    ascending docid (HitQueue.java:76-81).
+
+Determinism across engines: the per-(term,doc) score is ONE textual arithmetic
+expression (SCORE_TEMPLATE) evaluated in float64 by both Spark and the DuckDB
+oracle; per-term contributions are combined with FIXED-ORDER addition (not a
+float sum aggregate), and ordering uses the score rounded to ``round_dp``
+decimals so sub-ulp library differences (ln) cannot flip ranks.
+
+Rank-identity to Lucene's float32 pipeline is validated separately by the
+pure-Python float32 oracle in tests (FIXTURES.md §3); this module's float64
+path is the exactly-reproducible analytical surface.
+
+Scale shape: postings are filtered to the query's terms (a handful of rows per
+term after predicate pushdown on the ``term`` column), term stats are
+broadcast, and the top-k is Spark's TakeOrderedAndProject — per-partition
+bounded heap + driver merge, the same algorithm as TopScoreDocCollector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.builder import IndexTables
+from lucene_solr_spark.search.query import (
+    BooleanQuery,
+    FuzzyQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    PrefixQuery,
+    RangeQuery,
+    RegexpQuery,
+    TermQuery,
+    WildcardQuery,
+)
+
+# One template, two engines. {N} = max_doc, {avgdl} = float32-exact literal.
+# Columns required in scope: df (int), tf (int/double), dl_approx (double).
+SCORE_TEMPLATE = (
+    "ln(1.0 + ({N} - df + 0.5) / (df + 0.5))"
+    " * 2.2 * tf / (tf + 1.2 * (0.25 + 0.75 * dl_approx / {avgdl}))"
+)
+
+
+def score_expr_sql(max_doc: int, avgdl: float) -> str:
+    return SCORE_TEMPLATE.format(N=max_doc, avgdl=repr(float(avgdl)))
+
+
+def term_scores(index: IndexTables, terms: list[str]) -> DataFrame:
+    """(docid, term, score) for every posting of the given terms."""
+    p = index.postings.filter(F.col("term").isin(terms))
+    stats = F.broadcast(index.term_stats().filter(F.col("term").isin(terms)))
+    scored = p.join(stats, "term").withColumn(
+        "score", F.expr(score_expr_sql(index.max_doc, index.avgdl))
+    )
+    return scored.select("docid", "term", "score")
+
+
+def _expand_terms(index: IndexTables, q) -> list[str]:
+    """MultiTermQuery rewrite: expand against the term dictionary
+    (segments.term), like MultiTermQuery.java's rewrite over TermsEnum."""
+    t = index.segments.select("term")
+    if isinstance(q, PrefixQuery):
+        rows = t.filter(F.col("term").startswith(q.prefix)).collect()
+    elif isinstance(q, WildcardQuery):
+        # Lucene wildcard -> SQL LIKE ( * -> %, ? -> _ )
+        like = q.pattern.replace("%", r"\%").replace("_", r"\_")
+        like = like.replace("*", "%").replace("?", "_")
+        rows = t.filter(F.col("term").like(like)).collect()
+    elif isinstance(q, RegexpQuery):
+        rows = t.filter(F.col("term").rlike(q.pattern)).collect()
+    elif isinstance(q, FuzzyQuery):
+        rows = t.filter(F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits).collect()
+    elif isinstance(q, RangeQuery):
+        c = F.col("term")
+        cond = F.lit(True)
+        if q.lower is not None:
+            cond = cond & (c >= q.lower if q.include_lower else c > q.lower)
+        if q.upper is not None:
+            cond = cond & (c <= q.upper if q.include_upper else c < q.upper)
+        rows = t.filter(cond).collect()
+    else:
+        raise TypeError(type(q))
+    return sorted(r.term for r in rows)
+
+
+def _boolean_topk(
+    index: IndexTables, q: BooleanQuery, k: int, round_dp: int, after=None
+) -> DataFrame:
+    must = [t.term for t in q.must]
+    should = [t.term for t in q.should]
+    boosts = {t.term: t.boost for t in (*q.must, *q.should)}
+    terms = list(dict.fromkeys(must + should))
+    if not terms:
+        raise ValueError("BooleanQuery needs at least one scoring clause")
+
+    scored = term_scores(index, terms)
+    aggs = []
+    for i, t in enumerate(terms):
+        aggs.append(F.max(F.when(F.col("term") == t, F.col("score"))).alias(f"_s{i}"))
+    per_doc = scored.groupBy("docid").agg(*aggs)
+
+    # fixed-order float64 addition: s0 + s1 + ... (never a SUM aggregate)
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        contrib = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        if boosts.get(t, 1.0) != 1.0:
+            contrib = contrib * F.lit(boosts[t])
+        score = score + contrib
+    out = per_doc.withColumn("score", score)
+
+    for i, t in enumerate(terms):
+        if t in must:
+            out = out.filter(F.col(f"_s{i}").isNotNull())
+    if should and q.minimum_should_match > 0:
+        matched = sum(
+            (F.col(f"_s{terms.index(t)}").isNotNull()).cast("int") for t in should
+        )
+        out = out.filter(matched >= q.minimum_should_match)
+    if q.must_not:
+        excl = (
+            index.postings.filter(F.col("term").isin([t.term for t in q.must_not]))
+            .select("docid")
+            .distinct()
+        )
+        out = out.join(excl, "docid", "left_anti")
+    return out.select("docid", F.round("score", round_dp).alias("score"))
+
+
+def _phrase_topk(index: IndexTables, q: PhraseQuery, round_dp: int) -> DataFrame:
+    """Exact phrase (slop=0): positions of consecutive terms align
+    (ExactPhraseScorer.java). tf = number of alignments; idf = Σ idf of the
+    constituent terms (BM25Similarity idfExplain over TermStatistics[])."""
+    if index.positions is None:
+        raise ValueError("index built without positions")
+    pos = index.positions
+    t0 = q.terms[0]
+    m = pos.filter(F.col("term") == t0).select(
+        "docid", "dl_approx", F.col("pos").alias("p0")
+    )
+    for i, t in enumerate(q.terms[1:], start=1):
+        pi = pos.filter(F.col("term") == t).select(
+            F.col("docid").alias("_d"), (F.col("pos") - i).alias("p0_i")
+        )
+        m = m.join(
+            pi,
+            (m["docid"] == pi["_d"]) & (F.col("p0") == F.col("p0_i")),
+        ).drop("_d", "p0_i")
+    hits = m.groupBy("docid", "dl_approx").agg(F.count(F.lit(1)).alias("tf"))
+
+    # phrase df over matching docs; idf sum over constituent terms
+    stats = {
+        r.term: r.df
+        for r in index.term_stats()
+        .filter(F.col("term").isin(list(q.terms)))
+        .collect()
+    }
+    import math
+
+    n = index.max_doc
+    idf_sum = sum(
+        math.log(1.0 + (n - stats.get(t, 0) + 0.5) / (stats.get(t, 0) + 0.5))
+        for t in q.terms
+    )
+    score = (
+        F.lit(idf_sum) * 2.2 * F.col("tf")
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl_approx") / F.lit(index.avgdl)))
+    )
+    return hits.select("docid", F.round(score, round_dp).alias("score"))
+
+
+def search(
+    index: IndexTables,
+    query,
+    k: int = 10,
+    round_dp: int = 4,
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """Top-k search -> DataFrame(docid, score), ordered score desc, docid asc.
+
+    ``after=(score, docid)`` gives keyset deep paging (searchAfter /
+    CursorMark): strictly-worse results than the cursor, same ordering.
+    """
+    if isinstance(query, str):
+        query = BooleanQuery.of(must=[query])
+    if isinstance(query, TermQuery):
+        query = BooleanQuery(must=(query,))
+    if isinstance(query, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, RangeQuery)):
+        terms = _expand_terms(index, query)
+        if not terms:
+            return index.postings.sparkSession.createDataFrame(
+                [], "docid long, score double"
+            )
+        query = BooleanQuery.of(should=terms, mm=1)
+
+    if isinstance(query, MatchAllQuery):
+        out = index.docs.select(
+            "docid", F.lit(float(query.boost)).alias("score")
+        )
+    elif isinstance(query, PhraseQuery):
+        out = _phrase_topk(index, query, round_dp)
+    elif isinstance(query, BooleanQuery):
+        out = _boolean_topk(index, query, k, round_dp)
+    else:
+        raise TypeError(type(query))
+
+    if after is not None:
+        a_score, a_docid = after
+        out = out.filter(
+            (F.col("score") < a_score)
+            | ((F.col("score") == a_score) & (F.col("docid") > a_docid))
+        )
+    return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)

@@ -1,0 +1,79 @@
+"""Query model — the engine's ``Query`` tree.
+
+Mirrors the reference's query zoo (SURVEY.md §2.5; lucene/core/.../search/):
+TermQuery, BooleanQuery (MUST/SHOULD/MUST_NOT + minimumNumberShouldMatch),
+PhraseQuery, Prefix/Wildcard/Regexp/Fuzzy (multi-term rewrite against the term
+dictionary, MultiTermQuery.java), numeric/term ranges, MatchAllDocsQuery.
+The "Weight/Scorer" stage is the Catalyst plan produced by search/bm25.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class TermQuery:
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PhraseQuery:
+    terms: tuple[str, ...]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PrefixQuery:
+    prefix: str
+
+
+@dataclass(frozen=True)
+class WildcardQuery:
+    pattern: str  # Lucene wildcard: * and ?
+
+
+@dataclass(frozen=True)
+class RegexpQuery:
+    pattern: str
+
+
+@dataclass(frozen=True)
+class FuzzyQuery:
+    term: str
+    max_edits: int = 1
+
+
+@dataclass(frozen=True)
+class RangeQuery:
+    """Term range over the dictionary (TermRangeQuery.java) — for numeric
+    ranges over docvalues columns use a plain DataFrame filter instead."""
+
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
+class MatchAllQuery:
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BooleanQuery:
+    """MUST ∧ (>=mm of SHOULD) ∧ ¬MUST_NOT, scored as the sum of matching
+    term scores (BooleanQuery.java:100-218 sum semantics; BM25 path ignores
+    coord/queryNorm per BM25Similarity.java:284-294)."""
+
+    must: tuple[TermQuery, ...] = ()
+    should: tuple[TermQuery, ...] = ()
+    must_not: tuple[TermQuery, ...] = ()
+    minimum_should_match: int = 0
+
+    @staticmethod
+    def of(must=(), should=(), must_not=(), mm: int = 0) -> "BooleanQuery":
+        mk = lambda xs: tuple(TermQuery(x) if isinstance(x, str) else x for x in xs)
+        return BooleanQuery(mk(must), mk(should), mk(must_not), mm)

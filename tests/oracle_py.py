@@ -1,0 +1,116 @@
+"""Pure-Python brute-force BM25 oracle (differential-testing partner).
+
+Mirrors the reference test strategy of cross-implementation comparison
+(solr/core/src/test/org/apache/solr/TestRandomDVFaceting.java pattern):
+independent implementation of the exact same semantics — analyzer chain,
+norm quantization, BM25 math, tie-breaks — against which the Spark engine's
+results must match.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from lucene_solr_spark.analysis.analyzer import analyze_text
+from lucene_solr_spark.smallfloat import NORM_TABLE, encode_norm
+
+K1 = 1.2
+B = 0.75
+
+
+class OracleIndex:
+    def __init__(self, rows: list[tuple[int, str]]):
+        self.tf: dict[int, Counter] = {}
+        self.dl_approx: dict[int, float] = {}
+        self.df: Counter = Counter()
+        self.cf: Counter = Counter()
+        self.docids: list[int] = []
+        total = 0
+        for docid, text in rows:
+            toks = analyze_text(text)
+            c = Counter(toks)
+            self.tf[docid] = c
+            self.docids.append(docid)
+            nb = int(encode_norm(len(toks))[0])
+            self.dl_approx[docid] = float(NORM_TABLE[nb])
+            for t, n in c.items():
+                self.df[t] += 1
+                self.cf[t] += n
+            total += len(toks)
+        self.max_doc = len(rows)
+        import numpy as np
+
+        self.avgdl = float(np.float32(total / self.max_doc)) if self.max_doc else 0.0
+
+    def idf(self, term: str) -> float:
+        df = self.df.get(term, 0)
+        return math.log(1.0 + (self.max_doc - df + 0.5) / (df + 0.5))
+
+    def term_score(self, docid: int, term: str) -> float | None:
+        tf = self.tf[docid].get(term)
+        if not tf:
+            return None
+        dl = self.dl_approx[docid]
+        return (
+            self.idf(term) * 2.2 * tf
+            / (tf + 1.2 * (0.25 + 0.75 * dl / self.avgdl))
+        )
+
+    def topk(
+        self,
+        must: list[str] = (),
+        should: list[str] = (),
+        must_not: list[str] = (),
+        mm: int = 0,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        terms = list(dict.fromkeys([*must, *should]))
+        out = []
+        for d in self.docids:
+            scores = {t: self.term_score(d, t) for t in terms}
+            if any(scores[t] is None for t in must):
+                continue
+            if should and mm > 0:
+                if sum(scores[t] is not None for t in should) < mm:
+                    continue
+            if not must and should and mm == 0:
+                if all(scores[t] is None for t in should):
+                    continue
+            if any(self.tf[d].get(t) for t in must_not):
+                continue
+            s = 0.0
+            for t in terms:  # fixed order, same as engine
+                if scores[t] is not None:
+                    s = s + scores[t]
+            out.append((d, s))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
+    def phrase_topk(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+        from lucene_solr_spark.analysis.analyzer import analyze_text_positions
+
+        idf_sum = sum(self.idf(t) for t in terms)
+        out = []
+        for d, text in self._texts:
+            pos = analyze_text_positions(text)
+            index = defaultdict(set)
+            for p, t in pos:
+                index[t].add(p)
+            tf = sum(
+                1
+                for p in index.get(terms[0], ())
+                if all(p + i in index.get(t, ()) for i, t in enumerate(terms))
+            )
+            if tf:
+                dl = self.dl_approx[d]
+                s = idf_sum * 2.2 * tf / (tf + 1.2 * (0.25 + 0.75 * dl / self.avgdl))
+                out.append((d, s))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
+
+def make_oracle(rows: list[tuple[int, str]]) -> OracleIndex:
+    o = OracleIndex(rows)
+    o._texts = rows
+    return o

@@ -1,0 +1,161 @@
+"""End-to-end: build index on real testdata, differential-test BM25 vs the
+pure-Python oracle across the query zoo, check index invariants."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.builder import build_index, verify_index
+from lucene_solr_spark.search import (
+    BooleanQuery,
+    FuzzyQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    PrefixQuery,
+    RangeQuery,
+    WildcardQuery,
+    search,
+)
+from tests.oracle_py import make_oracle
+
+
+@pytest.fixture(scope="module")
+def index(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return build_index(
+        spark, docs, key_col="doc_id", docid_col="doc_id",
+        num_index_partitions=8, passthrough_cols=("lang", "source", "n_chars"),
+        build_positions=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    return make_oracle([(int(r.doc_id), r.text) for r in rows])
+
+
+def _compare(got_df, want, k):
+    got = [(int(r.docid), float(r.score)) for r in got_df.collect()]
+    assert [d for d, _ in got] == [d for d, _ in want[:k]], (got, want[:k])
+    for (gd, gs), (wd, ws) in zip(got, want[:k]):
+        assert abs(gs - round(ws, 4)) < 2e-4, (gd, gs, ws)
+
+
+def test_invariants(index):
+    v = verify_index(index)
+    assert all(x == 0 for x in v.values()), v
+
+
+def test_stats_match_oracle(index, oracle):
+    assert index.max_doc == oracle.max_doc
+    assert index.sum_total_term_freq == sum(sum(c.values()) for c in oracle.tf.values())
+    assert index.avgdl == oracle.avgdl
+    df_eng = {r.term: r.df for r in index.term_stats().collect()}
+    assert df_eng == dict(oracle.df)
+
+
+@pytest.mark.parametrize("term", ["table", "spark", "customer", "vector"])
+def test_single_term(index, oracle, term):
+    _compare(search(index, term, k=10), oracle.topk(must=[term], k=10), 10)
+
+
+def test_conjunction(index, oracle):
+    q = BooleanQuery.of(must=["table", "merge"])
+    _compare(search(index, q, k=10), oracle.topk(must=["table", "merge"], k=10), 10)
+
+
+def test_disjunction(index, oracle):
+    q = BooleanQuery.of(should=["vector", "stream", "hash"])
+    want = oracle.topk(should=["vector", "stream", "hash"], k=10)
+    _compare(search(index, q, k=10), want, 10)
+
+
+def test_min_should_match(index, oracle):
+    q = BooleanQuery.of(should=["vector", "stream", "hash"], mm=2)
+    want = oracle.topk(should=["vector", "stream", "hash"], mm=2, k=10)
+    _compare(search(index, q, k=10), want, 10)
+
+
+def test_must_not(index, oracle):
+    q = BooleanQuery.of(must=["table"], must_not=["merge"])
+    want = oracle.topk(must=["table"], must_not=["merge"], k=10)
+    _compare(search(index, q, k=10), want, 10)
+
+
+def test_stopword_term_ignored(index, oracle):
+    # 'the' never got indexed: a query for it matches nothing
+    assert search(index, "the", k=10).count() == 0
+
+
+def test_match_all(index):
+    got = search(index, MatchAllQuery(), k=10_000).count()
+    assert got == index.max_doc
+
+
+def test_phrase(index, oracle):
+    q = PhraseQuery(terms=("table", "scan"))
+    want = oracle.phrase_topk(["table", "scan"], k=10)
+    got = search(index, q, k=10)
+    _compare(got, want, 10)
+
+
+def test_prefix_and_wildcard(index, oracle):
+    got = search(index, PrefixQuery("sc"), k=10)
+    # expansion: all indexed terms starting 'sc' -> OR
+    terms = sorted(t for t in oracle.df if t.startswith("sc"))
+    want = oracle.topk(should=terms, mm=1, k=10)
+    _compare(got, want, 10)
+    got_w = search(index, WildcardQuery("s??n"), k=10)
+    terms_w = sorted(t for t in oracle.df if len(t) == 4 and t[0] == "s" and t[3] == "n")
+    want_w = oracle.topk(should=terms_w, mm=1, k=10)
+    _compare(got_w, want_w, 10)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy(index, oracle):
+    got = search(index, FuzzyQuery("tble", max_edits=1), k=10)
+    terms = sorted(t for t in oracle.df if _lev("tble", t) <= 1)
+    want = oracle.topk(should=terms, mm=1, k=10)
+    _compare(got, want, 10)
+
+
+def test_term_range(index, oracle):
+    got = search(index, RangeQuery("sa", "sd"), k=10)
+    terms = sorted(t for t in oracle.df if "sa" <= t <= "sd")
+    want = oracle.topk(should=terms, mm=1, k=10)
+    _compare(got, want, 10)
+
+
+def test_search_after_pagination(index, oracle):
+    want = oracle.topk(must=["table"], k=20)
+    page1 = [(int(r.docid), float(r.score)) for r in search(index, "table", k=10).collect()]
+    cursor = (page1[-1][1], page1[-1][0])
+    page2 = search(index, "table", k=10, after=cursor)
+    _compare(page2, [(d, s) for d, s in want[10:]], 10)
+
+
+def test_parallelism_invariance(spark, sf_dir, index):
+    """Control-vs-sharded analog (BaseDistributedSearchTestCase): a rebuild at
+    different partitioning must give identical results."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx2 = build_index(
+        spark, docs.repartition(3), key_col="doc_id", docid_col="doc_id",
+        num_index_partitions=2, persist=False,
+    )
+    a = [(r.docid, r.score) for r in search(index, "table", k=10).collect()]
+    b = [(r.docid, r.score) for r in search(idx2, "table", k=10).collect()]
+    assert a == b
