@@ -1,0 +1,633 @@
+"""Driver-contract query registry: every implemented operator exposed as a
+(spark_callable, oracle_sql) pair over the shared testdata tables.
+
+Spark side uses the engine (index build cached per sf_dir); SQL side is
+rendered by oracle/sqlgen.py from the same semantic sources.  Column names
+and value rounding are aligned pairwise — the driver hash-compares values.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.facets import (
+    facet_field,
+    facet_query,
+    facet_range,
+    interval_facets,
+    pivot_facets,
+    stats_component,
+    terms_component,
+)
+from lucene_solr_spark.index.builder import IndexTables, build_index
+from lucene_solr_spark.oracle.sqlgen import (
+    PRELUDE,
+    bool_sql,
+    idf_sql,
+    matches_cte,
+    score_cols_sql,
+    scored_from,
+)
+from lucene_solr_spark.search import (
+    BooleanQuery,
+    FuzzyQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    PrefixQuery,
+    RangeQuery,
+    TermQuery,
+    WildcardQuery,
+    search,
+    term_scores,
+)
+from lucene_solr_spark.search.bm25 import dismax, more_like_this, rerank
+
+_INDEX_CACHE: dict[str, IndexTables] = {}
+
+QUERIES: dict[str, callable] = {}
+ORACLE: dict[str, str] = {}
+
+
+def get_index(spark: SparkSession, sf_dir: str) -> IndexTables:
+    if sf_dir not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _INDEX_CACHE[sf_dir] = build_index(
+            spark,
+            docs,
+            key_col="doc_id",
+            docid_col="doc_id",
+            num_index_partitions=8,
+            passthrough_cols=("lang", "source", "n_chars"),
+            build_positions=True,
+        )
+    return _INDEX_CACHE[sf_dir]
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _docset(index: IndexTables, terms: list[str], mode: str = "any") -> DataFrame:
+    """The DocSet analog: docids matching any/all of the terms."""
+    p = index.postings.filter(F.col("term").isin(terms))
+    if mode == "any":
+        return p.select("docid").distinct()
+    return (
+        p.groupBy("docid")
+        .agg(F.countDistinct("term").alias("_nt"))
+        .where(F.col("_nt") == len(set(terms)))
+        .select("docid")
+    )
+
+
+def _scored_docset(index: IndexTables, term: str) -> DataFrame:
+    """(docid, score) for ALL docs matching a single term (no top-k cut)."""
+    return term_scores(index, [term]).select(
+        "docid", F.round("score", 4).alias("score")
+    )
+
+
+# ===========================================================================
+# Core search (SURVEY.md §2.5-2.7)
+# ===========================================================================
+
+@_q("term_query", bool_sql(must=("table",)))
+def term_query(spark, sf_dir):
+    return search(get_index(spark, sf_dir), "table", k=10)
+
+
+@_q("term_query_tail", bool_sql(must=("vector",)))
+def term_query_tail(spark, sf_dir):
+    return search(get_index(spark, sf_dir), "vector", k=10)
+
+
+@_q("boolean_and", bool_sql(must=("table", "merge")))
+def boolean_and(spark, sf_dir):
+    return search(get_index(spark, sf_dir), BooleanQuery.of(must=["table", "merge"]), k=10)
+
+
+@_q("boolean_or", bool_sql(should=("vector", "stream", "hash")))
+def boolean_or(spark, sf_dir):
+    return search(
+        get_index(spark, sf_dir),
+        BooleanQuery.of(should=["vector", "stream", "hash"]), k=10,
+    )
+
+
+@_q("boolean_not", bool_sql(must=("table",), must_not=("slow",)))
+def boolean_not(spark, sf_dir):
+    return search(
+        get_index(spark, sf_dir),
+        BooleanQuery.of(must=["table"], must_not=["slow"]), k=10,
+    )
+
+
+@_q("min_should_match", bool_sql(should=("vector", "stream", "hash"), mm=2))
+def min_should_match(spark, sf_dir):
+    return search(
+        get_index(spark, sf_dir),
+        BooleanQuery.of(should=["vector", "stream", "hash"], mm=2), k=10,
+    )
+
+
+@_q("boost_query", bool_sql(must=("table",), should=("merge",), boosts={"table": 2.0}))
+def boost_query(spark, sf_dir):
+    q = BooleanQuery(must=(TermQuery("table", boost=2.0),), should=(TermQuery("merge"),))
+    return search(get_index(spark, sf_dir), q, k=10)
+
+
+@_q(
+    "query_with_stopword",
+    # analyzer drops 'the' at parse time -> equivalent to the bare term query
+    bool_sql(must=("query",)),
+)
+def query_with_stopword(spark, sf_dir):
+    from lucene_solr_spark.analysis.analyzer import analyze_text
+
+    terms = analyze_text("the query")  # parse-time analysis drops the stopword
+    return search(get_index(spark, sf_dir), BooleanQuery.of(must=terms), k=10)
+
+
+_PHRASE_SQL = f"""{PRELUDE},
+pm AS (
+  SELECT p0.docid, count(*) AS tf
+  FROM tok p0 JOIN tok p1 ON p1.docid = p0.docid AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'table' AND p1.term = 'scan'
+  GROUP BY 1
+)
+SELECT pm.docid,
+       round(({idf_sql('table')} + {idf_sql('scan')})
+             * 2.2 * pm.tf / (pm.tf + 1.2 * (0.25 + 0.75 * d.dl_approx / st.avgdl)), 4) AS score
+FROM pm JOIN doc d ON d.docid = pm.docid CROSS JOIN stats st
+ORDER BY score DESC, pm.docid ASC LIMIT 10"""
+
+
+@_q("phrase_query", _PHRASE_SQL)
+def phrase_query(spark, sf_dir):
+    return search(get_index(spark, sf_dir), PhraseQuery(("table", "scan")), k=10)
+
+
+_CS_EXP_SQL = """SELECT docid, 1.0 AS score
+FROM (SELECT DISTINCT docid FROM tf WHERE term IN (SELECT term FROM tstat WHERE {pred}))
+ORDER BY score DESC, docid ASC LIMIT 10"""
+
+
+@_q("prefix_query", f"{PRELUDE}\n" + _CS_EXP_SQL.format(pred="term LIKE 'sc%'"))
+def prefix_query(spark, sf_dir):
+    return search(get_index(spark, sf_dir), PrefixQuery("sc"), k=10)
+
+
+@_q("wildcard_query", f"{PRELUDE}\n" + _CS_EXP_SQL.format(pred="term LIKE 's__n'"))
+def wildcard_query(spark, sf_dir):
+    return search(get_index(spark, sf_dir), WildcardQuery("s??n"), k=10)
+
+
+@_q(
+    "fuzzy_query",
+    f"{PRELUDE}\n" + _CS_EXP_SQL.format(pred="levenshtein(term, 'tble') <= 1"),
+)
+def fuzzy_query(spark, sf_dir):
+    return search(get_index(spark, sf_dir), FuzzyQuery("tble", max_edits=1), k=10)
+
+
+@_q(
+    "term_range_query",
+    f"{PRELUDE}\n" + _CS_EXP_SQL.format(pred="term >= 'sa' AND term <= 'sd'"),
+)
+def term_range_query(spark, sf_dir):
+    return search(get_index(spark, sf_dir), RangeQuery("sa", "sd"), k=10)
+
+
+@_q(
+    "match_all",
+    "SELECT doc_id AS docid, 1.0 AS score FROM documents ORDER BY score DESC, docid ASC LIMIT 20",
+)
+def match_all(spark, sf_dir):
+    return search(get_index(spark, sf_dir), MatchAllQuery(), k=20)
+
+
+_DISMAX_SQL = f"""{PRELUDE},
+m AS (
+  SELECT f.docid,
+    max(CASE WHEN f.term = 'table' THEN {score_cols_sql()} END) AS s0,
+    max(CASE WHEN f.term = 'customer' THEN {score_cols_sql()} END) AS s1
+  {scored_from()}
+  WHERE f.term IN ('table', 'customer')
+  GROUP BY f.docid
+)
+SELECT docid,
+       round(greatest(coalesce(s0, 0.0), coalesce(s1, 0.0))
+             + 0.3 * ((coalesce(s0, 0.0) + coalesce(s1, 0.0))
+                      - greatest(coalesce(s0, 0.0), coalesce(s1, 0.0))), 4) AS score
+FROM m ORDER BY score DESC, docid ASC LIMIT 10"""
+
+
+@_q("dismax_query", _DISMAX_SQL)
+def dismax_query(spark, sf_dir):
+    return dismax(get_index(spark, sf_dir), ["table", "customer"], tie=0.3, k=10)
+
+
+_DEEP_PAGING_SQL = f"""{PRELUDE},
+scored AS (
+  SELECT f.docid, round({score_cols_sql()}, 4) AS score
+  {scored_from()}
+  WHERE f.term = 'table'
+)
+SELECT docid, score FROM (
+  SELECT docid, score, row_number() OVER (ORDER BY score DESC, docid ASC) AS rn
+  FROM scored
+) WHERE rn BETWEEN 11 AND 20 ORDER BY rn"""
+
+
+@_q("deep_paging", _DEEP_PAGING_SQL)
+def deep_paging(spark, sf_dir):
+    from pyspark.sql import Window
+
+    idx = get_index(spark, sf_dir)
+    scored = _scored_docset(idx, "table")
+    w = Window.orderBy(F.col("score").desc(), F.col("docid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") >= 11) & (F.col("rn") <= 20))
+        .orderBy("rn")
+        .select("docid", "score")
+    )
+
+
+@_q(
+    "sort_by_field",
+    "SELECT doc_id AS docid, n_chars FROM documents "
+    "ORDER BY n_chars DESC, docid ASC LIMIT 10",
+)
+def sort_by_field(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return (
+        idx.docs.select("docid", "n_chars")
+        .orderBy(F.col("n_chars").desc(), F.col("docid").asc())
+        .limit(10)
+    )
+
+
+_MLT_SQL = f"""{PRELUDE},
+qterms AS (
+  SELECT f.term
+  FROM tf f JOIN tstat s ON s.term = f.term CROSS JOIN stats st
+  WHERE f.docid = 0
+  ORDER BY f.tf * ln(1.0 + (st.n - s.df + 0.5) / (s.df + 0.5)) DESC, f.term ASC
+  LIMIT 3
+)
+SELECT f.docid, round(sum({score_cols_sql()}), 4) AS score
+{scored_from()}
+WHERE f.term IN (SELECT term FROM qterms) AND f.docid <> 0
+GROUP BY f.docid
+ORDER BY score DESC, f.docid ASC LIMIT 10"""
+
+
+@_q("more_like_this", _MLT_SQL)
+def more_like_this_q(spark, sf_dir):
+    return more_like_this(get_index(spark, sf_dir), docid=0, max_query_terms=3, k=10)
+
+
+_RERANK_SQL = f"""{PRELUDE},
+main AS (
+  {bool_sql(should=("table",), mm=1, k=20, as_cte="main")}
+),
+rr AS (
+  SELECT f.docid, max(CASE WHEN f.term = 'merge' THEN {score_cols_sql()} END) AS r0
+  {scored_from()}
+  WHERE f.term IN ('merge')
+  GROUP BY f.docid
+)
+SELECT m.docid, round(m.score + 2.0 * (0.0 + coalesce(rr.r0, 0.0)), 4) AS rerank_score
+FROM main m LEFT JOIN rr ON rr.docid = m.docid
+ORDER BY rerank_score DESC, m.docid ASC LIMIT 10"""
+
+
+@_q("rerank_query", _RERANK_SQL)
+def rerank_query(spark, sf_dir):
+    return rerank(
+        get_index(spark, sf_dir), ["table"], ["merge"],
+        rerank_weight=2.0, window=20, k=10,
+    )
+
+
+@_q(
+    "join_query",
+    f"""{PRELUDE},
+{matches_cte(('vector',))}
+SELECT d.doc_id AS docid, d.source
+FROM documents d
+WHERE d.source IN (
+  SELECT DISTINCT dd.source FROM documents dd JOIN matches m ON m.docid = dd.doc_id
+)
+ORDER BY docid ASC LIMIT 20""",
+)
+def join_query(spark, sf_dir):
+    """{!join from=source to=source} analog: docs sharing a source with any
+    doc matching 'vector' (JoinQParserPlugin semantics as a semi-join)."""
+    idx = get_index(spark, sf_dir)
+    m = _docset(idx, ["vector"])
+    srcs = idx.docs.join(m, "docid").select("source").distinct()
+    return (
+        idx.docs.join(F.broadcast(srcs), "source", "left_semi")
+        .select("docid", "source")
+        .orderBy("docid")
+        .limit(20)
+    )
+
+
+@_q(
+    "numeric_range_filter",
+    "SELECT doc_id AS docid, n_chars, lang FROM documents "
+    "WHERE n_chars BETWEEN 200 AND 300 AND lang = 'en' "
+    "ORDER BY docid ASC LIMIT 20",
+)
+def numeric_range_filter(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return (
+        idx.docs.where((F.col("n_chars").between(200, 300)) & (F.col("lang") == "en"))
+        .select("docid", "n_chars", "lang")
+        .orderBy("docid")
+        .limit(20)
+    )
+
+
+@_q(
+    "function_query_sort",
+    "SELECT doc_id AS docid, "
+    "round(ln(n_chars + 1.0) * 2.0 + sqrt(CAST(doc_id AS DOUBLE)) * 0.1, 4) AS fscore "
+    "FROM documents ORDER BY fscore DESC, docid ASC LIMIT 10",
+)
+def function_query_sort(spark, sf_dir):
+    """ValueSourceParser function-query analog: score docs by a scalar
+    expression (log/sqrt/linear combination), sort desc."""
+    idx = get_index(spark, sf_dir)
+    fexpr = "round(ln(n_chars + 1.0) * 2.0 + sqrt(CAST(docid AS DOUBLE)) * 0.1, 4)"
+    return (
+        idx.docs.select("docid", F.expr(fexpr).alias("fscore"))
+        .orderBy(F.col("fscore").desc(), F.col("docid").asc())
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# Facets / stats / grouping (SURVEY.md §2.8)
+# ===========================================================================
+
+@_q(
+    "facet_field_lang",
+    f"""{PRELUDE},
+{matches_cte(('table',))}
+SELECT d.lang AS facet_term, count(*) AS facet_count
+FROM documents d JOIN matches m ON m.docid = d.doc_id
+GROUP BY 1 HAVING count(*) >= 1
+ORDER BY facet_count DESC, facet_term ASC LIMIT 20""",
+)
+def facet_field_lang(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    results = idx.docs.join(_docset(idx, ["table"]), "docid")
+    return facet_field(results, "lang", limit=20, mincount=1, sort="count")
+
+
+@_q(
+    "facet_field_source",
+    f"""{PRELUDE},
+{matches_cte(('merge',))}
+SELECT d.source AS facet_term, count(*) AS facet_count
+FROM documents d JOIN matches m ON m.docid = d.doc_id
+GROUP BY 1 HAVING count(*) >= 2
+ORDER BY facet_count DESC, facet_term ASC LIMIT 10""",
+)
+def facet_field_source(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    results = idx.docs.join(_docset(idx, ["merge"]), "docid")
+    return facet_field(results, "source", limit=10, mincount=2, sort="count")
+
+
+@_q(
+    "facet_terms_highcard",
+    f"""{PRELUDE},
+{matches_cte(('vector',))}
+SELECT f.term AS facet_term, count(*) AS facet_count
+FROM tf f JOIN matches m ON m.docid = f.docid
+GROUP BY 1 HAVING count(*) >= 1
+ORDER BY facet_count DESC, facet_term ASC LIMIT 20""",
+)
+def facet_terms_highcard(spark, sf_dir):
+    """The SOLR-5894 case: facet over a high-cardinality multivalued field —
+    here the indexed terms themselves, counted over the result DocSet.  The
+    fork's sparse counters avoid touching zero buckets; Spark's hash agg is
+    sparse natively, the exactness of counts is what we match."""
+    idx = get_index(spark, sf_dir)
+    m = _docset(idx, ["vector"])
+    return (
+        idx.postings.join(m, "docid")
+        .groupBy(F.col("term").alias("facet_term"))
+        .agg(F.count(F.lit(1)).alias("facet_count"))
+        .where(F.col("facet_count") >= 1)
+        .orderBy(F.col("facet_count").desc(), F.col("facet_term").asc())
+        .limit(20)
+    )
+
+
+@_q(
+    "facet_query_multi",
+    f"""{PRELUDE},
+{matches_cte(('table',))},
+r AS (SELECT d.* FROM documents d JOIN matches m ON m.docid = d.doc_id)
+SELECT 'short' AS facet_name, sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS facet_count FROM r
+UNION ALL
+SELECT 'mid', sum(CASE WHEN n_chars >= 200 AND n_chars < 350 THEN 1 ELSE 0 END) FROM r
+UNION ALL
+SELECT 'long', sum(CASE WHEN n_chars >= 350 THEN 1 ELSE 0 END) FROM r
+UNION ALL
+SELECT 'english', sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) FROM r""",
+)
+def facet_query_multi(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    r = idx.docs.join(_docset(idx, ["table"]), "docid")
+    return facet_query(
+        r,
+        {
+            "short": F.col("n_chars") < 200,
+            "mid": (F.col("n_chars") >= 200) & (F.col("n_chars") < 350),
+            "long": F.col("n_chars") >= 350,
+            "english": F.col("lang") == "en",
+        },
+    )
+
+
+@_q(
+    "facet_range_nchars",
+    f"""{PRELUDE},
+{matches_cte(('table',))}
+SELECT floor((d.n_chars - 0) / 100.0) * 100.0 + 0 AS bucket_start, count(*) AS facet_count
+FROM documents d JOIN matches m ON m.docid = d.doc_id
+WHERE d.n_chars >= 0 AND d.n_chars < 600
+GROUP BY 1 ORDER BY bucket_start""",
+)
+def facet_range_nchars(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    r = idx.docs.join(_docset(idx, ["table"]), "docid")
+    return facet_range(r, "n_chars", start=0, end=600, gap=100)
+
+
+@_q(
+    "interval_facets_nchars",
+    f"""{PRELUDE},
+{matches_cte(('table',))},
+r AS (SELECT d.* FROM documents d JOIN matches m ON m.docid = d.doc_id)
+SELECT 'tiny' AS facet_name, sum(CASE WHEN n_chars >= 0 AND n_chars <= 150 THEN 1 ELSE 0 END) AS facet_count FROM r
+UNION ALL SELECT 'small', sum(CASE WHEN n_chars >= 151 AND n_chars <= 300 THEN 1 ELSE 0 END) FROM r
+UNION ALL SELECT 'big', sum(CASE WHEN n_chars >= 301 THEN 1 ELSE 0 END) FROM r""",
+)
+def interval_facets_nchars(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    r = idx.docs.join(_docset(idx, ["table"]), "docid")
+    return interval_facets(
+        r, "n_chars", [("tiny", 0, 150), ("small", 151, 300), ("big", 301, None)]
+    )
+
+
+@_q(
+    "pivot_lang_source",
+    f"""{PRELUDE},
+{matches_cte(('merge',))}
+SELECT d.lang, d.source, count(*) AS facet_count
+FROM documents d JOIN matches m ON m.docid = d.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 1
+ORDER BY facet_count DESC, lang ASC, source ASC LIMIT 30""",
+)
+def pivot_lang_source(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    r = idx.docs.join(_docset(idx, ["merge"]), "docid")
+    return pivot_facets(r, ["lang", "source"], limit=30)
+
+
+@_q(
+    "stats_nchars",
+    f"""{PRELUDE},
+{matches_cte(('table',))}
+SELECT min(CAST(d.n_chars AS DOUBLE)) AS stats_min,
+       max(CAST(d.n_chars AS DOUBLE)) AS stats_max,
+       sum(CAST(d.n_chars AS DOUBLE)) AS stats_sum,
+       count(d.n_chars) AS stats_count,
+       sum(CASE WHEN d.n_chars IS NULL THEN 1 ELSE 0 END) AS stats_missing,
+       sum(CAST(d.n_chars AS DOUBLE) * CAST(d.n_chars AS DOUBLE)) AS stats_sumsq,
+       round(avg(CAST(d.n_chars AS DOUBLE)), 4) AS stats_mean,
+       round(stddev_samp(CAST(d.n_chars AS DOUBLE)), 4) AS stats_stddev
+FROM documents d JOIN matches m ON m.docid = d.doc_id""",
+)
+def stats_nchars(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    r = idx.docs.join(_docset(idx, ["table"]), "docid")
+    s = stats_component(r, "n_chars")
+    return s.select(
+        "stats_min", "stats_max", "stats_sum", "stats_count", "stats_missing",
+        "stats_sumsq",
+        F.round("stats_mean", 4).alias("stats_mean"),
+        F.round("stats_stddev", 4).alias("stats_stddev"),
+    )
+
+
+_GROUPING_SQL = f"""{PRELUDE},
+scored AS (
+  SELECT f.docid, round({score_cols_sql()}, 4) AS score
+  {scored_from()}
+  WHERE f.term = 'table'
+)
+SELECT lang, docid, score FROM (
+  SELECT d.lang, s.docid, s.score,
+         row_number() OVER (PARTITION BY d.lang ORDER BY s.score DESC, s.docid ASC) AS rn
+  FROM scored s JOIN documents d ON d.doc_id = s.docid
+) WHERE rn = 1 ORDER BY lang ASC"""
+
+
+@_q("grouping_top1_per_lang", _GROUPING_SQL)
+def grouping_top1_per_lang(spark, sf_dir):
+    from lucene_solr_spark.facets import group_topk
+
+    idx = get_index(spark, sf_dir)
+    scored = _scored_docset(idx, "table")
+    r = scored.join(idx.docs.select("docid", "lang"), "docid")
+    g = group_topk(r, "lang", [F.col("score").desc(), F.col("docid").asc()], k=1)
+    return g.select("lang", "docid", "score").orderBy("lang")
+
+
+_COLLAPSE_SQL = f"""{PRELUDE},
+scored AS (
+  SELECT f.docid, round({score_cols_sql()}, 4) AS score
+  {scored_from()}
+  WHERE f.term = 'merge'
+)
+SELECT source, docid, score FROM (
+  SELECT d.source, s.docid, s.score,
+         row_number() OVER (PARTITION BY d.source ORDER BY s.score DESC, s.docid ASC) AS rn
+  FROM scored s JOIN documents d ON d.doc_id = s.docid
+) WHERE rn = 1 ORDER BY source ASC"""
+
+
+@_q("collapse_by_source", _COLLAPSE_SQL)
+def collapse_by_source(spark, sf_dir):
+    from lucene_solr_spark.facets import collapse
+
+    idx = get_index(spark, sf_dir)
+    scored = _scored_docset(idx, "merge")
+    r = scored.join(idx.docs.select("docid", "source"), "docid")
+    c = collapse(r, "source", [F.col("score").desc(), F.col("docid").asc()])
+    return c.select("source", "docid", "score").orderBy("source")
+
+
+@_q(
+    "terms_component",
+    f"""{PRELUDE}
+SELECT term, df FROM tstat ORDER BY df DESC, term ASC LIMIT 20""",
+)
+def terms_component_q(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return terms_component(idx.segments, limit=20)
+
+
+@_q(
+    "collection_stats",
+    f"""{PRELUDE}
+SELECT st.n AS max_doc,
+       (SELECT coalesce(sum(dl), 0) FROM doclen) AS sum_total_term_freq,
+       CAST(st.avgdl AS DOUBLE) AS avgdl
+FROM stats st""",
+)
+def collection_stats(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return spark.createDataFrame(
+        [(idx.max_doc, idx.sum_total_term_freq, idx.avgdl)],
+        "max_doc long, sum_total_term_freq long, avgdl double",
+    )
+
+
+@_q(
+    "norms_distribution",
+    f"""{PRELUDE}
+SELECT norm_byte, count(*) AS n_docs FROM doc GROUP BY 1 ORDER BY norm_byte""",
+)
+def norms_distribution(spark, sf_dir):
+    """Cross-engine check of the lossy norm quantization itself."""
+    idx = get_index(spark, sf_dir)
+    return (
+        idx.docs.groupBy("norm_byte")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("norm_byte")
+    )
+
+
+def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: boolean AND with facet-ready result (driver smoke check)."""
+    return boolean_and(spark, sf_dir)

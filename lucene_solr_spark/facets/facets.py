@@ -1,0 +1,173 @@
+"""Faceting & stats — Solr SimpleFacets/StatsComponent/Grouping re-expressed.
+
+Reference semantics (public Apache Solr 4.10.5, /root/reference):
+
+- facet.field (SimpleFacets.java:341-516, DocValuesFacets.java:62-141):
+  per-term counts over the result DocSet; sort=count -> count desc with ties
+  by term index order (ascending term); sort=index -> term asc; mincount,
+  limit, offset, prefix supported.  The SOLR-5894 sparse-counter machinery
+  (solr/core/.../request/sparse/, 7.2k LoC) exists to avoid touching
+  zero-count buckets — Spark's hash aggregate only materializes touched keys,
+  so *sparse counting is the native behavior here*; what we preserve is count
+  EXACTNESS and ordering semantics.  Distributed refinement
+  (FacetComponent.java:130-239) collapses into Spark's exact partial+final
+  aggregation — one shuffle, no over-request, no fine-counting round.
+- facet.query (SimpleFacets.java:287), facet.range (:1295-1374), interval
+  facets (IntervalFacets.java:101,221-249), pivot facets
+  (PivotFacetProcessor.java), stats (StatsValuesFactory.java:44-64,257-306),
+  grouping/collapse (Grouping.java:79,160-203; CollapsingQParserPlugin.java),
+  terms component (TermsComponent.java).
+
+Every function takes a "result set" DataFrame (the DocSet analog: any
+DataFrame of matching docs joined with docvalues columns) and returns a
+DataFrame, so facets compose with any query from search/bm25.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def facet_field(
+    results: DataFrame,
+    field: str,
+    limit: int = 20,
+    offset: int = 0,
+    mincount: int = 1,
+    sort: str = "count",
+    prefix: str | None = None,
+    multivalued: bool = False,
+) -> DataFrame:
+    """facet.field: (term, count) with Solr ordering semantics."""
+    col = F.explode(field) if multivalued else F.col(field)
+    base = results.select(col.alias("facet_term")).where(F.col("facet_term").isNotNull())
+    if prefix:
+        base = base.where(F.col("facet_term").startswith(prefix))
+    counts = base.groupBy("facet_term").agg(F.count(F.lit(1)).alias("facet_count"))
+    counts = counts.where(F.col("facet_count") >= mincount)
+    if sort == "count":
+        counts = counts.orderBy(F.col("facet_count").desc(), F.col("facet_term").asc())
+    else:  # index order
+        counts = counts.orderBy(F.col("facet_term").asc())
+    out = counts.limit(offset + limit)
+    if offset:
+        out = out.offset(offset)
+    return out
+
+
+def facet_query(results: DataFrame, queries: dict[str, Column]) -> DataFrame:
+    """facet.query: one count per named predicate, computed in ONE pass
+    (conditional aggregation — no per-facet scan)."""
+    aggs = [
+        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(name)
+        for name, pred in queries.items()
+    ]
+    wide = results.agg(*aggs)
+    # unpivot to (facet_name, facet_count), stable name order
+    names = list(queries)
+    pairs = F.array(*[
+        F.struct(F.lit(n).alias("facet_name"), F.col(n).alias("facet_count"))
+        for n in names
+    ])
+    return (
+        wide.select(F.explode(pairs).alias("p"))
+        .select("p.facet_name", "p.facet_count")
+    )
+
+
+def facet_range(
+    results: DataFrame,
+    field: str,
+    start: float,
+    end: float,
+    gap: float,
+    include_outer: bool = False,
+) -> DataFrame:
+    """facet.range: fixed-gap buckets [start+i*gap, start+(i+1)*gap).
+    Returns (bucket_start, facet_count), index-ordered."""
+    c = F.col(field).cast("double")
+    in_range = results.where((c >= start) & (c < end))
+    bucket = (F.floor((c - F.lit(start)) / F.lit(gap)) * F.lit(gap) + F.lit(start))
+    out = (
+        in_range.select(bucket.alias("bucket_start"))
+        .groupBy("bucket_start")
+        .agg(F.count(F.lit(1)).alias("facet_count"))
+        .orderBy("bucket_start")
+    )
+    return out
+
+
+def interval_facets(
+    results: DataFrame, field: str, intervals: list[tuple[str, float | None, float | None]]
+) -> DataFrame:
+    """IntervalFacets: arbitrary [lo, hi] inclusive intervals, one pass."""
+    c = F.col(field).cast("double")
+    preds = {}
+    for label, lo, hi in intervals:
+        p = F.lit(True)
+        if lo is not None:
+            p = p & (c >= lo)
+        if hi is not None:
+            p = p & (c <= hi)
+        preds[label] = p
+    return facet_query(results, preds)
+
+
+def pivot_facets(
+    results: DataFrame, fields: list[str], limit: int = 100, mincount: int = 1
+) -> DataFrame:
+    """facet.pivot: nested field1,field2,... counts, flattened to one row per
+    leaf path, ordered by (count desc, terms asc) like distributed pivots."""
+    counts = (
+        results.groupBy(*fields)
+        .agg(F.count(F.lit(1)).alias("facet_count"))
+        .where(F.col("facet_count") >= mincount)
+    )
+    order = [F.col("facet_count").desc()] + [F.col(f).asc() for f in fields]
+    return counts.orderBy(*order).limit(limit)
+
+
+def stats_component(results: DataFrame, field: str) -> DataFrame:
+    """StatsComponent: min/max/sum/count/missing/sumOfSquares/mean/stddev.
+    stddev is Solr's sample-ish formula sqrt((sumsq - sum^2/N) / (N-1))
+    (StatsValuesFactory.java:257-306) == stddev_samp."""
+    c = F.col(field).cast("double")
+    return results.agg(
+        F.min(c).alias("stats_min"),
+        F.max(c).alias("stats_max"),
+        F.sum(c).alias("stats_sum"),
+        F.count(c).alias("stats_count"),
+        F.sum(F.isnull(c).cast("long")).alias("stats_missing"),
+        F.sum(c * c).alias("stats_sumsq"),
+        F.avg(c).alias("stats_mean"),
+        F.stddev_samp(c).alias("stats_stddev"),
+    )
+
+
+def group_topk(
+    results: DataFrame,
+    group_field: str,
+    order_by: list[Column],
+    k: int = 1,
+) -> DataFrame:
+    """Grouping (field collapse): top-k rows per group by the given ordering.
+    Solr's two-pass TermFirst/SecondPassGroupingCollector becomes one window."""
+    w = Window.partitionBy(group_field).orderBy(*order_by)
+    return (
+        results.withColumn("group_rank", F.row_number().over(w))
+        .where(F.col("group_rank") <= k)
+    )
+
+
+def collapse(results: DataFrame, group_field: str, order_by: list[Column]) -> DataFrame:
+    """CollapsingQParserPlugin: keep only the best row per group."""
+    return group_topk(results, group_field, order_by, k=1).drop("group_rank")
+
+
+def terms_component(segments: DataFrame, limit: int = 20, prefix: str | None = None) -> DataFrame:
+    """TermsComponent: raw dictionary enumeration (term, df) by df desc."""
+    t = segments.select("term", "df")
+    if prefix:
+        t = t.where(F.col("term").startswith(prefix))
+    return t.orderBy(F.col("df").desc(), F.col("term").asc()).limit(limit)

@@ -1,0 +1,154 @@
+"""DuckDB oracle SQL generation.
+
+The driver's correctness gate runs each Spark query side-by-side with an ANSI
+SQL equivalent in DuckDB.  This module renders that SQL from the SAME
+semantic sources as the engine: the shared tokenizer regex (identical under
+RE2), the integer dl->norm-byte range table from smallfloat (no float ops in
+SQL for quantization), and the shared BM25 score formula text from search.bm25
+(identical float64 operation order).  Determinism rules mirrored from the
+engine: fixed-order per-term addition, round(score,4) BEFORE ordering, docid
+tie-breaks.
+"""
+
+from __future__ import annotations
+
+from lucene_solr_spark.analysis.analyzer import sql_quoted_pattern, sql_stopword_list
+from lucene_solr_spark.search.bm25 import score_formula
+from lucene_solr_spark.smallfloat import norm_byte_dl_ranges
+
+_PAT = sql_quoted_pattern()
+_STOP = sql_stopword_list()
+
+
+def _norm_values() -> str:
+    return ",\n    ".join(
+        f"({lo}, {hi}, {b}, {dl!r})" for lo, hi, b, dl in norm_byte_dl_ranges(1 << 40)
+    )
+
+
+# Shared CTE prelude over the `documents` view: tokenization (positions kept
+# with Lucene gap semantics: assigned pre-filter), doc lengths incl. empty
+# docs, exact norm quantization via integer ranges, collection stats with
+# float32 avgdl, tf and per-term stats.
+PRELUDE = f"""WITH tokraw AS (
+  SELECT doc_id AS docid, t AS raw_term, lower(t) AS term, (pos - 1) AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(text, {_PAT})) AS t,
+           unnest(range(1, len(regexp_extract_all(text, {_PAT})) + 1)) AS pos
+    FROM documents
+  )
+  WHERE t <> ''
+),
+tok AS (
+  SELECT docid, term, pos FROM tokraw
+  WHERE length(raw_term) BETWEEN 1 AND 255 AND term NOT IN {_STOP}
+),
+doclen AS (
+  SELECT d.doc_id AS docid, count(t.term) AS dl
+  FROM documents d LEFT JOIN tok t ON t.docid = d.doc_id
+  GROUP BY 1
+),
+normmap(dl_lo, dl_hi, norm_byte, dl_approx) AS (
+  VALUES {_norm_values()}
+),
+doc AS (
+  SELECT l.docid, l.dl,
+         CASE WHEN l.dl = 0 THEN 255 ELSE m.norm_byte END AS norm_byte,
+         CASE WHEN l.dl = 0 THEN CAST('infinity' AS DOUBLE) ELSE m.dl_approx END AS dl_approx
+  FROM doclen l LEFT JOIN normmap m ON l.dl BETWEEN m.dl_lo AND m.dl_hi
+),
+stats AS (
+  SELECT count(*) AS n,
+         CAST(1.0 * (SELECT coalesce(sum(dl), 0) FROM doclen) / count(*) AS REAL) AS avgdl
+  FROM documents
+),
+tf AS (SELECT docid, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+tstat AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY 1)"""
+
+
+def score_cols_sql() -> str:
+    """The BM25 per-(term,doc) score over prelude columns f/s/d/st."""
+    return score_formula(tf="f.tf", df="s.df", dl="d.dl_approx", n="st.n", avgdl="st.avgdl")
+
+
+def idf_sql(term: str) -> str:
+    """Per-term idf with df=0 fallback (scalar subqueries)."""
+    df = f"coalesce((SELECT df FROM tstat WHERE term = '{term}'), 0)"
+    return f"ln(1.0 + ((SELECT n FROM stats) - {df} + 0.5) / ({df} + 0.5))"
+
+
+def scored_from() -> str:
+    return (
+        "FROM tf f JOIN doc d ON d.docid = f.docid "
+        "JOIN tstat s ON s.term = f.term CROSS JOIN stats st"
+    )
+
+
+def bool_case_cols(terms: list[str]) -> str:
+    sc = score_cols_sql()
+    return ",\n    ".join(
+        f"max(CASE WHEN f.term = '{t}' THEN {sc} END) AS s{i}"
+        for i, t in enumerate(terms)
+    )
+
+
+def bool_sql(
+    must: tuple[str, ...] = (),
+    should: tuple[str, ...] = (),
+    must_not: tuple[str, ...] = (),
+    mm: int = 0,
+    k: int = 10,
+    boosts: dict[str, float] | None = None,
+    as_cte: str | None = None,
+) -> str:
+    """Boolean top-k SQL mirroring bm25._boolean_topk exactly (fixed-order
+    addition, round-then-order, docid tiebreak). If ``as_cte`` is given,
+    returns only the CTE body text (SELECT ... LIMIT k) for composition."""
+    boosts = boosts or {}
+    terms = list(dict.fromkeys([*must, *should]))
+    add_parts = []
+    for i, t in enumerate(terms):
+        part = f"coalesce(s{i}, 0.0)"
+        if boosts.get(t, 1.0) != 1.0:
+            part = f"{part} * {boosts[t]!r}"
+        add_parts.append(part)
+    add = " + ".join(add_parts)
+    conds = [f"s{i} IS NOT NULL" for i, t in enumerate(terms) if t in must]
+    if should and mm > 0:
+        mmsum = " + ".join(
+            f"(CASE WHEN s{terms.index(t)} IS NOT NULL THEN 1 ELSE 0 END)"
+            for t in should
+        )
+        conds.append(f"({mmsum}) >= {mm}")
+    where = " AND ".join(conds) if conds else "TRUE"
+    notclause = ""
+    if must_not:
+        inlist = ", ".join(f"'{t}'" for t in must_not)
+        notclause = (
+            f" AND docid NOT IN (SELECT docid FROM tf WHERE term IN ({inlist}))"
+        )
+    inlist_all = ", ".join(f"'{t}'" for t in terms)
+    body = f"""SELECT docid, round({add}, 4) AS score
+FROM (
+  SELECT f.docid, {bool_case_cols(terms)}
+  {scored_from()}
+  WHERE f.term IN ({inlist_all})
+  GROUP BY f.docid
+)
+WHERE {where}{notclause}
+ORDER BY score DESC, docid ASC LIMIT {k}"""
+    if as_cte:
+        return body
+    return f"{PRELUDE}\n{body}"
+
+
+def matches_cte(terms: tuple[str, ...], mode: str = "any") -> str:
+    """DocSet CTE: docids matching any/all of the terms."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    if mode == "any":
+        return f"matches AS (SELECT DISTINCT docid FROM tf WHERE term IN ({inlist}))"
+    return (
+        f"matches AS (SELECT docid FROM tf WHERE term IN ({inlist}) "
+        f"GROUP BY docid HAVING count(DISTINCT term) = {len(set(terms))})"
+    )

@@ -43,12 +43,24 @@ from lucene_solr_spark.search.query import (
     WildcardQuery,
 )
 
+def score_formula(
+    tf: str = "tf", df: str = "df", dl: str = "dl_approx",
+    n: str = "{N}", avgdl: str = "{avgdl}",
+) -> str:
+    """The per-(term,doc) BM25 score as ONE textual arithmetic expression.
+
+    Rendered with column refs for the DuckDB oracle and with literals for the
+    Spark plan — the identical text guarantees identical float64 operation
+    order in both engines."""
+    return (
+        f"ln(1.0 + ({n} - {df} + 0.5) / ({df} + 0.5))"
+        f" * 2.2 * {tf} / ({tf} + 1.2 * (0.25 + 0.75 * {dl} / {avgdl}))"
+    )
+
+
 # One template, two engines. {N} = max_doc, {avgdl} = float32-exact literal.
 # Columns required in scope: df (int), tf (int/double), dl_approx (double).
-SCORE_TEMPLATE = (
-    "ln(1.0 + ({N} - df + 0.5) / (df + 0.5))"
-    " * 2.2 * tf / (tf + 1.2 * (0.25 + 0.75 * dl_approx / {avgdl}))"
-)
+SCORE_TEMPLATE = score_formula()
 
 
 def score_expr_sql(max_doc: int, avgdl: float) -> str:
@@ -184,12 +196,18 @@ def search(
     k: int = 10,
     round_dp: int = 4,
     after: tuple[float, int] | None = None,
+    rewrite: str = "constant_score",
 ) -> DataFrame:
     """Top-k search -> DataFrame(docid, score), ordered score desc, docid asc.
 
     ``after=(score, docid)`` gives keyset deep paging (searchAfter /
     CursorMark): strictly-worse results than the cursor, same ordering.
-    """
+
+    ``rewrite`` controls multi-term queries (prefix/wildcard/regexp/fuzzy/
+    range), mirroring MultiTermQuery rewrite methods: "constant_score"
+    (Lucene's CONSTANT_SCORE_AUTO_REWRITE default — matching docs score the
+    query boost) or "scoring_boolean" (SCORING_BOOLEAN_QUERY_REWRITE — OR of
+    per-term BM25 scores)."""
     if isinstance(query, str):
         query = BooleanQuery.of(must=[query])
     if isinstance(query, TermQuery):
@@ -200,6 +218,20 @@ def search(
             return index.postings.sparkSession.createDataFrame(
                 [], "docid long, score double"
             )
+        if rewrite == "constant_score":
+            out = (
+                index.postings.filter(F.col("term").isin(terms))
+                .select("docid")
+                .distinct()
+                .select("docid", F.lit(1.0).alias("score"))
+            )
+            if after is not None:
+                a_score, a_docid = after
+                out = out.filter(
+                    (F.col("score") < a_score)
+                    | ((F.col("score") == a_score) & (F.col("docid") > a_docid))
+                )
+            return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
         query = BooleanQuery.of(should=terms, mm=1)
 
     if isinstance(query, MatchAllQuery):
@@ -220,3 +252,97 @@ def search(
             | ((F.col("score") == a_score) & (F.col("docid") > a_docid))
         )
     return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
+def dismax(
+    index: IndexTables,
+    clauses: list[str],
+    tie: float = 0.0,
+    k: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """DisjunctionMaxQuery (DisjunctionMaxQuery.java:45-59): per-doc score is
+    max over clause scores plus ``tie`` times the sum of the others."""
+    scored = term_scores(index, clauses)
+    aggs = [
+        F.max(F.when(F.col("term") == t, F.col("score"))).alias(f"_s{i}")
+        for i, t in enumerate(clauses)
+    ]
+    per_doc = scored.groupBy("docid").agg(*aggs)
+    cols = [F.coalesce(F.col(f"_s{i}"), F.lit(0.0)) for i in range(len(clauses))]
+    mx = F.greatest(*cols) if len(cols) > 1 else cols[0]
+    total = cols[0]
+    for c in cols[1:]:
+        total = total + c
+    score = mx + F.lit(tie) * (total - mx)
+    return (
+        per_doc.select("docid", F.round(score, round_dp).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+
+
+def more_like_this(
+    index: IndexTables, docid: int, max_query_terms: int = 3, k: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """MoreLikeThis (lucene/queries/.../mlt/MoreLikeThis.java): pick the
+    source doc's top terms by tf*idf (ties by term asc), then run them as an
+    OR query over everything else. Term selection happens driver-side (the
+    interesting-terms PriorityQueue analog); scoring is a float-sum OR."""
+    import math
+
+    rows = (
+        index.postings.filter(F.col("docid") == docid)
+        .join(F.broadcast(index.term_stats()), "term")
+        .select("term", "tf", "df")
+        .collect()
+    )
+    n = index.max_doc
+    scored_terms = sorted(
+        (
+            (-r.tf * math.log(1.0 + (n - r.df + 0.5) / (r.df + 0.5)), r.term)
+            for r in rows
+        ),
+    )
+    terms = [t for _, t in scored_terms[:max_query_terms]]
+    if not terms:
+        return index.postings.sparkSession.createDataFrame([], "docid long, score double")
+    scored = term_scores(index, terms)
+    out = (
+        scored.filter(F.col("docid") != docid)
+        .groupBy("docid")
+        .agg(F.round(F.sum("score"), round_dp).alias("score"))
+    )
+    return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
+def rerank(
+    index: IndexTables,
+    main_terms: list[str],
+    rerank_terms: list[str],
+    rerank_weight: float = 2.0,
+    window: int = 20,
+    k: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """ReRankQParserPlugin: take the top ``window`` docs of the main query,
+    re-score as main + weight * rerank-query score, return top k."""
+    main = search(index, BooleanQuery.of(should=main_terms, mm=1),
+                  k=window, round_dp=round_dp)
+    rr = term_scores(index, rerank_terms)
+    aggs = [
+        F.max(F.when(F.col("term") == t, F.col("score"))).alias(f"_r{i}")
+        for i, t in enumerate(rerank_terms)
+    ]
+    rr_doc = rr.groupBy("docid").agg(*aggs)
+    joined = main.join(rr_doc, "docid", "left")
+    extra = F.lit(0.0)
+    for i in range(len(rerank_terms)):
+        extra = extra + F.coalesce(F.col(f"_r{i}"), F.lit(0.0))
+    score = F.col("score") + F.lit(rerank_weight) * extra
+    return (
+        joined.select("docid", F.round(score, round_dp).alias("rerank_score"))
+        .orderBy(F.col("rerank_score").desc(), F.col("docid").asc())
+        .limit(k)
+    )

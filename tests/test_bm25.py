@@ -105,12 +105,12 @@ def test_phrase(index, oracle):
 
 
 def test_prefix_and_wildcard(index, oracle):
-    got = search(index, PrefixQuery("sc"), k=10)
+    got = search(index, PrefixQuery("sc"), k=10, rewrite="scoring_boolean")
     # expansion: all indexed terms starting 'sc' -> OR
     terms = sorted(t for t in oracle.df if t.startswith("sc"))
     want = oracle.topk(should=terms, mm=1, k=10)
     _compare(got, want, 10)
-    got_w = search(index, WildcardQuery("s??n"), k=10)
+    got_w = search(index, WildcardQuery("s??n"), k=10, rewrite="scoring_boolean")
     terms_w = sorted(t for t in oracle.df if len(t) == 4 and t[0] == "s" and t[3] == "n")
     want_w = oracle.topk(should=terms_w, mm=1, k=10)
     _compare(got_w, want_w, 10)
@@ -127,14 +127,14 @@ def _lev(a: str, b: str) -> int:
 
 
 def test_fuzzy(index, oracle):
-    got = search(index, FuzzyQuery("tble", max_edits=1), k=10)
+    got = search(index, FuzzyQuery("tble", max_edits=1), k=10, rewrite="scoring_boolean")
     terms = sorted(t for t in oracle.df if _lev("tble", t) <= 1)
     want = oracle.topk(should=terms, mm=1, k=10)
     _compare(got, want, 10)
 
 
 def test_term_range(index, oracle):
-    got = search(index, RangeQuery("sa", "sd"), k=10)
+    got = search(index, RangeQuery("sa", "sd"), k=10, rewrite="scoring_boolean")
     terms = sorted(t for t in oracle.df if "sa" <= t <= "sd")
     want = oracle.topk(should=terms, mm=1, k=10)
     _compare(got, want, 10)
@@ -159,3 +159,11 @@ def test_parallelism_invariance(spark, sf_dir, index):
     a = [(r.docid, r.score) for r in search(index, "table", k=10).collect()]
     b = [(r.docid, r.score) for r in search(idx2, "table", k=10).collect()]
     assert a == b
+
+
+def test_constant_score_rewrite_default(index, oracle):
+    # Lucene CONSTANT_SCORE_AUTO_REWRITE: matching docs all score 1.0, docid order
+    got = [(int(r.docid), float(r.score)) for r in search(index, PrefixQuery("sc"), k=10).collect()]
+    terms = sorted(t for t in oracle.df if t.startswith("sc"))
+    want_docs = sorted({d for d in oracle.docids if any(oracle.tf[d].get(t) for t in terms)})[:10]
+    assert got == [(d, 1.0) for d in want_docs]

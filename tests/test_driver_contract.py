@@ -1,0 +1,70 @@
+"""Replicates the driver's correctness gate: every queries() entry vs its
+oracle_sql() in DuckDB at sf0.01 — row count, column names, and values
+(order-insensitive, doubles rounded)."""
+
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isinf(v) or math.isnan(v):
+            return str(v)
+        return round(v, 4)
+    return v
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def _pairs():
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    return [(name, qs[name], osql.get(name)) for name in qs]
+
+
+@pytest.mark.parametrize("name,fn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_query_matches_oracle(spark, con, name, fn, sql):
+    df = fn(spark, SF_DIR)
+    srows = df.collect()
+    scols = df.columns
+    if sql is None:
+        pytest.skip("rows-only (non-SQL-expressible)")
+    res = con.execute(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert len(srows) == len(orows), f"{name}: rows {len(srows)} vs {len(orows)}"
+    sc, sv = _canon(scols, [tuple(r) for r in srows])
+    oc, ov = _canon(ocols, orows)
+    assert sc == oc, f"{name}: columns {sc} vs {oc}"
+    assert sv == ov, f"{name}: value mismatch\nspark={sv[:5]}\noracle={ov[:5]}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    assert df.columns == ["docid", "score"]
