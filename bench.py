@@ -1,0 +1,102 @@
+"""Benchmark harness: index build + headline query set at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extra": {...}}
+
+The build is measured separately (docs/sec — the reference's rec/s metric,
+lucene/benchmark ReportTask.java:66) and included in "extra" alongside the
+query latencies. Run bench_scaling.py for the two-parallelism-level protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run(sf_dir: str, cpus: str) -> dict:
+    from lucene_solr_spark.session import get_spark
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search import (
+        BooleanQuery, MatchAllQuery, PhraseQuery, PrefixQuery, search,
+    )
+    from lucene_solr_spark.search.bm25 import dismax, more_like_this
+    from lucene_solr_spark.facets import facet_field
+
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus),
+    )
+    docs_src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs_src.count()
+
+    t0 = time.perf_counter()
+    idx = build_index(
+        spark, docs_src, key_col="doc_id", docid_col="doc_id",
+        num_index_partitions=max(8, int(cpus)),
+        passthrough_cols=("lang", "source", "n_chars"), build_positions=True,
+    )
+    # materialize every index table (the build isn't done until they exist)
+    idx.docs.count()
+    idx.postings.count()
+    idx.segments.count()
+    idx.positions.count()
+    build_sec = time.perf_counter() - t0
+
+    from pyspark.sql import functions as F
+
+    def _facet(term, field):
+        m = idx.postings.filter(F.col("term") == term).select("docid").distinct()
+        return facet_field(idx.docs.join(m, "docid"), field, limit=20)
+
+    queries = {
+        "term_head": lambda: search(idx, "table", k=10),
+        "term_tail": lambda: search(idx, "vector", k=10),
+        "boolean_and": lambda: search(idx, BooleanQuery.of(must=["table", "merge"]), k=10),
+        "boolean_or3": lambda: search(
+            idx, BooleanQuery.of(should=["vector", "stream", "hash"]), k=10
+        ),
+        "boolean_not": lambda: search(
+            idx, BooleanQuery.of(must=["table"], must_not=["slow"]), k=10
+        ),
+        "phrase": lambda: search(idx, PhraseQuery(("table", "scan")), k=10),
+        "prefix_cs": lambda: search(idx, PrefixQuery("sc"), k=10),
+        "match_all_count": lambda: search(idx, MatchAllQuery(), k=100),
+        "dismax": lambda: dismax(idx, ["table", "customer"], tie=0.3, k=10),
+        "mlt": lambda: more_like_this(idx, docid=0, max_query_terms=3, k=10),
+        "facet_lang": lambda: _facet("table", "lang"),
+        "facet_source": lambda: _facet("merge", "source"),
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t = time.perf_counter()
+        fn().collect()
+        timings[name] = round(time.perf_counter() - t, 4)
+
+    total = round(build_sec + sum(timings.values()), 4)
+    out = {
+        "metric": "index_build_plus_query_set_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "extra": {
+            "n_docs": n_docs,
+            "build_sec": round(build_sec, 4),
+            "index_docs_per_sec": round(n_docs / build_sec, 2),
+            "cpus": int(cpus),
+            "sum_total_term_freq": idx.sum_total_term_freq,
+        },
+    }
+    spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    print(json.dumps(run(sf_dir, cpus)))
+    sys.stdout.flush()
