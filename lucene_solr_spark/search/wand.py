@@ -1,0 +1,276 @@
+"""Document-at-a-time top-k with block-max pruning over compressed segments.
+
+The query-side half of the north rule: per index partition ("segment",
+SegmentInfos.java:58-80 analog) a numpy kernel walks the query terms'
+compressed posting lists in docid order, using the per-block skip metadata
+(block_last_docid — Lucene41SkipWriter's one-entry-per-128-doc-block skip
+list) to leapfrog and the per-block max score bound (block_max_partial ×
+idf-weight) to skip whole blocks that cannot beat the current kth score θ —
+block-max WAND (Ding & Suel SIGIR'11; public knowledge — Lucene 4.10 itself
+has no WAND, SURVEY.md §4).  Per-partition top-k results then merge globally
+via ORDER BY (score desc, docid asc) LIMIT k, Spark's TakeOrderedAndProject —
+the same bounded-heap + driver-merge algorithm as TopScoreDocCollector.
+
+Rank identity with the Catalyst path (search/bm25.py) is maintained by
+replicating its float64 arithmetic exactly: same left-to-right operation
+order in the per-(term,doc) score, same fixed-order per-term addition, same
+HALF_UP rounding before ordering, same docid-asc tie-break
+(HitQueue.java:76-81).  θ-pruning uses a one-rounding-quantum safety margin so
+boundary ties cannot be lost.
+
+Scale shape: the only shuffle is the groupBy(index_partition) feeding the
+kernel — P groups regardless of data size; each kernel call touches only the
+query's terms in that partition (predicate pushdown on ``term`` reaches the
+segment-store Parquet scan) and decodes only the blocks that survive
+skipping.  Everything else is TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.builder import IndexTables
+from lucene_solr_spark.index.codec import BLOCK_SIZE, vb_decode
+from lucene_solr_spark.index.compress import get_compressed
+from lucene_solr_spark.search.query import BooleanQuery, TermQuery
+from lucene_solr_spark.smallfloat import NORM_TABLE
+
+K1 = 1.2
+B = 0.75
+
+
+def _round_half_up(x: np.ndarray, dp: int) -> np.ndarray:
+    """Spark/DuckDB ROUND (HALF_UP) for non-negative values."""
+    q = 10.0**dp
+    return np.floor(x * q + 0.5) / q
+
+
+class _TermCursor:
+    """Per-term decode state over one encoded segment row."""
+
+    __slots__ = ("idf22", "boost", "is_must", "block_last", "block_max",
+                 "blk", "nblocks", "_row", "_doc_ids", "_tfs", "_norms",
+                 "_starts")
+
+    def __init__(self, row, idf22: float, boost: float, is_must: bool):
+        self.idf22 = idf22
+        self.boost = boost
+        self.is_must = is_must
+        self.block_last = np.asarray(row["block_last_docid"], dtype=np.int64)
+        self.block_max = np.asarray(row["block_max_partial"], dtype=np.float64)
+        self.nblocks = len(self.block_last)
+        self.blk = 0
+        self._row = row
+        self._doc_ids = None
+        self._tfs = None
+        self._norms = None
+
+    def advance(self, target: int) -> bool:
+        """Move the block pointer to the first block with last_docid >= target.
+        Returns False when exhausted."""
+        self.blk += int(
+            np.searchsorted(self.block_last[self.blk:], target, side="left")
+        )
+        return self.blk < self.nblocks
+
+    def bound(self) -> float:
+        return self.idf22 * self.block_max[self.blk] * self.boost
+
+    def _ensure_decoded(self):
+        if self._doc_ids is None:
+            gaps = vb_decode(bytes(self._row["doc_gaps_vb"])).astype(np.int64)
+            self._doc_ids = np.cumsum(gaps)
+            self._tfs = vb_decode(bytes(self._row["tfs_vb"])).astype(np.float64)
+            self._norms = np.frombuffer(bytes(self._row["norm_bytes"]), dtype=np.uint8)
+
+    def window(self, lo: int, hi: int, avgdl: float):
+        """(docids, scores) for postings with lo <= docid <= hi in the current
+        block span.  Scores replicate the Catalyst expression left-to-right:
+        ((idf*2.2) * tf) / (tf + 1.2*(0.25 + (0.75*dl)/avgdl)), then * boost."""
+        self._ensure_decoded()
+        a = self.blk * BLOCK_SIZE
+        b = min((self.blk + 1) * BLOCK_SIZE, len(self._doc_ids))
+        d = self._doc_ids[a:b]
+        i0, i1 = np.searchsorted(d, [lo, hi + 1])
+        if i0 == i1:
+            return None
+        d = d[i0:i1]
+        tf = self._tfs[a + i0:a + i1]
+        dl = NORM_TABLE[self._norms[a + i0:a + i1]].astype(np.float64)
+        denom = tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)
+        s = (self.idf22 * tf) / denom
+        if self.boost != 1.0:
+            s = s * self.boost
+        return d, s
+
+
+def _partition_topk(
+    pdf: pd.DataFrame,
+    term_order: list[str],
+    term_meta: dict[str, tuple[float, float, bool]],
+    n_must: int,
+    mm: int,
+    k: int,
+    avgdl: float,
+    round_dp: int,
+) -> pd.DataFrame:
+    """Block-max WAND over one index partition; returns its top-k rows."""
+    rows = {r["term"]: r for _, r in pdf.iterrows()}
+    cursors: list[_TermCursor] = []
+    for t in term_order:
+        idf22, boost, is_must = term_meta[t]
+        if t in rows:
+            cursors.append(_TermCursor(rows[t], idf22, boost, is_must))
+        elif is_must:
+            return pd.DataFrame({"docid": [], "score": []}).astype(
+                {"docid": "int64", "score": "float64"}
+            )
+    must = [c for c in cursors if c.is_must]
+    should = [c for c in cursors if not c.is_must]
+    if not cursors or (n_must == 0 and len(should) < max(mm, 1)):
+        return pd.DataFrame({"docid": [], "score": []}).astype(
+            {"docid": "int64", "score": "float64"}
+        )
+
+    margin = 10.0 ** (-round_dp)
+    heap: list[tuple[float, int]] = []  # (score, -docid) min-heap
+    cur = 0
+    while True:
+        active_must = [c for c in must if c.advance(cur)]
+        if len(active_must) < len(must):
+            break
+        active_should = [c for c in should if c.advance(cur)]
+        bounding = active_must if must else active_should
+        if not bounding:
+            break
+        if not must and len(active_should) < max(mm, 1):
+            break
+        active = active_must + active_should
+        # Every active cursor's current block must cover the whole window, so
+        # the window ends at the min block end over ALL active cursors (not
+        # just the bounding set) — otherwise a doc matching a must term could
+        # silently lose a should term's contribution from its next block.
+        window_end = min(int(c.block_last[c.blk]) for c in active)
+        if len(heap) == k:
+            ub = sum(c.bound() for c in active)
+            if ub <= heap[0][0] - margin:
+                cur = window_end + 1
+                continue
+        # decode + score the window, fixed-order accumulation
+        parts = []
+        for c in cursors:
+            if c.blk >= c.nblocks:
+                parts.append(None)
+                continue
+            parts.append(c.window(cur, window_end, avgdl))
+        all_docs = None
+        for p in parts:
+            if p is not None:
+                all_docs = p[0] if all_docs is None else np.union1d(all_docs, p[0])
+        if all_docs is None or all_docs.size == 0:
+            cur = window_end + 1
+            continue
+        total = np.zeros(all_docs.size, dtype=np.float64)
+        must_hits = np.zeros(all_docs.size, dtype=np.int32)
+        should_hits = np.zeros(all_docs.size, dtype=np.int32)
+        for c, p in zip(cursors, parts):
+            s = np.zeros(all_docs.size, dtype=np.float64)
+            if p is not None:
+                idx = np.searchsorted(all_docs, p[0])
+                s[idx] = p[1]
+                if c.is_must:
+                    must_hits[idx] += 1
+                else:
+                    should_hits[idx] += 1
+            total = total + s  # fixed order: 0.0 + s0 + s1 + ...
+        ok = must_hits == len(must)
+        if should and mm > 0:
+            ok &= should_hits >= mm
+        if not must:
+            ok &= should_hits > 0
+        for doc, sc in zip(all_docs[ok].tolist(), total[ok].tolist()):
+            item = (sc, -doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+        cur = window_end + 1
+
+    if not heap:
+        return pd.DataFrame({"docid": [], "score": []}).astype(
+            {"docid": "int64", "score": "float64"}
+        )
+    docs = np.array([-d for _, d in heap], dtype=np.int64)
+    scores = _round_half_up(np.array([s for s, _ in heap]), round_dp)
+    return pd.DataFrame({"docid": docs, "score": scores})
+
+
+def wand_search(
+    index: IndexTables,
+    query,
+    k: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Top-k BM25 via the block-max WAND kernel. Same contract (and, by
+    construction, same results) as search/bm25.search for term/boolean
+    queries: DataFrame(docid, score) ordered score desc, docid asc."""
+    if isinstance(query, str):
+        query = BooleanQuery.of(must=[query])
+    if isinstance(query, TermQuery):
+        query = BooleanQuery(must=(query,))
+    if not isinstance(query, BooleanQuery):
+        raise TypeError(f"wand_search supports term/boolean queries, got {type(query)}")
+
+    must = [t.term for t in query.must]
+    should = [t.term for t in query.should]
+    boosts = {t.term: t.boost for t in (*query.must, *query.should)}
+    term_order = list(dict.fromkeys(must + should))
+    if not term_order:
+        raise ValueError("BooleanQuery needs at least one scoring clause")
+
+    n = index.max_doc
+    df_map = {
+        r["term"]: r["df"]
+        for r in index.term_stats().filter(F.col("term").isin(term_order)).collect()
+    }
+    term_meta = {}
+    for t in term_order:
+        df = df_map.get(t, 0)
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        term_meta[t] = (idf * 2.2, boosts.get(t, 1.0), t in must)
+
+    spark = index.postings.sparkSession
+    missing_must = [t for t in must if t not in df_map]
+    if missing_must:
+        return spark.createDataFrame([], "docid long, score double")
+
+    avgdl = index.avgdl
+    n_must = len(must)
+    mm = query.minimum_should_match
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _partition_topk(
+            pdf, term_order, term_meta, n_must, mm, k, avgdl, round_dp
+        )
+
+    seg = get_compressed(index).filter(F.col("term").isin(term_order))
+    out = seg.groupBy("index_partition").applyInPandas(
+        kernel, "docid long, score double"
+    )
+    if query.must_not:
+        excl = (
+            index.postings.filter(
+                F.col("term").isin([t.term for t in query.must_not])
+            )
+            .select("docid")
+            .distinct()
+        )
+        out = out.join(excl, "docid", "left_anti")
+    return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)

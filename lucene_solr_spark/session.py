@@ -20,6 +20,17 @@ def get_spark(
     adaptive partition coalescing, Arrow for the pandas-UDF kernels, and a
     shuffle-partition count sized to the core count rather than Spark's 200.
     """
+    # Python workers are spawned by the executor JVM with ITS environment, not
+    # the driver's sys.path — make the package importable there.  Local mode:
+    # the JVM inherits this env var if set before context start.  Cluster mode:
+    # ship the package with spark-submit --py-files instead (north rule).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pypath}" if pypath else pkg_root
+        )
+
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or (
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     )

@@ -1,0 +1,203 @@
+"""Codec round-trip (property-tested) + WAND-vs-Catalyst rank identity.
+
+Mirrors the reference's test strategy (SURVEY.md §5): BasePostingsFormatTestCase
+random round-trips for the codec; differential testing across independent
+implementations (TestRandomDVFaceting pattern) for the query kernel — here the
+block-max WAND kernel vs the Catalyst-native scoring path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_solr_spark.index.codec import (
+    BLOCK_SIZE,
+    decode_postings,
+    encode_postings,
+    vb_decode,
+    vb_encode,
+)
+
+
+# ---------------------------------------------------------------------------
+# varbyte
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_vb_roundtrip(values):
+    a = np.array(values, dtype=np.uint64)
+    assert vb_decode(vb_encode(a)).tolist() == values
+
+
+def test_vb_wire_format_matches_lucene_writevint():
+    # DataOutput.writeVInt: low 7 bits first, 0x80 continuation.
+    assert vb_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert vb_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert vb_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert vb_encode(np.array([16384], dtype=np.uint64)) == b"\x80\x80\x01"
+    assert vb_encode(np.array([300], dtype=np.uint64)) == bytes([0xAC, 0x02])
+
+
+def test_vb_empty():
+    assert vb_encode(np.array([], dtype=np.uint64)) == b""
+    assert vb_decode(b"").size == 0
+
+
+# ---------------------------------------------------------------------------
+# posting-list encode/decode + block metadata
+# ---------------------------------------------------------------------------
+
+@st.composite
+def posting_lists(draw):
+    n = draw(st.integers(min_value=1, max_value=700))
+    gaps = draw(
+        st.lists(
+            st.integers(min_value=1, max_value=1 << 20), min_size=n, max_size=n
+        )
+    )
+    doc_ids = np.cumsum(np.array(gaps, dtype=np.int64))
+    tfs = np.array(
+        draw(st.lists(st.integers(min_value=1, max_value=5000), min_size=n, max_size=n)),
+        dtype=np.int64,
+    )
+    norms = np.array(
+        draw(st.lists(st.integers(min_value=1, max_value=255), min_size=n, max_size=n)),
+        dtype=np.uint8,
+    )
+    return doc_ids, tfs, norms
+
+
+@given(posting_lists())
+@settings(max_examples=60, deadline=None)
+def test_postings_roundtrip(pl):
+    doc_ids, tfs, norms = pl
+    enc = encode_postings(doc_ids, tfs, norms, avgdl=25.0)
+    d2, t2, n2 = decode_postings(enc)
+    np.testing.assert_array_equal(d2, doc_ids)
+    np.testing.assert_array_equal(t2, tfs)
+    np.testing.assert_array_equal(n2, norms)
+    # block metadata invariants
+    nblocks = (len(doc_ids) + BLOCK_SIZE - 1) // BLOCK_SIZE
+    assert len(enc["block_last_docid"]) == nblocks
+    for blk in range(nblocks):
+        lo, hi = blk * BLOCK_SIZE, min((blk + 1) * BLOCK_SIZE, len(doc_ids))
+        assert enc["block_last_docid"][blk] == doc_ids[hi - 1]
+        assert enc["block_max_tf"][blk] == tfs[lo:hi].max()
+
+
+def test_encode_rejects_unsorted():
+    with pytest.raises(ValueError):
+        encode_postings(
+            np.array([5, 3]), np.array([1, 1]), np.array([10, 10], dtype=np.uint8), 10.0
+        )
+
+
+def test_block_max_partial_is_upper_bound():
+    from lucene_solr_spark.smallfloat import NORM_TABLE
+
+    rng = np.random.default_rng(42)
+    n = 1000
+    doc_ids = np.cumsum(rng.integers(1, 50, n))
+    tfs = rng.integers(1, 30, n)
+    norms = rng.integers(1, 255, n).astype(np.uint8)
+    avgdl = 25.0
+    enc = encode_postings(doc_ids, tfs, norms, avgdl)
+    dl = NORM_TABLE[norms].astype(np.float64)
+    partial = tfs / (tfs + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+    for blk in range(len(enc["block_last_docid"])):
+        lo, hi = blk * BLOCK_SIZE, min((blk + 1) * BLOCK_SIZE, n)
+        assert partial[lo:hi].max() <= enc["block_max_partial"][blk] + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# WAND kernel vs Catalyst path — rank identity (differential oracle)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def index(spark):
+    from lucene_solr_spark.index.builder import build_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return build_index(
+        spark, docs, key_col="doc_id", docid_col="doc_id",
+        num_index_partitions=8, passthrough_cols=("lang", "source", "n_chars"),
+    )
+
+
+WAND_CASES = [
+    ("term_head", dict(must=["table"])),
+    ("term_tail", dict(must=["vector"])),
+    ("and2", dict(must=["table", "merge"])),
+    ("and3", dict(must=["table", "scan", "join"])),
+    ("or3", dict(should=["vector", "stream", "hash"])),
+    ("or3_mm2", dict(should=["vector", "stream", "hash"], mm=2)),
+    ("must_should", dict(must=["table"], should=["merge", "scan"])),
+    ("not", dict(must=["table"], must_not=["slow"])),
+    ("missing_term", dict(must=["zzzznotaterm"])),
+    ("or_with_missing", dict(should=["table", "zzzznotaterm"])),
+]
+
+
+@pytest.mark.parametrize("name,spec", WAND_CASES, ids=[c[0] for c in WAND_CASES])
+def test_wand_matches_catalyst(index, name, spec):
+    from lucene_solr_spark.search import BooleanQuery, search
+    from lucene_solr_spark.search.wand import wand_search
+
+    q = BooleanQuery.of(**spec)
+    for k in (5, 10):
+        expected = [(r.docid, r.score) for r in search(index, q, k=k).collect()]
+        got = [(r.docid, r.score) for r in wand_search(index, q, k=k).collect()]
+        assert got == expected, f"{name} k={k}: {got} != {expected}"
+
+
+def test_wand_with_boost(index):
+    from lucene_solr_spark.search import BooleanQuery, TermQuery, search
+    from lucene_solr_spark.search.wand import wand_search
+
+    q = BooleanQuery(
+        must=(TermQuery("table", boost=2.0),), should=(TermQuery("merge"),)
+    )
+    expected = [(r.docid, r.score) for r in search(index, q, k=10).collect()]
+    got = [(r.docid, r.score) for r in wand_search(index, q, k=10).collect()]
+    assert got == expected
+
+
+def test_compressed_segments_roundtrip_vs_segments(index):
+    """Decoding every compressed row reproduces the uncompressed segment
+    table exactly (CheckIndex-style structural verification of the codec
+    against the independent array-native build path)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.index.compress import get_compressed
+
+    comp = get_compressed(index)
+    # global per-term df from compressed partitions == segment df
+    agg = (
+        comp.groupBy("term")
+        .agg(F.sum("df_part").alias("df2"), F.sum("cf_part").alias("cf2"))
+        .join(index.segments.select("term", "df", "cf"), "term", "full")
+        .where(
+            (F.col("df2") != F.col("df")) | (F.col("cf2") != F.col("cf"))
+            | F.col("df").isNull() | F.col("df2").isNull()
+        )
+    )
+    assert agg.count() == 0
+
+    # decode a sample of rows and check docids/tfs against postings
+    rows = comp.orderBy("term", "index_partition").limit(30).collect()
+    post = (
+        index.postings.select("term", "docid", "tf")
+        .toPandas()
+        .groupby("term")
+    )
+    for r in rows:
+        d, t, _ = decode_postings(r.asDict())
+        grp = post.get_group(r.term).sort_values("docid")
+        part_mask = grp.docid % 8 == r.index_partition
+        sub = grp[part_mask]
+        np.testing.assert_array_equal(d, sub.docid.to_numpy())
+        np.testing.assert_array_equal(t, sub.tf.to_numpy())
