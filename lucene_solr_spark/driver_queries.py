@@ -628,6 +628,104 @@ def norms_distribution(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Pages pipeline (north-rule input shape; SURVEY.md §1.3)
+# ===========================================================================
+
+_PAGES_INDEX_CACHE: dict[str, object] = {}
+_PAGES_P = 8
+
+
+def get_pages_index(spark, sf_dir):
+    if sf_dir not in _PAGES_INDEX_CACHE:
+        from lucene_solr_spark.pages import build_index_from_pages, pages_from_documents
+
+        pages = pages_from_documents(spark, sf_dir)
+        _PAGES_INDEX_CACHE[sf_dir] = build_index_from_pages(
+            spark, pages, num_index_partitions=_PAGES_P
+        )
+    return _PAGES_INDEX_CACHE[sf_dir]
+
+
+def _pages_prelude() -> str:
+    from lucene_solr_spark.oracle.sqlgen import prelude_sql
+    from lucene_solr_spark.pages import pages_docmap_sql
+
+    return prelude_sql(pages_docmap_sql(_PAGES_P))
+
+
+def _register_pages_queries():
+    prelude = _pages_prelude()
+
+    @_q("pages_term_query", bool_sql(must=("table",), prelude=prelude))
+    def pages_term_query(spark, sf_dir):
+        """Full pages pipeline: html->extract->tokenize->index->BM25 top-10
+        with url-derived content-hash docids (WAND kernel path)."""
+        from lucene_solr_spark.search.wand import wand_search
+
+        return wand_search(get_pages_index(spark, sf_dir), "table", k=10)
+
+    @_q(
+        "pages_boolean_query",
+        bool_sql(must=("table",), should=("merge", "scan"), prelude=prelude),
+    )
+    def pages_boolean_query(spark, sf_dir):
+        from lucene_solr_spark.search.wand import wand_search
+
+        return wand_search(
+            get_pages_index(spark, sf_dir),
+            BooleanQuery.of(must=["table"], should=["merge", "scan"]),
+            k=10,
+        )
+
+    @_q(
+        "pages_extraction_invariant",
+        # by construction every page's extracted text equals documents.text;
+        # the Spark side PERFORMS the binary html -> text extraction and
+        # compares, the oracle states the expected per-lang totals.
+        "SELECT lang, count(*) AS n_ok FROM documents GROUP BY lang ORDER BY lang",
+    )
+    def pages_extraction_invariant(spark, sf_dir):
+        from lucene_solr_spark.pages import extract_text_expr, pages_from_documents
+
+        pages = pages_from_documents(spark, sf_dir)
+        return (
+            pages.where(extract_text_expr(F.col("html")) == F.col("text"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_ok"))
+            .orderBy("lang")
+        )
+
+    @_q(
+        "pages_facet_host",
+        f"""{prelude},
+m AS (SELECT DISTINCT docid FROM tf WHERE term = 'table'),
+hosts AS (
+  SELECT pid * 4294967296 + (row_number() OVER (PARTITION BY pid ORDER BY url) - 1) AS docid,
+         host
+  FROM (
+    SELECT url, 'site' || CAST(doc_id % 100 AS VARCHAR) AS host,
+           CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) % {_PAGES_P} AS pid
+    FROM (SELECT doc_id, 'https://site' || CAST(doc_id % 100 AS VARCHAR) || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url FROM documents)
+  )
+)
+SELECT h.host AS facet_term, count(*) AS facet_count
+FROM hosts h JOIN m ON m.docid = h.docid
+GROUP BY 1 HAVING count(*) >= 1
+ORDER BY facet_count DESC, facet_term ASC LIMIT 10""",
+    )
+    def pages_facet_host(spark, sf_dir):
+        """Host facet over the pages index — url-derived docvalues column."""
+        idx = get_pages_index(spark, sf_dir)
+        host = F.regexp_extract(F.col("url"), r"https://([a-z0-9]+)\.example", 1)
+        docs = idx.docs.withColumn("host", host)
+        m = _docset(idx, ["table"])
+        return facet_field(docs.join(m, "docid"), "host", limit=10, mincount=1)
+
+
+_register_pages_queries()
+
+
 def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: boolean AND with facet-ready result (driver smoke check)."""
     return boolean_and(spark, sf_dir)

@@ -123,13 +123,20 @@ def build_index(
     ``key_col``.
     """
     cols = [key_col, text_col, *passthrough_cols]
+    if "index_partition" in source.columns:
+        cols.append("index_partition")
+    if docid_col and docid_col not in cols:
+        cols.append(docid_col)
     src = source.select(*dict.fromkeys(cols))
 
     if docid_col:
-        base = src.withColumn("docid", F.col(docid_col).cast("long")).withColumn(
-            "index_partition",
-            F.pmod(F.col("docid"), F.lit(num_index_partitions)).cast("int"),
-        )
+        base = src.withColumn("docid", F.col(docid_col).cast("long"))
+        if "index_partition" not in src.columns:
+            # docids without a pre-assigned segment: route by docid hash
+            base = base.withColumn(
+                "index_partition",
+                F.pmod(F.col("docid"), F.lit(num_index_partitions)).cast("int"),
+            )
         # co-locate by index partition once; downstream aggs reuse this layout
         base = base.repartition(num_index_partitions, "index_partition")
     else:

@@ -26,17 +26,24 @@ def _norm_values() -> str:
     )
 
 
-# Shared CTE prelude over the `documents` view: tokenization (positions kept
-# with Lucene gap semantics: assigned pre-filter), doc lengths incl. empty
-# docs, exact norm quantization via integer ranges, collection stats with
-# float32 avgdl, tf and per-term stats.
-PRELUDE = f"""WITH tokraw AS (
-  SELECT doc_id AS docid, t AS raw_term, lower(t) AS term, (pos - 1) AS pos
+def prelude_sql(doc_source: str) -> str:
+    """Render the shared CTE prelude over any doc source.
+
+    ``doc_source`` is a SQL query producing (docid, text).  CTEs provided:
+    tokenization (positions with Lucene gap semantics: assigned pre-filter),
+    doc lengths incl. empty docs, exact norm quantization via integer ranges,
+    collection stats with float32 avgdl, tf and per-term stats.
+    """
+    return f"""WITH docsrc AS (
+  {doc_source}
+),
+tokraw AS (
+  SELECT docid, t AS raw_term, lower(t) AS term, (pos - 1) AS pos
   FROM (
-    SELECT doc_id,
+    SELECT docid,
            unnest(regexp_extract_all(text, {_PAT})) AS t,
            unnest(range(1, len(regexp_extract_all(text, {_PAT})) + 1)) AS pos
-    FROM documents
+    FROM docsrc
   )
   WHERE t <> ''
 ),
@@ -45,8 +52,8 @@ tok AS (
   WHERE length(raw_term) BETWEEN 1 AND 255 AND term NOT IN {_STOP}
 ),
 doclen AS (
-  SELECT d.doc_id AS docid, count(t.term) AS dl
-  FROM documents d LEFT JOIN tok t ON t.docid = d.doc_id
+  SELECT d.docid, count(t.term) AS dl
+  FROM docsrc d LEFT JOIN tok t ON t.docid = d.docid
   GROUP BY 1
 ),
 normmap(dl_lo, dl_hi, norm_byte, dl_approx) AS (
@@ -61,10 +68,14 @@ doc AS (
 stats AS (
   SELECT count(*) AS n,
          CAST(1.0 * (SELECT coalesce(sum(dl), 0) FROM doclen) / count(*) AS REAL) AS avgdl
-  FROM documents
+  FROM docsrc
 ),
 tf AS (SELECT docid, term, count(*) AS tf FROM tok GROUP BY 1, 2),
 tstat AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY 1)"""
+
+
+# Default prelude over the driver-registered `documents` view.
+PRELUDE = prelude_sql("SELECT doc_id AS docid, text FROM documents")
 
 
 def score_cols_sql() -> str:
@@ -101,6 +112,7 @@ def bool_sql(
     k: int = 10,
     boosts: dict[str, float] | None = None,
     as_cte: str | None = None,
+    prelude: str | None = None,
 ) -> str:
     """Boolean top-k SQL mirroring bm25._boolean_topk exactly (fixed-order
     addition, round-then-order, docid tiebreak). If ``as_cte`` is given,
@@ -140,7 +152,7 @@ WHERE {where}{notclause}
 ORDER BY score DESC, docid ASC LIMIT {k}"""
     if as_cte:
         return body
-    return f"{PRELUDE}\n{body}"
+    return f"{prelude or PRELUDE}\n{body}"
 
 
 def matches_cte(terms: tuple[str, ...], mode: str = "any") -> str:

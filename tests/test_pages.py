@@ -1,0 +1,143 @@
+"""Pages pipeline: north-rule input shape, extraction byte-identity,
+parallelism-invariant docid assignment, end-to-end index-over-pages vs the
+DuckDB oracle replaying the same pipeline."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def pages(spark, sf_dir):
+    from lucene_solr_spark.pages import pages_from_documents
+
+    return pages_from_documents(spark, sf_dir).persist()
+
+
+def test_pages_shape(pages):
+    assert [ (f.name, f.dataType.simpleString()) for f in pages.schema.fields ] == [
+        ("url", "string"), ("warc_ts", "timestamp"), ("html", "binary"),
+        ("text", "string"), ("lang", "string"),
+    ]
+    n = pages.count()
+    assert n > 0
+    assert pages.select("url").distinct().count() == n
+
+
+def test_extraction_byte_identity(pages):
+    from lucene_solr_spark.pages import verify_extraction
+
+    assert verify_extraction(pages) == 0
+
+
+def test_extraction_violation_detected(spark):
+    from lucene_solr_spark.pages import verify_extraction
+
+    bad = spark.createDataFrame(
+        [("u1", bytearray(b"<html><body><p>other</p></body></html>"), "expected")],
+        "url string, html binary, text string",
+    )
+    assert verify_extraction(bad) == 1
+
+
+def test_docid_assignment_matches_python_oracle(pages):
+    """partition = int(md5(url)[:15hex],16) % P; local = rank by url."""
+    from lucene_solr_spark.pages import assign_page_docids
+
+    P = 8
+    got = {
+        r.url: (r.index_partition, r.docid)
+        for r in assign_page_docids(pages, P).select("url", "index_partition", "docid").collect()
+    }
+    urls = sorted(got)
+    by_pid: dict[int, list[str]] = {}
+    for u in urls:  # sorted order = rank order within each partition
+        pid = int(hashlib.md5(u.encode()).hexdigest()[:15], 16) % P
+        by_pid.setdefault(pid, []).append(u)
+    for pid, us in by_pid.items():
+        for local, u in enumerate(us):
+            assert got[u] == (pid, (pid << 32) | local), u
+
+
+def test_docid_parallelism_invariance(pages):
+    """Same docids regardless of input partitioning (local[8] vs local[32]
+    stand-in: shard invariance, SURVEY.md §5)."""
+    from lucene_solr_spark.pages import assign_page_docids
+
+    a = {
+        r.url: r.docid
+        for r in assign_page_docids(pages.repartition(3), 8).select("url", "docid").collect()
+    }
+    b = {
+        r.url: r.docid
+        for r in assign_page_docids(pages.repartition(13), 8).select("url", "docid").collect()
+    }
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def pages_index(spark, pages):
+    from lucene_solr_spark.pages import build_index_from_pages
+
+    return build_index_from_pages(spark, pages, num_index_partitions=8)
+
+
+def test_pages_index_end_to_end_vs_duckdb(pages_index, sf_dir):
+    """Full-pipeline differential test: Spark (html->extract->tokenize->index->
+    BM25 top-10) vs DuckDB replaying docid assignment + analysis + scoring
+    from the documents view (BaseDistributedSearchTestCase control-collection
+    pattern)."""
+    from lucene_solr_spark.oracle.sqlgen import prelude_sql, score_cols_sql, scored_from
+    from lucene_solr_spark.pages import pages_docmap_sql
+    from lucene_solr_spark.search import search
+
+    got = [(r.docid, r.score) for r in search(pages_index, "table", k=10).collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    sql = f"""{prelude_sql(pages_docmap_sql(8))}
+SELECT f.docid, round({score_cols_sql()}, 4) AS score
+{scored_from()}
+WHERE f.term = 'table'
+ORDER BY score DESC, f.docid ASC LIMIT 10"""
+    expected = [(r[0], r[1]) for r in con.execute(sql).fetchall()]
+    assert got == expected
+
+
+def test_pages_index_wand_matches_catalyst(pages_index):
+    from lucene_solr_spark.search import BooleanQuery, search
+    from lucene_solr_spark.search.wand import wand_search
+
+    q = BooleanQuery.of(must=["table"], should=["merge", "scan"])
+    a = [(r.docid, r.score) for r in search(pages_index, q, k=10).collect()]
+    b = [(r.docid, r.score) for r in wand_search(pages_index, q, k=10).collect()]
+    assert a == b
+
+
+def test_pages_docs_norms_match_documents_index(spark, pages_index, sf_dir):
+    """The extracted text tokenizes identically to the source text: per-doc
+    num_terms/norm_byte distributions must match the documents-table index."""
+    from lucene_solr_spark.index.builder import build_index
+
+    docs_src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = build_index(
+        spark, docs_src, key_col="doc_id", docid_col="doc_id",
+        num_index_partitions=8, persist=False,
+    )
+    a = sorted(
+        (r.num_terms, r.norm_byte, r.n)
+        for r in pages_index.docs.groupBy("num_terms", "norm_byte")
+        .agg(F.count("*").alias("n")).collect()
+    )
+    b = sorted(
+        (r.num_terms, r.norm_byte, r.n)
+        for r in base.docs.groupBy("num_terms", "norm_byte")
+        .agg(F.count("*").alias("n")).collect()
+    )
+    assert a == b
