@@ -723,6 +723,33 @@ ORDER BY facet_count DESC, facet_term ASC LIMIT 10""",
         return facet_field(docs.join(m, "docid"), "host", limit=10, mincount=1)
 
 
+    @_q(
+        "store_persisted_query",
+        bool_sql(should=("table", "merge"), mm=1, prelude=prelude),
+    )
+    def store_persisted_query(spark, sf_dir):
+        """Checkpointed build -> persistent store -> load -> WAND query: the
+        resumability surface under the correctness gate.  Rebuilds nothing if
+        the store is already complete (idempotent re-run)."""
+        import hashlib as _h
+        import tempfile
+
+        from lucene_solr_spark.pages import pages_from_documents
+        from lucene_solr_spark.store import build_pages_to_store, load_index
+        from lucene_solr_spark.search.wand import wand_search
+
+        tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+        root = f"{tempfile.gettempdir()}/lss_store_{tag}"
+        pages = pages_from_documents(spark, sf_dir)
+        build_pages_to_store(
+            spark, pages, root, num_index_partitions=_PAGES_P, batch_size=4
+        )
+        idx = load_index(spark, root)
+        return wand_search(
+            idx, BooleanQuery.of(should=["table", "merge"], mm=1), k=10
+        )
+
+
 _register_pages_queries()
 
 

@@ -79,11 +79,29 @@ def vb_decode(buf: bytes) -> np.ndarray:
     return out
 
 
+def block_max_partial_bound(
+    block_max_tf: np.ndarray, block_min_dlb: np.ndarray, avgdl: float
+) -> np.ndarray:
+    """Per-block upper bound on tf/(tf + k1*((1-b) + b*dl/avgdl)).
+
+    The factor is increasing in tf and decreasing in dl, so evaluating it at
+    (max tf in block, min dl in block) dominates every posting in the block.
+    dl is decoded from the block's max norm byte (NORM_TABLE is decreasing in
+    the byte).  avgdl enters only here, at query time — block metadata stays
+    valid when incremental builds shift the collection's avgdl.
+    """
+    from lucene_solr_spark.smallfloat import NORM_TABLE
+
+    tf = np.asarray(block_max_tf, dtype=np.float64)
+    dl = NORM_TABLE[np.asarray(block_min_dlb, dtype=np.int64) & 0xFF].astype(np.float64)
+    return tf / (tf + K1 * ((1.0 - B) + B * dl / float(avgdl)))
+
+
 def encode_postings(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     norm_bytes: np.ndarray,
-    avgdl: float,
+    avgdl: float | None = None,
 ) -> dict:
     """Encode one sorted posting list into the segment-row payload.
 
@@ -93,12 +111,12 @@ def encode_postings(
       norm_bytes    — raw uint8 per posting (Lucene norms analog)
       block_last_docid — int64 per block (skip list entry: last doc in block)
       block_max_tf     — int32 per block
-      block_max_partial — float64 per block: max over block of
-          tf / (tf + k1*((1-b) + b*dl/avgdl))  — the docid-independent part
-          of BM25; query-time block upper bound = idf * block_max_partial.
+      block_min_dlb    — int32 per block: max norm byte = minimal decoded doc
+          length in the block; with block_max_tf this yields the query-time
+          block-max WAND score bound (block_max_partial_bound) without baking
+          a build-time avgdl into the index.
+    ``avgdl`` is accepted for API stability but unused.
     """
-    from lucene_solr_spark.smallfloat import NORM_TABLE
-
     d = np.ascontiguousarray(doc_ids, dtype=np.int64)
     t = np.ascontiguousarray(tfs, dtype=np.int64)
     nb = np.ascontiguousarray(norm_bytes, dtype=np.uint8)
@@ -116,15 +134,12 @@ def encode_postings(
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     block_last = np.empty(nblocks, dtype=np.int64)
     block_max_tf = np.empty(nblocks, dtype=np.int32)
-    block_max_partial = np.empty(nblocks, dtype=np.float64)
-    dl = NORM_TABLE[nb].astype(np.float64)
-    tf64 = t.astype(np.float64)
-    partial = tf64 / (tf64 + K1 * ((1.0 - B) + B * dl / float(avgdl)))
+    block_min_dlb = np.empty(nblocks, dtype=np.int32)
     for blk in range(nblocks):
         lo, hi = blk * BLOCK_SIZE, min((blk + 1) * BLOCK_SIZE, n)
         block_last[blk] = d[hi - 1]
         block_max_tf[blk] = t[lo:hi].max()
-        block_max_partial[blk] = partial[lo:hi].max()
+        block_min_dlb[blk] = nb[lo:hi].max()  # max byte == min decoded length
 
     return {
         "doc_gaps_vb": vb_encode(gaps.astype(np.uint64)),
@@ -132,7 +147,7 @@ def encode_postings(
         "norm_bytes": nb.tobytes(),
         "block_last_docid": block_last,
         "block_max_tf": block_max_tf,
-        "block_max_partial": block_max_partial,
+        "block_min_dlb": block_min_dlb,
     }
 
 

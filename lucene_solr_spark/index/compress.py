@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    DoubleType,
     IntegerType,
     LongType,
     StructField,
@@ -39,7 +38,7 @@ ENCODED_SCHEMA = StructType(
         StructField("norm_bytes", BinaryType()),
         StructField("block_last_docid", ArrayType(LongType())),
         StructField("block_max_tf", ArrayType(IntegerType())),
-        StructField("block_max_partial", ArrayType(DoubleType())),
+        StructField("block_min_dlb", ArrayType(IntegerType())),
     ]
 )
 
@@ -53,8 +52,6 @@ def build_compressed_segments(index: IndexTables, persist: bool = True) -> DataF
     """
     import numpy as np
 
-    avgdl = index.avgdl
-
     @F.pandas_udf(ENCODED_SCHEMA)
     def encode_udf(
         doc_ids: pd.Series, tfs: pd.Series, norms: pd.Series
@@ -65,7 +62,6 @@ def build_compressed_segments(index: IndexTables, persist: bool = True) -> DataF
                 np.asarray(d, dtype=np.int64),
                 np.asarray(t, dtype=np.int64),
                 np.asarray(nb, dtype=np.int64).astype(np.uint8),
-                avgdl,
             )
             rows.append(
                 {
@@ -74,7 +70,7 @@ def build_compressed_segments(index: IndexTables, persist: bool = True) -> DataF
                     "norm_bytes": enc["norm_bytes"],
                     "block_last_docid": enc["block_last_docid"].tolist(),
                     "block_max_tf": enc["block_max_tf"].tolist(),
-                    "block_max_partial": enc["block_max_partial"].tolist(),
+                    "block_min_dlb": enc["block_min_dlb"].tolist(),
                 }
             )
         return pd.DataFrame(rows, columns=ENCODED_SCHEMA.fieldNames())

@@ -4,8 +4,9 @@ The query-side half of the north rule: per index partition ("segment",
 SegmentInfos.java:58-80 analog) a numpy kernel walks the query terms'
 compressed posting lists in docid order, using the per-block skip metadata
 (block_last_docid — Lucene41SkipWriter's one-entry-per-128-doc-block skip
-list) to leapfrog and the per-block max score bound (block_max_partial ×
-idf-weight) to skip whole blocks that cannot beat the current kth score θ —
+list) to leapfrog and the per-block max score bound (idf-weight × the
+tf/length factor evaluated at the block's max tf and min doc length) to skip
+whole blocks that cannot beat the current kth score θ —
 block-max WAND (Ding & Suel SIGIR'11; public knowledge — Lucene 4.10 itself
 has no WAND, SURVEY.md §4).  Per-partition top-k results then merge globally
 via ORDER BY (score desc, docid asc) LIMIT k, Spark's TakeOrderedAndProject —
@@ -37,7 +38,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lucene_solr_spark.index.builder import IndexTables
-from lucene_solr_spark.index.codec import BLOCK_SIZE, vb_decode
+from lucene_solr_spark.index.codec import (
+    BLOCK_SIZE,
+    block_max_partial_bound,
+    vb_decode,
+)
 from lucene_solr_spark.index.compress import get_compressed
 from lucene_solr_spark.search.query import BooleanQuery, TermQuery
 from lucene_solr_spark.smallfloat import NORM_TABLE
@@ -59,12 +64,14 @@ class _TermCursor:
                  "blk", "nblocks", "_row", "_doc_ids", "_tfs", "_norms",
                  "_starts")
 
-    def __init__(self, row, idf22: float, boost: float, is_must: bool):
+    def __init__(self, row, idf22: float, boost: float, is_must: bool, avgdl: float):
         self.idf22 = idf22
         self.boost = boost
         self.is_must = is_must
         self.block_last = np.asarray(row["block_last_docid"], dtype=np.int64)
-        self.block_max = np.asarray(row["block_max_partial"], dtype=np.float64)
+        self.block_max = block_max_partial_bound(
+            row["block_max_tf"], row["block_min_dlb"], avgdl
+        )
         self.nblocks = len(self.block_last)
         self.blk = 0
         self._row = row
@@ -127,7 +134,7 @@ def _partition_topk(
     for t in term_order:
         idf22, boost, is_must = term_meta[t]
         if t in rows:
-            cursors.append(_TermCursor(rows[t], idf22, boost, is_must))
+            cursors.append(_TermCursor(rows[t], idf22, boost, is_must, avgdl))
         elif is_must:
             return pd.DataFrame({"docid": [], "score": []}).astype(
                 {"docid": "int64", "score": "float64"}

@@ -1,0 +1,284 @@
+"""Persistent index store: snapshot commits, per-partition lineage, resume.
+
+The Lucene/Solr durability surface re-expressed for shared storage:
+
+- Segment files + ``segments_N`` commit point (SegmentInfos.java:58-80;
+  two-phase commit IndexWriter.java:900-916,1094) become per-partition
+  Parquet directories plus an atomic snapshot pointer: data files land first,
+  then a JSON snapshot manifest is written and ``HEAD`` is swapped with an
+  atomic rename.  Readers resolve HEAD -> snapshot -> committed partition
+  list, so half-written partitions are invisible — the same
+  commit-point-isolation Iceberg provides (this sandbox has no Iceberg
+  runtime; the layout is a faithful stand-in and the write/read API would
+  map 1:1 onto ``writeTo(...).append()`` + snapshots).
+- The transaction log / replay (UpdateLog.java:70-72,381-429) becomes the
+  per-partition **lineage table**: one row per build attempt with status,
+  row counts, and wall time.  A re-run consults the committed set and
+  rebuilds only missing partitions — resumable, idempotent (partition dirs
+  are overwritten via dynamic partition overwrite on retry).
+
+Scale shape: each build batch touches only its partitions' source rows
+(partition pruning on the hash-routed ``index_partition``), writes are
+append-only per partition, and a 1000-executor cluster commits snapshots at
+whatever batch cadence bounds recovery time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.builder import IndexTables, build_index
+from lucene_solr_spark.index.compress import build_compressed_segments
+
+
+class SimulatedFailure(RuntimeError):
+    """Raised by tests to model a mid-build crash between snapshot commits."""
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    committed_partitions: list[int]
+    num_index_partitions: int
+    max_doc: int
+    sum_total_term_freq: int
+
+    @property
+    def avgdl(self) -> float:
+        if not self.max_doc:
+            return 0.0
+        return float(np.float32(self.sum_total_term_freq / self.max_doc))
+
+
+class IndexStore:
+    """Filesystem layout + snapshot/lineage bookkeeping for one index."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.docs_path = os.path.join(root, "docs")
+        self.segments_path = os.path.join(root, "segments")
+        self.lineage_path = os.path.join(root, "lineage")
+        self.snapshots_dir = os.path.join(root, "snapshots")
+        self.head_path = os.path.join(root, "HEAD")
+        os.makedirs(self.snapshots_dir, exist_ok=True)
+
+    # -- snapshot log -------------------------------------------------------
+
+    def head(self) -> Snapshot | None:
+        if not os.path.exists(self.head_path):
+            return None
+        with open(self.head_path) as f:
+            sid = int(f.read().strip())
+        with open(os.path.join(self.snapshots_dir, f"snap-{sid}.json")) as f:
+            d = json.load(f)
+        return Snapshot(**d)
+
+    def commit(self, snap: Snapshot) -> None:
+        """Two-phase: manifest file first, then atomic HEAD swap
+        (IndexWriter.prepareCommit/commit analog)."""
+        path = os.path.join(self.snapshots_dir, f"snap-{snap.snapshot_id}.json")
+        with open(path, "w") as f:
+            json.dump(snap.__dict__, f)
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = self.head_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(snap.snapshot_id))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.head_path)
+
+    def committed_partitions(self) -> set[int]:
+        snap = self.head()
+        return set(snap.committed_partitions) if snap else set()
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.lineage_path)
+
+
+def _write_partitioned(df: DataFrame, path: str) -> None:
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("index_partition")
+        .parquet(path)
+    )
+
+
+def build_pages_to_store(
+    spark: SparkSession,
+    pages: DataFrame,
+    root: str,
+    num_index_partitions: int = 8,
+    batch_size: int | None = None,
+    fail_after_batches: int | None = None,
+) -> Snapshot:
+    """Checkpointed, resumable index build over a pages table.
+
+    Partitions are processed in batches; each batch writes its docs +
+    compressed-segment partition directories, appends lineage rows, and
+    commits a snapshot.  A crash between snapshots loses only the in-flight
+    batch; re-running skips everything already committed.
+    ``fail_after_batches`` injects a crash for recovery tests.
+    """
+    from lucene_solr_spark.pages import assign_page_docids, extract_text_expr
+
+    store = IndexStore(root)
+    committed = store.committed_partitions()
+    todo = [p for p in range(num_index_partitions) if p not in committed]
+    if not todo:
+        return store.head()
+
+    batch_size = batch_size or num_index_partitions
+    assigned = (
+        assign_page_docids(pages, num_index_partitions)
+        .withColumn("extracted", extract_text_expr(F.col("html")))
+        .select("docid", "url", "extracted", "lang", "index_partition")
+        .persist()
+    )
+
+    snap = store.head()
+    batches_done = 0
+    for i in range(0, len(todo), batch_size):
+        batch = todo[i : i + batch_size]
+        t0 = time.perf_counter()
+        subset = assigned.filter(F.col("index_partition").isin(batch))
+        idx = build_index(
+            spark,
+            subset,
+            key_col="url",
+            text_col="extracted",
+            docid_col="docid",
+            num_index_partitions=num_index_partitions,
+            passthrough_cols=("lang",),
+            persist=False,
+        )
+        _write_partitioned(idx.docs, store.docs_path)
+        _write_partitioned(build_compressed_segments(idx, persist=False),
+                           store.segments_path)
+        wall = time.perf_counter() - t0
+
+        sid = (snap.snapshot_id + 1) if snap else 1
+        per_part = {
+            r["index_partition"]: r
+            for r in idx.docs.groupBy("index_partition")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("num_terms").alias("sum_tf"),
+            )
+            .collect()
+        }
+        lineage_rows = [
+            (
+                int(p),
+                "committed",
+                int(per_part[p]["n_docs"]) if p in per_part else 0,
+                int(per_part[p]["sum_tf"] or 0) if p in per_part else 0,
+                float(wall / len(batch)),
+                sid,
+            )
+            for p in batch
+        ]
+        spark.createDataFrame(
+            lineage_rows,
+            "index_partition int, status string, n_docs long, sum_tf long, "
+            "wall_s double, snapshot_id int",
+        ).write.mode("append").parquet(store.lineage_path)
+
+        snap = Snapshot(
+            snapshot_id=sid,
+            parent_id=snap.snapshot_id if snap else None,
+            committed_partitions=sorted(
+                (set(snap.committed_partitions) if snap else set()) | set(batch)
+            ),
+            num_index_partitions=num_index_partitions,
+            max_doc=(snap.max_doc if snap else 0) + idx.max_doc,
+            sum_total_term_freq=(snap.sum_total_term_freq if snap else 0)
+            + idx.sum_total_term_freq,
+        )
+        store.commit(snap)
+        batches_done += 1
+        if fail_after_batches is not None and batches_done >= fail_after_batches:
+            assigned.unpersist()
+            raise SimulatedFailure(
+                f"injected crash after {batches_done} batch(es); "
+                f"committed={snap.committed_partitions}"
+            )
+    assigned.unpersist()
+    return snap
+
+
+def postings_from_compressed(compressed: DataFrame) -> DataFrame:
+    """Decode the compressed segment rows back to exploded postings
+    (index_partition, term, docid, tf, dl_approx) — the Catalyst scoring /
+    facet source.  Arrow-batched decode, no per-row Python."""
+    from lucene_solr_spark.index.codec import vb_decode
+    from lucene_solr_spark.smallfloat import NORM_TABLE
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                gaps = vb_decode(bytes(r["doc_gaps_vb"])).astype(np.int64)
+                docids = np.cumsum(gaps)
+                tfs = vb_decode(bytes(r["tfs_vb"])).astype(np.int32)
+                norms = np.frombuffer(bytes(r["norm_bytes"]), dtype=np.uint8)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "index_partition": np.int32(r["index_partition"]),
+                            "term": r["term"],
+                            "docid": docids,
+                            "tf": tfs,
+                            "dl_approx": NORM_TABLE[norms].astype(np.float64),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return compressed.mapInPandas(
+        decode,
+        "index_partition int, term string, docid long, tf int, dl_approx double",
+    )
+
+
+def load_index(spark: SparkSession, root: str) -> IndexTables:
+    """Open the store at its current snapshot as queryable IndexTables.
+
+    Collection stats come from the snapshot manifest (exact, build-order
+    independent); postings are a lazy decoded view over the compressed
+    segments, so the store holds exactly one copy of the posting data."""
+    store = IndexStore(root)
+    snap = store.head()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    keep = F.col("index_partition").isin(snap.committed_partitions)
+    docs = spark.read.parquet(store.docs_path).filter(keep)
+    compressed = spark.read.parquet(store.segments_path).filter(keep)
+    postings = postings_from_compressed(compressed)
+    segments = compressed.groupBy("term").agg(
+        F.sum("df_part").cast("int").alias("df"),
+        F.sum("cf_part").cast("long").alias("cf"),
+    )
+    index = IndexTables(
+        docs=docs,
+        postings=postings,
+        segments=segments,
+        max_doc=snap.max_doc,
+        sum_total_term_freq=snap.sum_total_term_freq,
+        avgdl=snap.avgdl,
+        positions=None,
+    )
+    object.__setattr__(index, "_compressed", compressed)
+    return index

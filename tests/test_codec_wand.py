@@ -96,7 +96,8 @@ def test_encode_rejects_unsorted():
         )
 
 
-def test_block_max_partial_is_upper_bound():
+def test_block_max_bound_dominates_all_postings():
+    from lucene_solr_spark.index.codec import block_max_partial_bound
     from lucene_solr_spark.smallfloat import NORM_TABLE
 
     rng = np.random.default_rng(42)
@@ -104,13 +105,16 @@ def test_block_max_partial_is_upper_bound():
     doc_ids = np.cumsum(rng.integers(1, 50, n))
     tfs = rng.integers(1, 30, n)
     norms = rng.integers(1, 255, n).astype(np.uint8)
-    avgdl = 25.0
-    enc = encode_postings(doc_ids, tfs, norms, avgdl)
-    dl = NORM_TABLE[norms].astype(np.float64)
-    partial = tfs / (tfs + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
-    for blk in range(len(enc["block_last_docid"])):
-        lo, hi = blk * BLOCK_SIZE, min((blk + 1) * BLOCK_SIZE, n)
-        assert partial[lo:hi].max() <= enc["block_max_partial"][blk] + 1e-12
+    enc = encode_postings(doc_ids, tfs, norms)
+    for avgdl in (5.0, 25.0, 400.0):  # bound holds under avgdl drift
+        bound = block_max_partial_bound(
+            enc["block_max_tf"], enc["block_min_dlb"], avgdl
+        )
+        dl = NORM_TABLE[norms].astype(np.float64)
+        partial = tfs / (tfs + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+        for blk in range(len(enc["block_last_docid"])):
+            lo, hi = blk * BLOCK_SIZE, min((blk + 1) * BLOCK_SIZE, n)
+            assert partial[lo:hi].max() <= bound[blk] + 1e-12
 
 
 # ---------------------------------------------------------------------------
