@@ -753,6 +753,193 @@ ORDER BY facet_count DESC, facet_term ASC LIMIT 10""",
 _register_pages_queries()
 
 
+# ===========================================================================
+# Training-data pipeline operators (dedup / similarity / text analysis /
+# multimodal) — each Spark implementation paired with a DuckDB oracle from
+# oracle/textops_sql.py
+# ===========================================================================
+
+def _register_textops_queries():
+    from lucene_solr_spark.oracle import textops_sql as T
+    from lucene_solr_spark.textops import (
+        cosine_topk,
+        doc_fingerprint,
+        embedding_near_dup,
+        exact_dup_groups,
+        language_id,
+        lsh_bucketed_topk,
+        minhash_signatures,
+        near_dup_pairs,
+        quality_score,
+        simhash,
+        token_stats,
+    )
+    from lucene_solr_spark.textops.similarity import bucket_of, plane_coeffs
+
+    def _docs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _emb(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def _aug_docs(spark, sf_dir):
+        """Deterministic dedup test corpus: base docs + exact copies of
+        0..9 (+100000) + near copies of 10..19 (+200000, one extra token).
+        Identical construction in the SQL oracle (textops_sql.AUG_DOCS)."""
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        exact = d.where(F.col("doc_id") < 10).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+        near = (
+            d.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+            .withColumn("doc_id", F.col("doc_id") + 200000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" extraword")))
+        )
+        return d.unionAll(exact).unionAll(near)
+
+    @_q("dedup_exact", T.exact_dedup_sql())
+    def dedup_exact(spark, sf_dir):
+        return (
+            exact_dup_groups(_aug_docs(spark, sf_dir))
+            .select("canonical_id", "n_dups")
+            .orderBy("canonical_id")
+        )
+
+    @_q("dedup_minhash_signatures", T.minhash_signatures_sql())
+    def dedup_minhash_signatures(spark, sf_dir):
+        return minhash_signatures(_docs(spark, sf_dir)).orderBy("docid")
+
+    @_q("dedup_near_pairs", T.near_dup_pairs_sql())
+    def dedup_near_pairs(spark, sf_dir):
+        return (
+            near_dup_pairs(_aug_docs(spark, sf_dir), threshold=0.5)
+            .select("docid_a", "docid_b", F.round("jaccard", 4).alias("jaccard"))
+            .orderBy("docid_a", "docid_b")
+        )
+
+    @_q("dedup_simhash", T.simhash_sql(max_docid=100))
+    def dedup_simhash(spark, sf_dir):
+        d = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+        return simhash(d).orderBy("docid")
+
+    @_q("text_language_id", T.language_id_sql())
+    def text_language_id(spark, sf_dir):
+        return (
+            language_id(_docs(spark, sf_dir))
+            .groupBy("pred_lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("pred_lang")
+        )
+
+    @_q("text_quality", T.quality_sql(max_docid=50))
+    def text_quality(spark, sf_dir):
+        d = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
+        return quality_score(d).orderBy("docid")
+
+    @_q("text_token_stats", T.token_stats_sql(max_docid=50))
+    def text_token_stats(spark, sf_dir):
+        d = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
+        return token_stats(d).orderBy("docid")
+
+    @_q("text_fingerprint", T.fingerprint_sql(max_docid=100))
+    def text_fingerprint(spark, sf_dir):
+        d = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+        return doc_fingerprint(d).orderBy("docid")
+
+    def _qvec(spark, sf_dir):
+        row = _emb(spark, sf_dir).where(F.col("vec_id") == 0).collect()[0]
+        return [float(x) for x in row.embedding]
+
+    @_q("emb_cosine_topk", T.cosine_topk_sql(query_id=0, k=10))
+    def emb_cosine_topk(spark, sf_dir):
+        return cosine_topk(
+            _emb(spark, sf_dir), _qvec(spark, sf_dir), k=10, exclude_id=0
+        )
+
+    # the LSH oracle needs the query bucket + plane literals at registration
+    # time; planes are deterministic, the bucket is computed per-sf at call
+    # time and must match — so the oracle embeds the plane coefficients and
+    # recomputes the bucket in SQL from vec_id 0's embedding via the same
+    # dot products.  Simpler: oracle filters on the SQL-computed bucket of
+    # vec 0.
+    _PLANES = 8
+    _coeffs = plane_coeffs(_PLANES, 64)
+    _bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {T._coef_list_sql(_coeffs[p])}) >= 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p in range(_PLANES)
+    )
+    _lsh_sql = f"""WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv,
+         ({_bucket_terms}) AS qbucket
+  FROM embeddings WHERE vec_id = 0
+),
+b AS (
+  SELECT vec_id, embedding, ({_bucket_terms}) AS bucket FROM embeddings
+)
+SELECT vec_id,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+FROM b CROSS JOIN q
+WHERE bucket = q.qbucket AND vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
+
+    @_q("emb_lsh_ann", _lsh_sql)
+    def emb_lsh_ann(spark, sf_dir):
+        return lsh_bucketed_topk(
+            _emb(spark, sf_dir), _qvec(spark, sf_dir), k=10,
+            planes=_PLANES, exclude_id=0,
+        )
+
+    @_q("emb_near_dup", T.embedding_near_dup_sql(_PLANES, _coeffs, threshold=0.999))
+    def emb_near_dup(spark, sf_dir):
+        e = _emb(spark, sf_dir).select("vec_id", "embedding")
+        aug = e.unionAll(
+            e.where(F.col("vec_id") < 10).withColumn(
+                "vec_id", F.col("vec_id") + 10000
+            )
+        )
+        return (
+            embedding_near_dup(aug, threshold=0.999, planes=_PLANES)
+            .orderBy("vec_id_a", "vec_id_b")
+        )
+
+    @_q("media_metadata", T.media_metadata_sql(max_docid=50))
+    def media_metadata_q(spark, sf_dir):
+        from lucene_solr_spark.pages import pages_from_documents
+        from lucene_solr_spark.textops.multimodal import media_metadata
+
+        pages = pages_from_documents(spark, sf_dir)
+        doc_id = F.split(F.col("url"), "/doc/")[1].cast("long")
+        return media_metadata(pages.where(doc_id < 50)).select(
+            "url", "n_bytes", "sha"
+        )
+
+    @_q("multimodal_decode", T.decode_media_sql(max_docid=50))
+    def multimodal_decode(spark, sf_dir):
+        from lucene_solr_spark.pages import pages_from_documents
+        from lucene_solr_spark.textops.multimodal import decode_media
+
+        pages = pages_from_documents(spark, sf_dir)
+        doc_id = F.split(F.col("url"), "/doc/")[1].cast("long")
+        return decode_media(pages.where(doc_id < 50)).select(
+            "url", "n_bytes", "width", "height", "format"
+        )
+
+    @_q("multimodal_frames", T.sample_frames_sql(n_frames=2, max_docid=20))
+    def multimodal_frames(spark, sf_dir):
+        from lucene_solr_spark.pages import pages_from_documents
+        from lucene_solr_spark.textops.multimodal import sample_frames
+
+        pages = pages_from_documents(spark, sf_dir)
+        doc_id = F.split(F.col("url"), "/doc/")[1].cast("long")
+        return sample_frames(pages.where(doc_id < 20), n_frames=2)
+
+
+_register_textops_queries()
+
+
 def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: boolean AND with facet-ready result (driver smoke check)."""
     return boolean_and(spark, sf_dir)

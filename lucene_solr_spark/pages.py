@@ -82,10 +82,12 @@ def verify_extraction(pages: DataFrame) -> int:
 
 
 def portable_url_hash(url: Column) -> Column:
-    """60-bit non-negative hash of url, identical in Spark and DuckDB:
-    first 15 hex digits of md5.  (Cluster deploys may use xxhash64 instead;
-    this keeps the DuckDB correctness oracle byte-exact.)"""
-    return F.conv(F.substring(F.md5(url.cast("binary")), 1, 15), 16, 10).cast("long")
+    """60-bit non-negative hash of url, identical in Spark and DuckDB
+    (hashing.hash64_col).  Cluster deploys may swap in xxhash64; md5 keeps
+    the DuckDB correctness oracle byte-exact."""
+    from lucene_solr_spark.hashing import hash64_col
+
+    return hash64_col(url)
 
 
 def assign_page_docids(pages: DataFrame, num_index_partitions: int) -> DataFrame:

@@ -1,0 +1,209 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All Spark-first: tokenization reuses the engine's analyzer expression
+(JVM-side regex), hashing uses the cross-engine portable hash (hashing.py; at
+cluster scale swap for xxhash64), candidate generation is banded-bucket
+self-joins — the standard shuffle-on-bucket shape that scales linearly in
+corpus size instead of quadratically in pairs.
+
+Scale notes per operator:
+- exact: one hash shuffle on content hash; map-side partial agg.
+- MinHash/LSH: signatures are one groupBy(doc) over exploded shingles with P
+  parallel min-aggregates (map-side combine); candidates are b small
+  self-joins on band buckets (AQE handles bucket skew); verification joins
+  only candidate pairs.
+- SimHash: one groupBy(doc) with 32 conditional-sum aggregates; near-pair
+  search via 4-band pigeonhole (hamming <= 3 guarantees one equal byte).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.analysis.analyzer import tokens_expr
+from lucene_solr_spark.hashing import hash64_col
+
+SHINGLE_K = 3
+SIMHASH_BITS = 32
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("docid"),
+        F.coalesce(tokens_expr(F.col(text_col)), F.array()).alias("toks"),
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content hash; one row per duplicate group with
+    the canonical (minimal) id and the group size."""
+    return (
+        df.select(F.col(id_col).alias("docid"), F.md5(F.col(text_col).cast("binary")).alias("chash"))
+        .groupBy("chash")
+        .agg(
+            F.min("docid").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def _shingles_col(k: int = SHINGLE_K) -> Column:
+    """Word k-shingles over the analyzed token array column ``toks``
+    (consecutive post-filter tokens, space-joined)."""
+    return F.expr(
+        f"""CASE WHEN size(toks) >= {k}
+            THEN transform(sequence(0, size(toks) - {k}),
+                           i -> concat_ws(' ', {', '.join(f'toks[i + {j}]' for j in range(k))}))
+            ELSE array() END"""
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             k: int = SHINGLE_K) -> DataFrame:
+    """(docid, shingle) — distinct word k-shingles per doc."""
+    t = _tokens(df, id_col, text_col)
+    return (
+        t.select("docid", F.explode(_shingles_col(k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = 8, k: int = SHINGLE_K,
+) -> DataFrame:
+    """(docid, mh0..mh{P-1}): per-permutation minimum of the portable hash of
+    shingle||'#'||perm.  Docs with < k tokens get no signature (no shingles).
+    """
+    sh = shingles(df, id_col, text_col, k)
+    aggs = [
+        F.min(hash64_col(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"mh{j}")
+        for j in range(num_perm)
+    ]
+    return sh.groupBy("docid").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become a candidate pair
+    (docid_a < docid_b).  bands*rows_per_band must equal the signature width.
+    """
+    pieces = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)]
+        bucket = hash64_col(F.concat_ws("|", F.lit(str(b)), *cols))
+        pieces.append(sigs.select("docid", bucket.alias("bucket")))
+    buckets = pieces[0]
+    for p in pieces[1:]:
+        buckets = buckets.unionAll(p)
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    return (
+        a.join(b_, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.docid") < F.col("b.docid")))
+        .select(F.col("a.docid").alias("docid_a"), F.col("b.docid").alias("docid_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", k: int = SHINGLE_K,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given candidate pairs:
+    (docid_a, docid_b, jaccard).  Joins touch only candidate docs."""
+    sh = shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy("docid").agg(F.count(F.lit(1)).alias("n"))
+    sh_a = sh.select(F.col("docid").alias("docid_a"), "shingle")
+    sh_b = sh.select(F.col("docid").alias("docid_b"), "shingle")
+    common = (
+        pairs.join(sh_a, "docid_a")
+        .join(sh_b, ["docid_b", "shingle"])
+        .groupBy("docid_a", "docid_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("docid").alias("docid_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("docid").alias("docid_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(common, ["docid_a", "docid_b"], "left")
+        .join(na, "docid_a")
+        .join(nb, "docid_b")
+        .select(
+            "docid_a", "docid_b",
+            (
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = 8, bands: int = 4, threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard >= threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perm)
+    cands = minhash_lsh_candidates(sigs, bands, num_perm // bands)
+    j = jaccard_pairs(df, cands, id_col, text_col)
+    return j.where(F.col("jaccard") >= threshold)
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(docid, simhash): per-bit tf-weighted vote over term hashes.
+    bit_i = 1 iff sum over terms of tf * (hash bit_i ? +1 : -1) >= 0."""
+    t = _tokens(df, id_col, text_col)
+    tf = (
+        t.select("docid", F.explode("toks").alias("term"))
+        .groupBy("docid", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", hash64_col(F.col("term")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    v = tf.groupBy("docid").agg(*votes)
+    sh = F.lit(0).cast("long")
+    for i in range(bits):
+        sh = sh + F.when(F.col(f"v{i}") >= 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return v.select("docid", sh.alias("simhash"))
+
+
+def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming via 4-byte-band pigeonhole
+    (hamming <= 3 over 32 bits guarantees at least one equal byte)."""
+    pieces = []
+    for band in range(4):
+        byte = F.shiftright(F.col("simhash"), 8 * band).bitwiseAND(255)
+        pieces.append(
+            sims.select("docid", "simhash",
+                        (byte + F.lit(band * 256)).alias("bucket"))
+        )
+    buckets = pieces[0]
+    for p in pieces[1:]:
+        buckets = buckets.unionAll(p)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.docid") < F.col("b.docid")))
+        .select(
+            F.col("a.docid").alias("docid_a"), F.col("b.docid").alias("docid_b"),
+            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select(
+        "docid_a", "docid_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

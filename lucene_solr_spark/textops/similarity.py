@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns: brute-force cosine + sign-LSH.
+
+- ``cosine_topk`` is the exact baseline: a broadcast query vector, one
+  sequential-fold dot product per row (F.aggregate over zip_with — JVM-side,
+  deterministic left-to-right float64 accumulation so the DuckDB oracle's
+  list_dot_product matches), TakeOrderedAndProject top-k.  At 100 TB this is
+  one full scan — the right tool for one-off queries.
+- ``with_sign_buckets`` / ``lsh_bucketed_topk`` is the scale path: random
+  hyperplane signs (Charikar SimHash-LSH, public knowledge) derived from the
+  portable hash so both engines compute identical planes; candidates are
+  restricted to the query's bucket — at 1000 executors the bucket column is
+  the partition key and a query touches ~1/2^planes of the corpus (recall
+  traded for throughput; multi-probe = search adjacent buckets).
+- ``embedding_near_dup``: near-duplicate vector pairs — bucket self-join then
+  exact cosine verification, linear-ish in corpus size like MinHash-LSH.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _plane_sign(plane: int, dim: int) -> int:
+    """Deterministic ±1 hyperplane coefficient, identical in the SQL oracle:
+    parity of the portable 60-bit hash of 'p{plane}d{dim}'."""
+    h = int(hashlib.md5(f"p{plane}d{dim}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 1 else -1
+
+
+def plane_coeffs(planes: int, dims: int) -> list[list[float]]:
+    return [[float(_plane_sign(p, d)) for d in range(dims)] for p in range(planes)]
+
+
+def _dot(vec: Column, other: Column) -> Column:
+    """Deterministic sequential dot product of two array columns (float64)."""
+    return F.aggregate(
+        F.zip_with(vec, other, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def _norm(vec: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = sum(float(x) * float(x) for x in query_vec) ** 0.5
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    out = emb.select(F.col(id_col).alias("vec_id"), F.round(cos, 4).alias("cosine"))
+    if exclude_id is not None:
+        out = out.where(F.col("vec_id") != exclude_id)
+    return out.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def with_sign_buckets(
+    emb: DataFrame,
+    planes: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket): sign-LSH bucket id — bit p set iff dot(vec, plane_p)
+    >= 0, planes being deterministic ±1 vectors."""
+    coeffs = plane_coeffs(planes, dims)
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        cp = F.array(*[F.lit(c) for c in coeffs[p]])
+        proj = _dot(F.col(vec_col), cp)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(0)
+    return emb.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def bucket_of(query_vec: list[float], planes: int = 8) -> int:
+    """Driver-side bucket id of a literal query vector (same planes)."""
+    dims = len(query_vec)
+    coeffs = plane_coeffs(planes, dims)
+    b = 0
+    for p in range(planes):
+        proj = 0.0
+        for c, x in zip(coeffs[p], query_vec):
+            proj = proj + c * float(x)
+        if proj >= 0:
+            b |= 1 << p
+    return b
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ANN: exact cosine top-k restricted to the query's sign-LSH bucket."""
+    dims = len(query_vec)
+    b = bucket_of(query_vec, planes)
+    in_bucket = (
+        with_sign_buckets(emb, planes, dims, id_col, vec_col)
+        .where(F.col("bucket") == b)
+        .select(F.col("vec_id").alias("_bid"))
+    )
+    cand = emb.join(in_bucket, emb[id_col] == F.col("_bid"), "left_semi")
+    return cosine_topk(cand, query_vec, k, id_col, vec_col, exclude_id)
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id_a, vec_id_b, cosine): near-duplicate vectors — same sign-LSH
+    bucket AND exact cosine >= threshold (candidate generation is the bucket
+    self-join; verification touches only candidates)."""
+    buckets = with_sign_buckets(emb, planes, dims, id_col, vec_col).withColumnRenamed(
+        "vec_id", "_bid"
+    )
+    withb = emb.join(buckets, emb[id_col] == buckets["_bid"]).select(
+        F.col("_bid").alias("vec_id"), F.col(vec_col).alias("v"), "bucket"
+    )
+    a, b = withb.alias("a"), withb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
