@@ -268,7 +268,12 @@ def wand_search(
         )
 
     seg = get_compressed(index).filter(F.col("term").isin(term_order))
-    out = seg.groupBy("index_partition").applyInPandas(
+    # Streaming stores carry a generation column (one flush = one segment
+    # generation, Lucene's DWPT-flush analog); docid ranges are disjoint
+    # across generations, so running the kernel per (partition, gen) and
+    # merging the per-group top-k keeps results exact.
+    group_cols = ["index_partition"] + (["gen"] if "gen" in seg.columns else [])
+    out = seg.groupBy(*group_cols).applyInPandas(
         kernel, "docid long, score double"
     )
     if query.must_not:

@@ -52,6 +52,10 @@ class Snapshot:
     num_index_partitions: int
     max_doc: int
     sum_total_term_freq: int
+    # streaming extensions: committed segment generations (one per
+    # micro-batch flush) and the next local-docid base per partition
+    gens: list[int] | None = None
+    doc_bases: dict | None = None
 
     @property
     def avgdl(self) -> float:

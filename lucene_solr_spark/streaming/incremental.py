@@ -1,0 +1,205 @@
+"""Incremental (near-real-time) indexing via Structured Streaming.
+
+The reference's NRT surface re-expressed (SURVEY.md §2.10):
+
+- DWPT flush -> segment (DocumentsWriterPerThread.java; DefaultIndexingChain
+  .flush): each micro-batch becomes one **segment generation** — a gen=<n>
+  directory of docs + compressed posting partitions.  Existing generations
+  are never rewritten (Lucene segments are immutable).
+- Soft commit / openIfChanged (DirectUpdateHandler2.java:93,108-132): the
+  per-batch snapshot commit — readers that re-resolve HEAD see the new
+  generation immediately.
+- Transaction-log replay (UpdateLog.java:381-429): Structured Streaming's
+  checkpoint — after a crash the source offsets replay and ``foreachBatch``
+  re-runs idempotently (same batch -> same gen directory, overwritten).
+- docBase (BaseCompositeReader): per-partition local-id bases carried in the
+  snapshot give every new doc a docid above all earlier generations', so
+  docid order == arrival order within a partition and posting lists across
+  generations never interleave (the WAND kernel runs per (partition, gen)).
+
+Scale shape: a micro-batch shuffles once (docid assignment by url-hash
+partition), builds postings map-side per partition, and appends; the commit
+is O(1) metadata.  Query cost grows with generation count — the compaction
+analog (TieredMergePolicy) is rebuilding a gen range into one, left as the
+store's offline maintenance job.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.builder import (
+    DOCID_PARTITION_SHIFT,
+    IndexTables,
+    build_index,
+)
+from lucene_solr_spark.index.compress import build_compressed_segments
+from lucene_solr_spark.pages import extract_text_expr, portable_url_hash
+from lucene_solr_spark.store.store import IndexStore, Snapshot
+
+PAGES_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+class StreamingIndexer:
+    """foreachBatch sink: pages micro-batches -> immutable segment generations."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_root: str,
+        num_index_partitions: int = 8,
+    ):
+        self.spark = spark
+        self.store = IndexStore(store_root)
+        self.P = num_index_partitions
+
+    # -- batch core (also callable directly for tests) ----------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> Snapshot | None:
+        spark = self.spark
+        snap = self.store.head()
+        if snap and snap.gens and int(batch_id) in snap.gens:
+            return snap  # replayed batch after recovery: already committed
+        bases = {int(k): int(v) for k, v in (snap.doc_bases or {}).items()} if snap else {}
+
+        pid = (portable_url_hash(F.col("url")) % self.P).cast("int")
+        w = Window.partitionBy("index_partition").orderBy("url")
+        base_expr = F.lit(0)
+        for p, b in bases.items():
+            base_expr = F.when(F.col("index_partition") == p, F.lit(b)).otherwise(base_expr)
+        assigned = (
+            batch_df.withColumn("index_partition", pid)
+            .withColumn("_local", F.row_number().over(w) - 1 + base_expr)
+            .withColumn(
+                "docid",
+                (
+                    F.col("index_partition").cast("long")
+                    * F.lit(1 << DOCID_PARTITION_SHIFT)
+                    + F.col("_local")
+                ).cast("long"),
+            )
+            .withColumn("extracted", extract_text_expr(F.col("html")))
+            .select("docid", "url", "extracted", "lang", "index_partition")
+        )
+        idx = build_index(
+            spark,
+            assigned,
+            key_col="url",
+            text_col="extracted",
+            docid_col="docid",
+            num_index_partitions=self.P,
+            passthrough_cols=("lang",),
+            persist=False,
+        )
+        if idx.max_doc == 0:
+            return snap
+
+        gen = int(batch_id)
+        docs_dir = os.path.join(self.store.docs_path, f"gen={gen}")
+        seg_dir = os.path.join(self.store.segments_path, f"gen={gen}")
+        t0 = time.perf_counter()
+        idx.docs.write.mode("overwrite").partitionBy("index_partition").parquet(docs_dir)
+        build_compressed_segments(idx, persist=False).write.mode(
+            "overwrite"
+        ).partitionBy("index_partition").parquet(seg_dir)
+        wall = time.perf_counter() - t0
+
+        per_part = {
+            int(r["index_partition"]): (int(r["n"]), int(r["s"] or 0))
+            for r in idx.docs.groupBy("index_partition")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("num_terms").alias("s"))
+            .collect()
+        }
+        new_bases = dict(bases)
+        for p, (n, _) in per_part.items():
+            new_bases[p] = new_bases.get(p, 0) + n
+        lineage_rows = [
+            (p, "committed", n, s, wall / max(len(per_part), 1), gen)
+            for p, (n, s) in sorted(per_part.items())
+        ]
+        spark.createDataFrame(
+            lineage_rows,
+            "index_partition int, status string, n_docs long, sum_tf long, "
+            "wall_s double, snapshot_id int",
+        ).write.mode("append").parquet(self.store.lineage_path)
+
+        new_snap = Snapshot(
+            snapshot_id=(snap.snapshot_id + 1) if snap else 1,
+            parent_id=snap.snapshot_id if snap else None,
+            committed_partitions=sorted(
+                set(snap.committed_partitions if snap else []) | set(per_part)
+            ),
+            num_index_partitions=self.P,
+            max_doc=(snap.max_doc if snap else 0) + idx.max_doc,
+            sum_total_term_freq=(snap.sum_total_term_freq if snap else 0)
+            + idx.sum_total_term_freq,
+            gens=sorted(set(snap.gens if snap and snap.gens else []) | {gen}),
+            doc_bases={str(k): v for k, v in new_bases.items()},
+        )
+        self.store.commit(new_snap)  # soft-commit: new gen visible to readers
+        return new_snap
+
+    # -- streaming wiring ---------------------------------------------------
+
+    def start(
+        self,
+        input_path: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int | None = None,
+        available_now: bool = True,
+    ):
+        """readStream(parquet pages) -> foreachBatch(process_batch)."""
+        reader = (
+            self.spark.readStream.schema(PAGES_DDL).format("parquet")
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.load(input_path)
+        writer = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: (self.process_batch(df, bid), None)[1]
+            )
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def load_streaming_index(spark: SparkSession, root: str) -> IndexTables:
+    """Open a streaming store (all committed generations) as IndexTables."""
+    from lucene_solr_spark.store.store import postings_from_compressed
+
+    store = IndexStore(root)
+    snap = store.head()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    keep = F.col("gen").isin(snap.gens or [])
+    docs = spark.read.option("basePath", store.docs_path).parquet(
+        store.docs_path
+    ).filter(keep)
+    compressed = spark.read.option("basePath", store.segments_path).parquet(
+        store.segments_path
+    ).filter(keep)
+    postings = postings_from_compressed(compressed)
+    segments = compressed.groupBy("term").agg(
+        F.sum("df_part").cast("int").alias("df"),
+        F.sum("cf_part").cast("long").alias("cf"),
+    )
+    index = IndexTables(
+        docs=docs,
+        postings=postings,
+        segments=segments,
+        max_doc=snap.max_doc,
+        sum_total_term_freq=snap.sum_total_term_freq,
+        avgdl=snap.avgdl,
+        positions=None,
+    )
+    object.__setattr__(index, "_compressed", compressed)
+    return index
