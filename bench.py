@@ -47,6 +47,19 @@ def run(sf_dir: str, cpus: str) -> dict:
 
     from pyspark.sql import functions as F
 
+    from lucene_solr_spark.index.compress import get_compressed
+    from lucene_solr_spark.search.wand import wand_search
+    from lucene_solr_spark.textops import (
+        cosine_topk, near_dup_pairs, simhash,
+    )
+
+    t0 = time.perf_counter()
+    get_compressed(idx).count()  # delta+varbyte encode of the whole index
+    compress_sec = time.perf_counter() - t0
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+
     def _facet(term, field):
         m = idx.postings.filter(F.col("term") == term).select("docid").distinct()
         return facet_field(idx.docs.join(m, "docid"), field, limit=20)
@@ -68,6 +81,16 @@ def run(sf_dir: str, cpus: str) -> dict:
         "mlt": lambda: more_like_this(idx, docid=0, max_query_terms=3, k=10),
         "facet_lang": lambda: _facet("table", "lang"),
         "facet_source": lambda: _facet("merge", "source"),
+        "wand_term_head": lambda: wand_search(idx, "table", k=10),
+        "wand_boolean_and": lambda: wand_search(
+            idx, BooleanQuery.of(must=["table", "merge"]), k=10
+        ),
+        "wand_boolean_or3": lambda: wand_search(
+            idx, BooleanQuery.of(should=["vector", "stream", "hash"]), k=10
+        ),
+        "dedup_near_pairs": lambda: near_dup_pairs(docs_src, threshold=0.8),
+        "simhash_all": lambda: simhash(docs_src),
+        "ann_cosine_topk": lambda: cosine_topk(emb, qv, k=10, exclude_id=0),
     }
 
     timings: dict[str, float] = {}
@@ -86,6 +109,7 @@ def run(sf_dir: str, cpus: str) -> dict:
         "extra": {
             "n_docs": n_docs,
             "build_sec": round(build_sec, 4),
+            "compress_sec": round(compress_sec, 4),
             "index_docs_per_sec": round(n_docs / build_sec, 2),
             "cpus": int(cpus),
             "sum_total_term_freq": idx.sum_total_term_freq,

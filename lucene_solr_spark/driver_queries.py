@@ -940,6 +940,152 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
 _register_textops_queries()
 
 
+# ===========================================================================
+# Analytics components over docvalues tables (events / orders / lineitem) —
+# Solr facet.range(date)/interval/stats.facet/grouping/function-query
+# semantics applied to plain columnar tables (SURVEY.md §2.8-2.9)
+# ===========================================================================
+
+def _register_analytics_queries():
+    @_q(
+        "facet_range_date_events",
+        """SELECT epoch(date_trunc('day', ts)) AS bucket_epoch, count(*) AS facet_count
+FROM events WHERE event_type = 'click'
+GROUP BY 1 ORDER BY 1""",
+    )
+    def facet_range_date_events(spark, sf_dir):
+        """facet.date / facet.range over a timestamp docvalues column
+        (SimpleFacets.java:1295-1374), gap = +1DAY, as epoch seconds for
+        cross-engine value identity."""
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return (
+            e.where(F.col("event_type") == "click")
+            .groupBy(
+                F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("bucket_epoch")
+            )
+            .agg(F.count(F.lit(1)).alias("facet_count"))
+            .orderBy("bucket_epoch")
+        )
+
+    @_q(
+        "facet_interval_price",
+        """SELECT 'low' AS facet_name, sum(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 20000 THEN 1 ELSE 0 END) AS facet_count FROM orders
+UNION ALL SELECT 'mid', sum(CASE WHEN o_totalprice > 20000 AND o_totalprice <= 100000 THEN 1 ELSE 0 END) FROM orders
+UNION ALL SELECT 'high', sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) FROM orders""",
+    )
+    def facet_interval_price(spark, sf_dir):
+        """IntervalFacets (IntervalFacets.java:221-249) over a numeric
+        docvalues column with (a,b] style bounds."""
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        p = F.col("o_totalprice")
+        rows = [
+            ("low", (p >= 0) & (p <= 20000)),
+            ("mid", (p > 20000) & (p <= 100000)),
+            ("high", p > 100000),
+        ]
+        out = None
+        for name, pred in rows:
+            one = o.agg(
+                F.lit(name).alias("facet_name"),
+                F.sum(pred.cast("int")).alias("facet_count"),
+            )
+            out = one if out is None else out.unionAll(one)
+        return out
+
+    @_q(
+        "stats_facet_lineitem",
+        """SELECT l_returnflag,
+       count(*) AS stats_count,
+       round(min(l_extendedprice), 2) AS stats_min,
+       round(max(l_extendedprice), 2) AS stats_max,
+       round(sum(l_extendedprice), 2) AS stats_sum,
+       round(avg(l_extendedprice), 4) AS stats_mean
+FROM lineitem GROUP BY 1 ORDER BY 1""",
+    )
+    def stats_facet_lineitem(spark, sf_dir):
+        """StatsComponent with stats.facet (StatsValuesFactory.java:257-306):
+        per-facet-value numeric stats, exact."""
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("stats_count"),
+                F.round(F.min("l_extendedprice"), 2).alias("stats_min"),
+                F.round(F.max("l_extendedprice"), 2).alias("stats_max"),
+                F.round(F.sum("l_extendedprice"), 2).alias("stats_sum"),
+                F.round(F.avg("l_extendedprice"), 4).alias("stats_mean"),
+            )
+            .orderBy("l_returnflag")
+        )
+
+    @_q(
+        "group_top2_orders_per_priority",
+        """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 2 ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""",
+    )
+    def group_top2_orders_per_priority(spark, sf_dir):
+        """Grouping / field collapse (Grouping.java:160-203): top-k docs per
+        group by sort field — TopFieldCollector per group."""
+        from lucene_solr_spark.facets import group_topk
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        g = group_topk(
+            o, "o_orderpriority",
+            [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], k=2,
+        )
+        return g.select("o_orderpriority", "o_orderkey", "o_totalprice").orderBy(
+            "o_orderpriority", F.col("o_totalprice").desc(), "o_orderkey"
+        )
+
+    _REF_EPOCH = 1767225600  # 2026-01-01T00:00:00Z — fixed NOW for determinism
+
+    @_q(
+        "function_query_recip_freshness",
+        f"""SELECT event_id,
+       round(1000.0 / (1.0 * (({_REF_EPOCH} - epoch(ts)) / 86400.0) + 1000.0), 6) AS fscore
+FROM events
+ORDER BY fscore DESC, event_id ASC LIMIT 10""",
+    )
+    def function_query_recip_freshness(spark, sf_dir):
+        """ValueSourceParser recip(ms(NOW,ts),m,a,b) freshness function query
+        (ValueSourceParser.java:541-554,574) with a pinned NOW."""
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        age_days = (F.lit(_REF_EPOCH) - F.unix_timestamp("ts")) / 86400.0
+        fscore = F.round(1000.0 / (1.0 * age_days + 1000.0), 6)
+        return (
+            e.select("event_id", fscore.alias("fscore"))
+            .orderBy(F.col("fscore").desc(), F.col("event_id").asc())
+            .limit(10)
+        )
+
+    @_q(
+        "strdist_function",
+        """SELECT o_orderpriority,
+       levenshtein(o_orderpriority, '1-URGENT') AS dist,
+       count(*) AS n
+FROM orders GROUP BY 1, 2 ORDER BY dist, o_orderpriority""",
+    )
+    def strdist_function(spark, sf_dir):
+        """strdist() function query (ValueSourceParser.java:304-384) —
+        levenshtein over a docvalues string column."""
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return (
+            o.groupBy(
+                "o_orderpriority",
+                F.levenshtein(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("dist"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("dist", "o_orderpriority")
+        )
+
+
+_register_analytics_queries()
+
+
 def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: boolean AND with facet-ready result (driver smoke check)."""
     return boolean_and(spark, sf_dir)

@@ -7,105 +7,113 @@ metadata.  This table is the source for the document-at-a-time WAND kernel
 (search/wand.py) and is what the persistent store writes partitioned by
 ``index_partition``.
 
-Scale shape: the encode is a single shuffle (groupBy term × partition — the
-same salted layout as the mtree merge, so head-term skew is bounded by the
-partition count) followed by an Arrow-batched pandas UDF that runs the numpy
-encoder over whole record batches.  No per-row Python, no driver collect.
+Scale shape — learned the hard way: an earlier version aggregated posting
+arrays JVM-side (collect_list + sort_array) and shipped array<struct> cells to
+a scalar pandas UDF; head terms produce multi-MB cells and the per-cell Arrow
+transfer became the pipeline bottleneck (and degraded with parallelism).  The
+current shape ships plain scalar columns — the Arrow-friendliest layout — to
+``applyInPandas`` over (index_partition, term-bucket) groups:
+
+- one shuffle, keyed (partition, pmod(hash(term), B)) — the salt bounds any
+  single task's data under head-term skew (mtree-merge pattern,
+  MapReduceIndexerTool.java:322-351), B scales with corpus size;
+- inside the kernel: one numpy lexsort per group, per-term slicing, varbyte
+  encode — no per-row Python, no JVM array materialization;
+- norm bytes are recovered from ``dl_approx`` by inverting BM25's NORM_TABLE
+  (a 255-entry exact float lookup), so no join against the docs table at all.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    ArrayType,
-    BinaryType,
-    IntegerType,
-    LongType,
-    StructField,
-    StructType,
-)
 
 from lucene_solr_spark.index.builder import IndexTables
 from lucene_solr_spark.index.codec import encode_postings
+from lucene_solr_spark.smallfloat import NORM_TABLE
 
-ENCODED_SCHEMA = StructType(
-    [
-        StructField("doc_gaps_vb", BinaryType()),
-        StructField("tfs_vb", BinaryType()),
-        StructField("norm_bytes", BinaryType()),
-        StructField("block_last_docid", ArrayType(LongType())),
-        StructField("block_max_tf", ArrayType(IntegerType())),
-        StructField("block_min_dlb", ArrayType(IntegerType())),
-    ]
+COMPRESSED_SCHEMA = (
+    "index_partition int, term string, df_part int, cf_part long, "
+    "first_docid long, doc_gaps_vb binary, tfs_vb binary, norm_bytes binary, "
+    "block_last_docid array<long>, block_max_tf array<int>, "
+    "block_min_dlb array<int>"
 )
 
+# Reverse NORM_TABLE: dl_approx (float64 of the float32 decoded length) ->
+# norm byte.  Bytes 1..255 have strictly decreasing finite decoded lengths;
+# byte 0 decodes to +inf (empty docs — excluded from postings anyway).
+_DLS = NORM_TABLE[1:256].astype(np.float64)          # decreasing
+_DL_SORTED = _DLS[::-1].copy()                        # increasing for searchsorted
+_BYTE_SORTED = np.arange(255, 0, -1)
 
-def build_compressed_segments(index: IndexTables, persist: bool = True) -> DataFrame:
-    """(index_partition, term, df_part, cf_part, first_docid, <encoded cols>).
 
-    Postings joined with per-doc norm bytes (Lucene's norms file analog),
-    aggregated to sorted (docid, tf, norm) arrays JVM-side, then encoded in one
-    vectorized pandas UDF.
-    """
-    import numpy as np
+def _norm_byte_from_dl(dl: np.ndarray) -> np.ndarray:
+    idx = np.searchsorted(_DL_SORTED, dl)
+    idx = np.clip(idx, 0, 254)
+    out = _BYTE_SORTED[idx].astype(np.uint8)
+    # exact-match guard: dl values come FROM NORM_TABLE, so lookup is exact;
+    # +inf (empty doc) would not match — map it to byte 0
+    out[~np.isfinite(dl)] = 0
+    return out
 
-    @F.pandas_udf(ENCODED_SCHEMA)
-    def encode_udf(
-        doc_ids: pd.Series, tfs: pd.Series, norms: pd.Series
-    ) -> pd.DataFrame:
-        rows = []
-        for d, t, nb in zip(doc_ids, tfs, norms):
-            enc = encode_postings(
-                np.asarray(d, dtype=np.int64),
-                np.asarray(t, dtype=np.int64),
-                np.asarray(nb, dtype=np.int64).astype(np.uint8),
+
+def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    part = int(pdf["index_partition"].iloc[0])
+    terms = pdf["term"].to_numpy()
+    docids = pdf["docid"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["dl_approx"].to_numpy(dtype=np.float64)
+
+    order = np.lexsort((docids, terms))
+    terms, docids, tfs, dls = terms[order], docids[order], tfs[order], dls[order]
+    norms = _norm_byte_from_dl(dls)
+
+    uniq, starts = np.unique(terms, return_index=True)
+    bounds = np.append(starts, len(terms))
+    rows = []
+    for i, term in enumerate(uniq):
+        lo, hi = bounds[i], bounds[i + 1]
+        enc = encode_postings(docids[lo:hi], tfs[lo:hi], norms[lo:hi])
+        rows.append(
+            (
+                part, term, int(hi - lo), int(tfs[lo:hi].sum()), int(docids[lo]),
+                enc["doc_gaps_vb"], enc["tfs_vb"], enc["norm_bytes"],
+                enc["block_last_docid"].tolist(),
+                enc["block_max_tf"].tolist(),
+                enc["block_min_dlb"].tolist(),
             )
-            rows.append(
-                {
-                    "doc_gaps_vb": enc["doc_gaps_vb"],
-                    "tfs_vb": enc["tfs_vb"],
-                    "norm_bytes": enc["norm_bytes"],
-                    "block_last_docid": enc["block_last_docid"].tolist(),
-                    "block_max_tf": enc["block_max_tf"].tolist(),
-                    "block_min_dlb": enc["block_min_dlb"].tolist(),
-                }
-            )
-        return pd.DataFrame(rows, columns=ENCODED_SCHEMA.fieldNames())
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "index_partition", "term", "df_part", "cf_part", "first_docid",
+            "doc_gaps_vb", "tfs_vb", "norm_bytes", "block_last_docid",
+            "block_max_tf", "block_min_dlb",
+        ],
+    )
 
-    p = index.postings.join(index.docs.select("docid", "norm_byte"), "docid")
-    rows = (
-        p.groupBy("index_partition", "term")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("docid", "tf", "norm_byte"))
-            ).alias("plist"),
-            F.count(F.lit(1)).cast("int").alias("df_part"),
-            F.sum("tf").cast("long").alias("cf_part"),
-        )
-        .select(
-            "index_partition",
-            "term",
-            "df_part",
-            "cf_part",
-            F.col("plist")[0]["docid"].alias("first_docid"),
-            F.transform("plist", lambda s: s["docid"]).alias("_docids"),
-            F.transform("plist", lambda s: s["tf"].cast("long")).alias("_tfs"),
-            F.transform("plist", lambda s: s["norm_byte"].cast("long")).alias("_norms"),
-        )
+
+def compress_postings(postings: DataFrame, term_buckets: int = 8) -> DataFrame:
+    """Encode any postings-shaped DataFrame
+    (index_partition, term, docid, tf, dl_approx) into compressed segment
+    rows.  ``term_buckets`` salts the shuffle key so one task never holds
+    more than ~1/B of a partition's postings; raise it with corpus size."""
+    p = postings.select("index_partition", "term", "docid", "tf", "dl_approx")
+    bucket = F.pmod(F.xxhash64("term"), F.lit(term_buckets))
+    return (
+        p.groupBy("index_partition", bucket.alias("_bucket"))
+        .applyInPandas(lambda pdf: _encode_group(pdf), COMPRESSED_SCHEMA)
     )
-    out = rows.select(
-        "index_partition",
-        "term",
-        "df_part",
-        "cf_part",
-        "first_docid",
-        encode_udf("_docids", "_tfs", "_norms").alias("_enc"),
-    ).select(
-        "index_partition", "term", "df_part", "cf_part", "first_docid", "_enc.*"
-    )
+
+
+def build_compressed_segments(
+    index: IndexTables, persist: bool = True, term_buckets: int = 8
+) -> DataFrame:
+    """(index_partition, term, df_part, cf_part, first_docid, <encoded cols>)."""
+    out = compress_postings(index.postings, term_buckets)
     if persist:
         out = out.persist()
     return out

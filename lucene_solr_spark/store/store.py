@@ -144,11 +144,13 @@ def build_pages_to_store(
         return store.head()
 
     batch_size = batch_size or num_index_partitions
+    # no persist here: each batch reads `assigned` exactly once (build_index
+    # caches the post-tokenize docs table, which is far smaller than the
+    # extracted text) — caching text-sized data would only add heap traffic
     assigned = (
         assign_page_docids(pages, num_index_partitions)
         .withColumn("extracted", extract_text_expr(F.col("html")))
         .select("docid", "url", "extracted", "lang", "index_partition")
-        .persist()
     )
 
     snap = store.head()
@@ -157,6 +159,9 @@ def build_pages_to_store(
         batch = todo[i : i + batch_size]
         t0 = time.perf_counter()
         subset = assigned.filter(F.col("index_partition").isin(batch))
+        # persist=True: the tokenized docs/postings tables are read 3-4 times
+        # below (docs write, compressed-segment build, per-partition stats) —
+        # caching them turns the batch into tokenize-once
         idx = build_index(
             spark,
             subset,
@@ -165,7 +170,7 @@ def build_pages_to_store(
             docid_col="docid",
             num_index_partitions=num_index_partitions,
             passthrough_cols=("lang",),
-            persist=False,
+            persist=True,
         )
         _write_partitioned(idx.docs, store.docs_path)
         _write_partitioned(build_compressed_segments(idx, persist=False),
@@ -211,6 +216,8 @@ def build_pages_to_store(
             + idx.sum_total_term_freq,
         )
         store.commit(snap)
+        for cached in (idx.docs, idx.postings, idx.segments):
+            cached.unpersist()
         batches_done += 1
         if fail_after_batches is not None and batches_done >= fail_after_batches:
             assigned.unpersist()

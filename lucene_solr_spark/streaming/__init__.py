@@ -1,6 +1,7 @@
 from lucene_solr_spark.streaming.incremental import (
     StreamingIndexer,
+    compact_store,
     load_streaming_index,
 )
 
-__all__ = ["StreamingIndexer", "load_streaming_index"]
+__all__ = ["StreamingIndexer", "compact_store", "load_streaming_index"]

@@ -172,6 +172,66 @@ class StreamingIndexer:
         return writer.start()
 
 
+def compact_store(spark: SparkSession, root: str) -> Snapshot:
+    """Merge all committed segment generations into one (TieredMergePolicy /
+    forceMerge analog, lucene/core/.../index/TieredMergePolicy.java:281-334).
+
+    Decode every generation's postings, re-encode into a single new
+    generation, commit a snapshot pointing only at it, then delete the old
+    generation directories.  Crash-safe: readers resolve generations through
+    the snapshot, so a crash before the commit leaves the old snapshot
+    intact and the half-written new gen invisible; a crash after the commit
+    leaves orphan old dirs that the next compaction sweep removes.
+    Query cost drops from one kernel group per (partition, gen) back to one
+    per partition.
+    """
+    import shutil
+
+    from lucene_solr_spark.index.compress import compress_postings
+    from lucene_solr_spark.store.store import postings_from_compressed
+
+    store = IndexStore(root)
+    snap = store.head()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    old_gens = list(snap.gens or [])
+    if len(old_gens) <= 1:
+        return snap
+
+    keep = F.col("gen").isin(old_gens)
+    docs = spark.read.option("basePath", store.docs_path).parquet(
+        store.docs_path
+    ).filter(keep).drop("gen")
+    compressed = spark.read.option("basePath", store.segments_path).parquet(
+        store.segments_path
+    ).filter(keep)
+    postings = postings_from_compressed(compressed)
+
+    new_gen = max(old_gens) + 1
+    docs.write.mode("overwrite").partitionBy("index_partition").parquet(
+        os.path.join(store.docs_path, f"gen={new_gen}")
+    )
+    compress_postings(postings).write.mode("overwrite").partitionBy(
+        "index_partition"
+    ).parquet(os.path.join(store.segments_path, f"gen={new_gen}"))
+
+    new_snap = Snapshot(
+        snapshot_id=snap.snapshot_id + 1,
+        parent_id=snap.snapshot_id,
+        committed_partitions=snap.committed_partitions,
+        num_index_partitions=snap.num_index_partitions,
+        max_doc=snap.max_doc,
+        sum_total_term_freq=snap.sum_total_term_freq,
+        gens=[new_gen],
+        doc_bases=snap.doc_bases,
+    )
+    store.commit(new_snap)
+    for g in old_gens:
+        shutil.rmtree(os.path.join(store.docs_path, f"gen={g}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(store.segments_path, f"gen={g}"), ignore_errors=True)
+    return new_snap
+
+
 def load_streaming_index(spark: SparkSession, root: str) -> IndexTables:
     """Open a streaming store (all committed generations) as IndexTables."""
     from lucene_solr_spark.store.store import postings_from_compressed

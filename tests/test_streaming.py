@@ -103,6 +103,35 @@ def test_batch_replay_is_idempotent(spark, pages, streamed):
     assert snap.max_doc == before.max_doc
 
 
+def test_compaction_preserves_results(spark, streamed):
+    """forceMerge analog: all generations -> one; queries unchanged."""
+    from lucene_solr_spark.search import BooleanQuery, search
+    from lucene_solr_spark.search.wand import wand_search
+    from lucene_solr_spark.streaming import compact_store, load_streaming_index
+
+    indexer, root = streamed
+    before_idx = load_streaming_index(spark, root)
+    q = BooleanQuery.of(must=["table"], should=["merge", "scan"])
+    before = [(r.docid, r.score) for r in search(before_idx, q, k=10).collect()]
+    seg_before = sorted(
+        map(tuple, before_idx.segments.select("term", "df", "cf").collect())
+    )
+
+    snap = compact_store(spark, root)
+    assert len(snap.gens) == 1
+    after_idx = load_streaming_index(spark, root)
+    assert after_idx.max_doc == before_idx.max_doc
+    assert sorted(
+        map(tuple, after_idx.segments.select("term", "df", "cf").collect())
+    ) == seg_before
+    assert [(r.docid, r.score) for r in search(after_idx, q, k=10).collect()] == before
+    assert [
+        (r.docid, r.score) for r in wand_search(after_idx, q, k=10).collect()
+    ] == before
+    # idempotent: single-gen store is a no-op
+    assert compact_store(spark, root).snapshot_id == snap.snapshot_id
+
+
 def test_soft_commit_visibility_after_first_batch(spark, pages, tmp_path):
     """After one batch, readers see exactly that batch (NRT visibility)."""
     from lucene_solr_spark.streaming import StreamingIndexer, load_streaming_index
