@@ -102,8 +102,9 @@ def tokens_expr(text: Column) -> Column:
     toks = raw_tokens_expr(text)
     toks = F.filter(toks, lambda t: F.length(t) <= MAX_TOKEN_LENGTH)
     toks = F.transform(toks, F.lower)
-    stop = F.array(*[F.lit(w) for w in ENGLISH_STOP_WORDS])
-    return F.filter(toks, lambda t: ~F.array_contains(stop, t))
+    # isin over >10 literals compiles to Catalyst InSet (hash-set probe) —
+    # measurably cheaper than array_contains' linear scan at ~1e9 tokens
+    return F.filter(toks, lambda t: ~t.isin(*ENGLISH_STOP_WORDS))
 
 
 def positioned_tokens_expr(text: Column) -> Column:
@@ -114,7 +115,6 @@ def positioned_tokens_expr(text: Column) -> Column:
     exactly like StopFilter/StandardTokenizer position increments.
     """
     raw = raw_tokens_expr(text)
-    stop = F.array(*[F.lit(w) for w in ENGLISH_STOP_WORDS])
     pos_structs = F.transform(
         raw, lambda t, i: F.struct(i.alias("pos"), F.lower(t).alias("term"),
                                    F.length(t).alias("_rawlen")),
@@ -122,7 +122,7 @@ def positioned_tokens_expr(text: Column) -> Column:
     kept = F.filter(
         pos_structs,
         lambda s: (s["_rawlen"] <= MAX_TOKEN_LENGTH)
-        & ~F.array_contains(stop, s["term"]),
+        & ~s["term"].isin(*ENGLISH_STOP_WORDS),
     )
     return F.transform(kept, lambda s: F.struct(s["pos"].alias("pos"),
                                                 s["term"].alias("term")))
@@ -192,8 +192,7 @@ class StandardAnalyzer:
         if self.lowercase:
             toks = F.transform(toks, F.lower)
         if self.stopwords:
-            stop = F.array(*[F.lit(w) for w in self.stopwords])
-            toks = F.filter(toks, lambda t: ~F.array_contains(stop, t))
+            toks = F.filter(toks, lambda t: ~t.isin(*self.stopwords))
         return toks
 
     def analyze(self, text: str | None) -> list[str]:

@@ -96,7 +96,7 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def compress_postings(postings: DataFrame, term_buckets: int = 8) -> DataFrame:
+def compress_postings(postings: DataFrame, term_buckets: int = 64) -> DataFrame:
     """Encode any postings-shaped DataFrame
     (index_partition, term, docid, tf, dl_approx) into compressed segment
     rows.  ``term_buckets`` salts the shuffle key so one task never holds
@@ -110,7 +110,7 @@ def compress_postings(postings: DataFrame, term_buckets: int = 8) -> DataFrame:
 
 
 def build_compressed_segments(
-    index: IndexTables, persist: bool = True, term_buckets: int = 8
+    index: IndexTables, persist: bool = True, term_buckets: int = 64
 ) -> DataFrame:
     """(index_partition, term, df_part, cf_part, first_docid, <encoded cols>)."""
     out = compress_postings(index.postings, term_buckets)

@@ -71,7 +71,6 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     family (C4/Gopher-style rules; public knowledge), exact formula ours.
     """
     raw = F.coalesce(raw_tokens_expr(F.col(text_col)), F.array())
-    stop = F.array(*[F.lit(w) for w in ENGLISH_STOP_WORDS])
     d = df.select(
         F.col(id_col).alias("docid"),
         F.col(text_col).alias("_text"),
@@ -79,7 +78,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     ).select(
         "docid", "_text",
         F.size("_raw").alias("n_tokens"),
-        F.size(F.filter("_raw", lambda t: F.array_contains(stop, F.lower(t)))).alias("_n_stop"),
+        F.size(F.filter("_raw", lambda t: F.lower(t).isin(*ENGLISH_STOP_WORDS))).alias("_n_stop"),
         F.aggregate(
             F.transform("_raw", F.length), F.lit(0), lambda a, x: a + x
         ).alias("_sum_len"),
