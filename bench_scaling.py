@@ -1,7 +1,7 @@
 """Two-parallelism-level scaling protocol (north rule: N vs 4N executors).
 
 No real cluster exists in this sandbox, so the same index-build job runs at
-local[N] and local[4N] (stand-ins for N and 4N executors; default 2 and 8)
+local[N] and local[4N] (stand-ins for N and 4N executors; default 1 and 4)
 over the SAME replicated pages corpus.  Reports docs/sec at both levels and
 
     eff = (throughput_4N / throughput_N) / 4
@@ -9,13 +9,15 @@ over the SAME replicated pages corpus.  Reports docs/sec at both levels and
 into stdout JSON + BENCH_SCALING.json, and refreshes the measured-numbers
 section of BASELINE.md.
 
-Why N=2/4N=8 by default: measurements across 2/8/32 cores show this shared
-VM saturates at ~8-10 effective cores for memory-intensive work (8->32 adds
-nothing regardless of heap/tmpfs tuning, while a pure-CPU busy-loop still
-scales — ambient tenant load of 6-10 cores plus DRAM bandwidth are the
-ceiling).  2 vs 8 keeps both levels below the machine ceiling, which is what
-"N vs 4N executors with real cores each" means on a box like this.  Set
-SPARK_GRAFT_BENCH_LEVELS=8,32 to reproduce the saturated pair.
+Why N=1/4N=4 by default: measurements across 1/2/4/8/32 cores show this
+shared VM saturates at ~8-10 effective cores for memory-intensive work
+(8->32 adds nothing regardless of heap/tmpfs tuning, while a pure-CPU
+busy-loop still scales — ambient tenant load of 6-10 cores plus DRAM
+bandwidth are the ceiling), and even the 8-core level is intermittently
+squeezed by tenant bursts.  1 vs 4 keeps both levels below the contention
+zone, which is what "N vs 4N executors with real cores each" means on a box
+like this; see BASELINE.md for the full level sweep.  Set
+SPARK_GRAFT_BENCH_LEVELS=2,8 or 8,32 to reproduce the other pairs.
 
 Methodology — the sandbox host is SHARED: ambient load of 6-10 cores from
 other tenants, bursty (observed 2-4x wall-clock swings on identical runs).
@@ -37,7 +39,7 @@ Usage:
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_BENCH_REPLICATE (default 16 copies),
      SPARK_GRAFT_BENCH_TEXT_REPEAT (default 16 -> ~5 KB text per page),
-     SPARK_GRAFT_BENCH_LEVELS (default "2,8").
+     SPARK_GRAFT_BENCH_LEVELS (default "1,4").
 """
 
 from __future__ import annotations
@@ -55,7 +57,7 @@ REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "16"))
 TEXT_REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_TEXT_REPEAT", "16"))
 INDEX_PARTITIONS = 32  # constant across runs: identical output index shape
 LEVELS = tuple(
-    int(x) for x in os.environ.get("SPARK_GRAFT_BENCH_LEVELS", "2,8").split(",")
+    int(x) for x in os.environ.get("SPARK_GRAFT_BENCH_LEVELS", "1,4").split(",")
 )
 ROUNDS = 2
 TRIALS = 2

@@ -208,6 +208,63 @@ def term_range_query(spark, sf_dir):
 
 
 @_q(
+    "regexp_query",
+    f"{PRELUDE}\n"
+    + _CS_EXP_SQL.format(pred="regexp_full_match(term, 'sc[a-z]n')"),
+)
+def regexp_query(spark, sf_dir):
+    from lucene_solr_spark.search import RegexpQuery
+
+    return search(get_index(spark, sf_dir), RegexpQuery("sc[a-z]n"), k=10)
+
+
+_CURSOR_SQL = f"""{PRELUDE},
+scored AS (
+  SELECT f.docid, round({{sc}}, 4) AS score
+  {{sf}}
+  WHERE f.term = 'table'
+),
+page1 AS (
+  SELECT docid, score FROM scored ORDER BY score DESC, docid ASC LIMIT 5
+)
+SELECT docid, score FROM scored
+WHERE (score, -docid) < (SELECT (score, -docid) FROM page1 ORDER BY score ASC, docid DESC LIMIT 1)
+ORDER BY score DESC, docid ASC LIMIT 5"""
+
+
+@_q(
+    "cursor_mark_page2",
+    _CURSOR_SQL.format(sc=score_cols_sql(), sf=scored_from()),
+)
+def cursor_mark_page2(spark, sf_dir):
+    """searchAfter / cursorMark keyset paging (IndexSearcher.java:243-258,
+    CursorMark): page 2 fetched with the last hit of page 1 as the cursor —
+    no offset re-scan."""
+    idx = get_index(spark, sf_dir)
+    page1 = search(idx, "table", k=5).collect()
+    last = page1[-1]
+    return search(idx, "table", k=5, after=(last.score, last.docid))
+
+
+@_q(
+    "facet_sort_index_prefix",
+    f"""{PRELUDE},
+{matches_cte(('table',))}
+SELECT d.source AS facet_term, count(*) AS facet_count
+FROM documents d JOIN matches m ON m.docid = d.doc_id
+WHERE d.source LIKE 'src1%'
+GROUP BY 1 HAVING count(*) >= 1
+ORDER BY facet_term ASC LIMIT 10""",
+)
+def facet_sort_index_prefix(spark, sf_dir):
+    """facet.sort=index + facet.prefix (SimpleFacets params; DocValuesFacets
+    prefix bounding via startTermIndex/endIdx)."""
+    idx = get_index(spark, sf_dir)
+    r = idx.docs.join(_docset(idx, ["table"]), "docid")
+    return facet_field(r, "source", limit=10, mincount=1, sort="index", prefix="src1")
+
+
+@_q(
     "match_all",
     "SELECT doc_id AS docid, 1.0 AS score FROM documents ORDER BY score DESC, docid ASC LIMIT 20",
 )

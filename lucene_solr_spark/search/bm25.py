@@ -89,7 +89,9 @@ def _expand_terms(index: IndexTables, q) -> list[str]:
         like = like.replace("*", "%").replace("?", "_")
         rows = t.filter(F.col("term").like(like)).collect()
     elif isinstance(q, RegexpQuery):
-        rows = t.filter(F.col("term").rlike(q.pattern)).collect()
+        # Lucene RegexpQuery is a FULL match over the term (AutomatonQuery
+        # semantics) — anchor the pattern; rlike alone is substring search
+        rows = t.filter(F.col("term").rlike(f"^(?:{q.pattern})$")).collect()
     elif isinstance(q, FuzzyQuery):
         rows = t.filter(F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits).collect()
     elif isinstance(q, RangeQuery):

@@ -52,9 +52,19 @@ B = 0.75
 
 
 def _round_half_up(x: np.ndarray, dp: int) -> np.ndarray:
-    """Spark/DuckDB ROUND (HALF_UP) for non-negative values."""
-    q = 10.0**dp
-    return np.floor(x * q + 0.5) / q
+    """Spark-exact ROUND: BigDecimal(shortest-decimal-repr) HALF_UP.
+
+    The cheap float trick floor(x*10^dp + 0.5) disagrees with Spark for
+    doubles just below a .5*10^-dp decimal boundary (the float multiply
+    rounds them up; fuzz-verified).  Only the <=k per-partition outputs are
+    rounded, so exact decimal arithmetic costs nothing here."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-dp)
+    return np.array(
+        [float(Decimal(repr(float(v))).quantize(q, ROUND_HALF_UP)) for v in x],
+        dtype=np.float64,
+    )
 
 
 class _TermCursor:
