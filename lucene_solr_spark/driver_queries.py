@@ -208,6 +208,25 @@ def term_range_query(spark, sf_dir):
 
 
 @_q(
+    "parsed_query_string",
+    bool_sql(must=("table",), should=("merge",), must_not=("slow",)),
+)
+def parsed_query_string(spark, sf_dir):
+    """QParser front door (QParser.java:276-308): Lucene-syntax string ->
+    Query tree -> execution.  '+table merge -slow' == must/should/not."""
+    from lucene_solr_spark.search.bm25 import search_parsed
+
+    return search_parsed(get_index(spark, sf_dir), "+table merge -slow", k=10)
+
+
+@_q("parsed_phrase_string", _PHRASE_SQL)
+def parsed_phrase_string(spark, sf_dir):
+    from lucene_solr_spark.search.bm25 import search_parsed
+
+    return search_parsed(get_index(spark, sf_dir), '"table scan"', k=10)
+
+
+@_q(
     "regexp_query",
     f"{PRELUDE}\n"
     + _CS_EXP_SQL.format(pred="regexp_full_match(term, 'sc[a-z]n')"),

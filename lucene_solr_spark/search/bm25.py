@@ -256,6 +256,90 @@ def search(
     return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
 
 
+def search_parsed(
+    index: IndexTables,
+    query_string: str,
+    k: int = 10,
+    default_op: str = "OR",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Parse a Solr/Lucene-syntax query string and execute it.
+
+    The QParser front door (QParser.java:276-308 -> classic grammar): the
+    parser (search/parser.py) yields the Query tree; plain boolean/phrase/
+    multi-term trees execute through ``search``; composite trees (terms +
+    phrase/multi-term sub-queries) compose per-part scored sets with Lucene's
+    boolean-of-subqueries semantics: score = Σ matching sub-scores, MUST
+    parts intersect, SHOULD parts extend, NOT parts anti-join."""
+    from lucene_solr_spark.search.parser import CompositeQuery, parse_query
+
+    parsed = parse_query(query_string, default_op=default_op)
+    if not isinstance(parsed, CompositeQuery):
+        if isinstance(parsed, BooleanQuery) and not (
+            parsed.must or parsed.should or parsed.must_not
+        ):
+            return index.postings.sparkSession.createDataFrame(
+                [], "docid long, score double"
+            )
+        return search(index, parsed, k=k, round_dp=round_dp)
+
+    def part_scores(q) -> DataFrame:
+        """Full (docid, score) set for one sub-query, unrounded."""
+        if isinstance(q, PhraseQuery):
+            return _phrase_topk(index, q, round_dp=10)
+        if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, RangeQuery)):
+            terms = _expand_terms(index, q)
+            if not terms:
+                return index.postings.sparkSession.createDataFrame(
+                    [], "docid long, score double"
+                )
+            return (
+                index.postings.filter(F.col("term").isin(terms))
+                .select("docid")
+                .distinct()
+                .select("docid", F.lit(1.0).alias("score"))
+            )
+        raise TypeError(type(q))
+
+    b = parsed.boolean
+    acc: DataFrame | None = None
+    if b.must or b.should or b.must_not:
+        acc = _boolean_topk(index, b, k=k, round_dp=10)
+
+    for q in parsed.must_specials:
+        p = part_scores(q).withColumnRenamed("score", "_ps")
+        if acc is None:
+            acc = p.withColumnRenamed("_ps", "score")
+        else:
+            acc = acc.join(p, "docid").select(
+                "docid", (F.col("score") + F.col("_ps")).alias("score")
+            )
+    for q in parsed.should_specials:
+        p = part_scores(q).withColumnRenamed("score", "_ps")
+        if acc is None:
+            acc = p.withColumnRenamed("_ps", "score")
+        else:
+            acc = acc.join(p, "docid", "full").select(
+                F.col("docid"),
+                (
+                    F.coalesce(F.col("score"), F.lit(0.0))
+                    + F.coalesce(F.col("_ps"), F.lit(0.0))
+                ).alias("score"),
+            )
+    for q in parsed.not_specials:
+        if acc is not None:
+            acc = acc.join(part_scores(q).select("docid"), "docid", "left_anti")
+    if acc is None:
+        return index.postings.sparkSession.createDataFrame(
+            [], "docid long, score double"
+        )
+    return (
+        acc.select("docid", F.round("score", round_dp).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+
+
 def dismax(
     index: IndexTables,
     clauses: list[str],
