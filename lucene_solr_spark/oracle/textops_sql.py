@@ -239,7 +239,7 @@ def fingerprint_sql(max_docid: int = 100) -> str:
     h = hash64_sql("term || '@' || CAST(rn AS VARCHAR)")
     return f"""WITH {tok_cte(f'(SELECT doc_id, text FROM documents WHERE doc_id < {max_docid})')}
 SELECT d.doc_id AS docid,
-       coalesce(sum({h} % 4294967296), 0) % {FP_MOD} AS fingerprint
+       CAST(coalesce(sum({h} % 4294967296), 0) % {FP_MOD} AS BIGINT) AS fingerprint
 FROM documents d LEFT JOIN ord ON ord.docid = d.doc_id
 WHERE d.doc_id < {max_docid}
 GROUP BY 1 ORDER BY 1"""
