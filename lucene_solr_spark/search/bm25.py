@@ -221,11 +221,12 @@ def search(
                 [], "docid long, score double"
             )
         if rewrite == "constant_score":
+            boost = float(getattr(query, "boost", 1.0))
             out = (
                 index.postings.filter(F.col("term").isin(terms))
                 .select("docid")
                 .distinct()
-                .select("docid", F.lit(1.0).alias("score"))
+                .select("docid", F.lit(boost).alias("score"))
             )
             if after is not None:
                 a_score, a_docid = after
@@ -234,7 +235,11 @@ def search(
                     | ((F.col("score") == a_score) & (F.col("docid") > a_docid))
                 )
             return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
-        query = BooleanQuery.of(should=terms, mm=1)
+        qboost = float(getattr(query, "boost", 1.0))
+        query = BooleanQuery(
+            should=tuple(TermQuery(t, boost=qboost) for t in terms),
+            minimum_should_match=1,
+        )
 
     if isinstance(query, MatchAllQuery):
         out = index.docs.select(
@@ -286,55 +291,102 @@ def search_parsed(
     def part_scores(q) -> DataFrame:
         """Full (docid, score) set for one sub-query, unrounded."""
         if isinstance(q, PhraseQuery):
-            return _phrase_topk(index, q, round_dp=10)
+            p = _phrase_topk(index, q, round_dp=10)
+            if q.boost != 1.0:
+                p = p.select("docid", (F.col("score") * F.lit(q.boost)).alias("score"))
+            return p
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, RangeQuery)):
             terms = _expand_terms(index, q)
             if not terms:
                 return index.postings.sparkSession.createDataFrame(
                     [], "docid long, score double"
                 )
+            boost = getattr(q, "boost", 1.0)
             return (
                 index.postings.filter(F.col("term").isin(terms))
                 .select("docid")
                 .distinct()
-                .select("docid", F.lit(1.0).alias("score"))
+                .select("docid", F.lit(float(boost)).alias("score"))
             )
         raise TypeError(type(q))
 
+    # Boolean-of-subqueries (BooleanQuery.java:100-218 over Weight-per-clause):
+    # every scoring clause — term or special — is one (docid, score) frame;
+    # frames full-outer-join on docid, score = fixed-order sum of matching
+    # contributions, and MUST / minimum-should-match / MUST_NOT constraints
+    # apply to the COMPOSED set (a MUST phrase filters term-only docs, a
+    # MUST_NOT term excludes phrase matches, etc.).
     b = parsed.boolean
-    acc: DataFrame | None = None
-    if b.must or b.should or b.must_not:
-        acc = _boolean_topk(index, b, k=k, round_dp=10)
+    must_terms = [t.term for t in b.must]
+    should_terms = [t.term for t in b.should]
+    boosts = {t.term: t.boost for t in (*b.must, *b.should)}
+    bool_terms = list(dict.fromkeys(must_terms + should_terms))
 
-    for q in parsed.must_specials:
-        p = part_scores(q).withColumnRenamed("score", "_ps")
-        if acc is None:
-            acc = p.withColumnRenamed("_ps", "score")
-        else:
-            acc = acc.join(p, "docid").select(
-                "docid", (F.col("score") + F.col("_ps")).alias("score")
-            )
-    for q in parsed.should_specials:
-        p = part_scores(q).withColumnRenamed("score", "_ps")
-        if acc is None:
-            acc = p.withColumnRenamed("_ps", "score")
-        else:
-            acc = acc.join(p, "docid", "full").select(
-                F.col("docid"),
-                (
-                    F.coalesce(F.col("score"), F.lit(0.0))
-                    + F.coalesce(F.col("_ps"), F.lit(0.0))
-                ).alias("score"),
-            )
-    for q in parsed.not_specials:
-        if acc is not None:
-            acc = acc.join(part_scores(q).select("docid"), "docid", "left_anti")
-    if acc is None:
+    frames: list[DataFrame] = []
+    # (column, required, counts_toward_mm, boost)
+    contribs: list[tuple[str, bool, bool, float]] = []
+    if bool_terms:
+        scored = term_scores(index, bool_terms)
+        aggs = [
+            F.max(F.when(F.col("term") == t, F.col("score"))).alias(f"_s{i}")
+            for i, t in enumerate(bool_terms)
+        ]
+        frames.append(scored.groupBy("docid").agg(*aggs))
+        for i, t in enumerate(bool_terms):
+            req = t in must_terms
+            contribs.append((f"_s{i}", req, not req, boosts.get(t, 1.0)))
+    specials = [(q, True) for q in parsed.must_specials] + [
+        (q, False) for q in parsed.should_specials
+    ]
+    for j, (q, req) in enumerate(specials):
+        frames.append(part_scores(q).withColumnRenamed("score", f"_sp{j}"))
+        contribs.append((f"_sp{j}", req, not req, 1.0))
+
+    if not frames:
+        # must_not-only query: no scoring clause -> MatchNoDocs
+        # (BooleanWeight requires >=1 scoring or filtering positive clause)
         return index.postings.sparkSession.createDataFrame(
             [], "docid long, score double"
         )
+
+    acc = frames[0]
+    for f2 in frames[1:]:
+        acc = acc.join(f2, "docid", "full")
+
+    score = F.lit(0.0)
+    for name, _req, _sh, boost in contribs:
+        c = F.coalesce(F.col(name), F.lit(0.0))
+        if boost != 1.0:
+            c = c * F.lit(boost)
+        score = score + c
+    out = acc.withColumn("score", score)
+
+    for name, req, _sh, _b in contribs:
+        if req:
+            out = out.filter(F.col(name).isNotNull())
+    should_cols = [name for name, _req, sh, _b in contribs if sh]
+    has_must = any(req for _n, req, _sh, _b in contribs)
+    mm = b.minimum_should_match
+    if not has_must:
+        mm = max(mm, 1)  # pure-SHOULD boolean needs >=1 optional match
+    if should_cols and mm > 0:
+        matched = sum((F.col(n).isNotNull()).cast("int") for n in should_cols)
+        out = out.filter(matched >= mm)
+
+    if b.must_not:
+        excl = (
+            index.postings.filter(
+                F.col("term").isin([t.term for t in b.must_not])
+            )
+            .select("docid")
+            .distinct()
+        )
+        out = out.join(excl, "docid", "left_anti")
+    for q in parsed.not_specials:
+        out = out.join(part_scores(q).select("docid"), "docid", "left_anti")
+
     return (
-        acc.select("docid", F.round("score", round_dp).alias("score"))
+        out.select("docid", F.round("score", round_dp).alias("score"))
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
     )

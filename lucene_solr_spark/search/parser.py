@@ -39,7 +39,7 @@ from lucene_solr_spark.search.query import (
 _TOKEN_RE = re.compile(
     r"""
     \s*(?:
-        (?P<phrase>"(?P<ph>[^"]*)"(?:~(?P<slop>\d+))?)
+        (?P<phrase>"(?P<ph>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?)
       | (?P<range>\[\s*(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\s*\])
       | (?P<and>AND\b)
       | (?P<or>OR\b)
@@ -83,10 +83,13 @@ def parse_query(q: str, default_op: str = "OR"):
             terms = analyze_text(mt.group("ph"))
             if terms:
                 slop = int(mt.group("slop") or 0)
+                pboost = float(mt.group("pboost") or 1.0)
                 if len(terms) == 1:
-                    specials.append((bucket or "auto", TermQuery(terms[0])))
+                    specials.append((bucket or "auto", TermQuery(terms[0], boost=pboost)))
                 else:
-                    specials.append((bucket or "auto", PhraseQuery(tuple(terms), slop=slop)))
+                    specials.append(
+                        (bucket or "auto", PhraseQuery(tuple(terms), slop=slop, boost=pboost))
+                    )
             continue
 
         if mt.group("range") is not None:
@@ -114,15 +117,18 @@ def parse_query(q: str, default_op: str = "OR"):
             terms = analyze_text(base)
             if terms:
                 specials.append(
-                    (bucket or "auto", FuzzyQuery(terms[0], max_edits=int(fm.group(1) or 2)))
+                    (
+                        bucket or "auto",
+                        FuzzyQuery(terms[0], max_edits=int(fm.group(1) or 2), boost=boost),
+                    )
                 )
             continue
 
         if body.endswith("*") and "*" not in body[:-1] and "?" not in body:
-            specials.append((bucket or "auto", PrefixQuery(body[:-1].lower())))
+            specials.append((bucket or "auto", PrefixQuery(body[:-1].lower(), boost=boost)))
             continue
         if "*" in body or "?" in body:
-            specials.append((bucket or "auto", WildcardQuery(body.lower())))
+            specials.append((bucket or "auto", WildcardQuery(body.lower(), boost=boost)))
             continue
 
         for term in analyze_text(body):

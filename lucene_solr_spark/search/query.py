@@ -28,22 +28,26 @@ class PhraseQuery:
 @dataclass(frozen=True)
 class PrefixQuery:
     prefix: str
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class WildcardQuery:
     pattern: str  # Lucene wildcard: * and ?
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class RegexpQuery:
     pattern: str
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class FuzzyQuery:
     term: str
     max_edits: int = 1
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -212,7 +212,14 @@ def _partition_topk(
             ok &= should_hits >= mm
         if not must:
             ok &= should_hits > 0
-        for doc, sc in zip(all_docs[ok].tolist(), total[ok].tolist()):
+        # Round BEFORE heap insertion: the Catalyst path orders by
+        # round(score, dp) with docid-asc tie-break, so heap eviction at the
+        # kth boundary must compare rounded scores too — two raw scores in
+        # the same rounding bucket are a TIE decided by docid, not by raw
+        # magnitude.  (Theta pruning above keeps its raw-score margin.)
+        for doc, sc in zip(
+            all_docs[ok].tolist(), _round_half_up(total[ok], round_dp).tolist()
+        ):
             item = (sc, -doc)
             if len(heap) < k:
                 heapq.heappush(heap, item)
@@ -225,7 +232,7 @@ def _partition_topk(
             {"docid": "int64", "score": "float64"}
         )
     docs = np.array([-d for _, d in heap], dtype=np.int64)
-    scores = _round_half_up(np.array([s for s, _ in heap]), round_dp)
+    scores = np.array([s for s, _ in heap])  # already rounded at insertion
     return pd.DataFrame({"docid": docs, "score": scores})
 
 

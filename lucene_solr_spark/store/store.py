@@ -56,6 +56,11 @@ class Snapshot:
     # micro-batch flush) and the next local-docid base per partition
     gens: list[int] | None = None
     doc_bases: dict | None = None
+    # highest Structured-Streaming batch id ever committed — the replay
+    # watermark.  Kept SEPARATE from ``gens`` because compaction rewrites the
+    # gen list (compacted gens use negative ids, outside the batch-id space)
+    # while replay detection must keep comparing against batch history.
+    max_batch_id: int | None = None
 
     @property
     def avgdl(self) -> float:

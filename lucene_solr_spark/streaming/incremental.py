@@ -64,8 +64,17 @@ class StreamingIndexer:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> Snapshot | None:
         spark = self.spark
         snap = self.store.head()
-        if snap and snap.gens and int(batch_id) in snap.gens:
-            return snap  # replayed batch after recovery: already committed
+        # Replay detection compares batch ids against BATCH history only:
+        # the max_batch_id watermark survives compaction (which collapses
+        # ``gens`` into a negative-id compacted generation), so a replayed
+        # batch is skipped and a genuinely new batch id is never mistaken
+        # for a committed one.
+        if snap is not None:
+            if snap.max_batch_id is not None:
+                if int(batch_id) <= snap.max_batch_id:
+                    return snap  # replayed batch after recovery
+            elif snap.gens and int(batch_id) in snap.gens:
+                return snap  # pre-watermark store: gens are batch ids
         bases = {int(k): int(v) for k, v in (snap.doc_bases or {}).items()} if snap else {}
 
         pid = (portable_url_hash(F.col("url")) % self.P).cast("int")
@@ -141,6 +150,10 @@ class StreamingIndexer:
             + idx.sum_total_term_freq,
             gens=sorted(set(snap.gens if snap and snap.gens else []) | {gen}),
             doc_bases={str(k): v for k, v in new_bases.items()},
+            max_batch_id=max(
+                int(batch_id),
+                snap.max_batch_id if snap and snap.max_batch_id is not None else -1,
+            ),
         )
         self.store.commit(new_snap)  # soft-commit: new gen visible to readers
         return new_snap
@@ -207,7 +220,10 @@ def compact_store(spark: SparkSession, root: str) -> Snapshot:
     ).filter(keep)
     postings = postings_from_compressed(compressed)
 
-    new_gen = max(old_gens) + 1
+    # Compacted generations live in a NEGATIVE id namespace so they can never
+    # collide with (or be mistaken for) a Structured-Streaming batch id: after
+    # batches 0..N-1, max+1 would be exactly the next batch id N.
+    new_gen = min(0, min(old_gens)) - 1
     docs.write.mode("overwrite").partitionBy("index_partition").parquet(
         os.path.join(store.docs_path, f"gen={new_gen}")
     )
@@ -224,6 +240,9 @@ def compact_store(spark: SparkSession, root: str) -> Snapshot:
         sum_total_term_freq=snap.sum_total_term_freq,
         gens=[new_gen],
         doc_bases=snap.doc_bases,
+        max_batch_id=snap.max_batch_id
+        if snap.max_batch_id is not None
+        else max((g for g in old_gens if g >= 0), default=None),
     )
     store.commit(new_snap)
     for g in old_gens:

@@ -150,3 +150,99 @@ def test_search_parsed_empty_query(index):
     from lucene_solr_spark.search.bm25 import search_parsed
 
     assert _rows(search_parsed(index, "the of", k=10)) == []
+
+
+# ---------------------------------------------------------------------------
+# composite boolean-of-subqueries semantics (BooleanQuery.java:100-218):
+# MUST/MUST_NOT/mm constraints apply to the COMPOSED part set, not per-part
+# ---------------------------------------------------------------------------
+
+def test_composite_must_term_filters_phrase_only_docs(index):
+    """'+vector "table scan"': the optional phrase must not re-admit docs
+    that fail the required term."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.search.bm25 import search_parsed
+
+    got = _rows(search_parsed(index, '+vector "table scan"', k=10))
+    assert len(got) > 0
+    vector_docs = {
+        r.docid
+        for r in index.postings.filter(F.col("term") == "vector")
+        .select("docid")
+        .collect()
+    }
+    assert all(d in vector_docs for d, _ in got)
+
+
+def test_composite_must_not_excludes_phrase_matches(index):
+    """'table -scan "table scan"': every phrase match contains 'scan', so the
+    MUST_NOT strips all of them -> result equals plain 'table -scan'."""
+    from lucene_solr_spark.search import search
+    from lucene_solr_spark.search.bm25 import search_parsed
+
+    got = _rows(search_parsed(index, 'table -scan "table scan"', k=10))
+    want = _rows(
+        search(index, BooleanQuery.of(should=["table"], must_not=["scan"]), k=10)
+    )
+    assert got == want
+
+
+def test_composite_must_not_only_boolean_with_special(index):
+    """'"table scan" -slow': phrase + prohibited term only — must not raise,
+    and must equal the phrase result anti-joined on the excluded term."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.search.bm25 import _phrase_topk, search_parsed
+
+    got = _rows(search_parsed(index, '"table scan" -slow', k=10))
+    ph = _phrase_topk(index, PhraseQuery(("table", "scan")), round_dp=10)
+    excl = (
+        index.postings.filter(F.col("term") == "slow").select("docid").distinct()
+    )
+    want = _rows(
+        ph.join(excl, "docid", "left_anti")
+        .select("docid", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(10)
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_composite_must_special_does_not_require_should_term(index):
+    """'merge +"table scan"': required phrase, optional term — phrase docs
+    without 'merge' stay in, scored by the phrase alone."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.search.bm25 import _phrase_topk, search_parsed, term_scores
+
+    got = _rows(search_parsed(index, 'merge +"table scan"', k=10))
+    ph = _phrase_topk(index, PhraseQuery(("table", "scan")), round_dp=10)
+    ms = (
+        term_scores(index, ["merge"])
+        .groupBy("docid")
+        .agg(F.max("score").alias("_m"))
+    )
+    want = _rows(
+        ph.join(ms, "docid", "left")
+        .select(
+            "docid",
+            F.round(
+                F.coalesce(F.col("_m"), F.lit(0.0)) + F.col("score"), 4
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(10)
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_parsed_boost_on_phrase_and_prefix():
+    q = parse_query('"table scan"^3 sc*^2')
+    assert isinstance(q, CompositeQuery)
+    assert q.should_specials == (
+        PhraseQuery(("table", "scan"), boost=3.0),
+        PrefixQuery("sc", boost=2.0),
+    )

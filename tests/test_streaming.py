@@ -144,3 +144,35 @@ def test_soft_commit_visibility_after_first_batch(spark, pages, tmp_path):
     idx = load_streaming_index(spark, root)
     assert idx.max_doc == first.count()
     assert idx.docs.count() == idx.max_doc
+
+
+def test_batch_after_compaction_not_dropped(spark, pages, streamed):
+    """After compacting batches 0..N-1 the next streaming batch id is N; a
+    max(gens)+1 compacted-gen id would collide with it and silently drop the
+    micro-batch.  Compacted gens are negative and replay detection uses the
+    max_batch_id watermark, so batch N commits and old ids still skip."""
+    from lucene_solr_spark.streaming import compact_store, load_streaming_index
+
+    indexer, root = streamed
+    compact_store(spark, root)  # no-op if the earlier test already compacted
+    before = indexer.store.head()
+    assert before.gens == [-1]
+    assert before.max_batch_id == 1
+
+    doc_id = F.split(F.col("url"), "/doc/")[1].cast("long")
+    # replayed old batch id: still skipped after compaction
+    s = indexer.process_batch(pages.where(doc_id % 2 == 1), 1)
+    assert s.snapshot_id == before.snapshot_id
+    assert s.max_doc == before.max_doc
+
+    # batch id 2 == old max(gens)+1: must be indexed, not mistaken for replay
+    extra = pages.where(doc_id < 5)
+    n_extra = extra.count()
+    assert n_extra > 0
+    s2 = indexer.process_batch(extra, 2)
+    assert s2.snapshot_id == before.snapshot_id + 1
+    assert s2.max_doc == before.max_doc + n_extra
+    assert sorted(s2.gens) == [-1, 2]
+    assert s2.max_batch_id == 2
+    idx = load_streaming_index(spark, root)
+    assert idx.max_doc == s2.max_doc
