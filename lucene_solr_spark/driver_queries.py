@@ -176,6 +176,48 @@ def phrase_query(spark, sf_dir):
     return search(get_index(spark, sf_dir), PhraseQuery(("table", "scan")), k=10)
 
 
+def _sloppy_sql(t0: str, t1: str, slop: int, k: int = 10) -> str:
+    """Anchor-based sloppy-phrase oracle mirroring bm25._sloppy_phrase_topk:
+    per-anchor matchLength = min |adjusted-position delta|, tf assembled from
+    integer per-matchLength counts in fixed order m=0..slop."""
+    cnt_cols = ",\n         ".join(
+        f"sum(CASE WHEN ml = {m} THEN 1 ELSE 0 END) AS c{m}"
+        for m in range(slop + 1)
+    )
+    tf_expr = "0.0 + " + " + ".join(
+        f"c{m} * {1.0 / (1 + m)!r}" for m in range(slop + 1)
+    )
+    return f"""{PRELUDE},
+anch AS (
+  SELECT p0.docid, p0.pos AS p, min(abs((p1.pos - 1) - p0.pos)) AS ml
+  FROM tok p0 JOIN tok p1 ON p1.docid = p0.docid
+    AND abs((p1.pos - 1) - p0.pos) <= {slop}
+  WHERE p0.term = '{t0}' AND p1.term = '{t1}'
+  GROUP BY 1, 2
+),
+cnt AS (
+  SELECT docid,
+         {cnt_cols}
+  FROM anch GROUP BY 1
+),
+pm AS (SELECT docid, {tf_expr} AS tf FROM cnt)
+SELECT pm.docid,
+       round(({idf_sql(t0)} + {idf_sql(t1)})
+             * 2.2 * pm.tf / (pm.tf + 1.2 * (0.25 + 0.75 * d.dl_approx / st.avgdl)), 4) AS score
+FROM pm JOIN doc d ON d.docid = pm.docid CROSS JOIN stats st
+WHERE pm.tf > 0
+ORDER BY score DESC, pm.docid ASC LIMIT {k}"""
+
+
+@_q("sloppy_phrase", _sloppy_sql("table", "scan", slop=2))
+def sloppy_phrase(spark, sf_dir):
+    """PhraseQuery with slop=2 (SloppyPhraseScorer.java): out-of-order and
+    gapped occurrences match with sloppyFreq weight 1/(1+matchLength)."""
+    return search(
+        get_index(spark, sf_dir), PhraseQuery(("table", "scan"), slop=2), k=10
+    )
+
+
 _CS_EXP_SQL = """SELECT docid, 1.0 AS score
 FROM (SELECT DISTINCT docid FROM tf WHERE term IN (SELECT term FROM tstat WHERE {pred}))
 ORDER BY score DESC, docid ASC LIMIT 10"""

@@ -53,9 +53,10 @@ class IndexTables:
     docs      — the "stored fields + docvalues + norms" table:
                 docid, <key>, num_terms, norm_byte, dl_approx, passthrough cols
     postings  — exploded postings (term, docid, tf, dl_approx): the scoring
-                source for the Catalyst-native query path
-    segments  — per-term posting lists (term, df, cf, doc_ids, tfs, run
-                metadata): source for the compressed/codec + WAND kernel path
+                source for the Catalyst-native query path AND for the
+                compressed/codec + WAND kernel path (compress.py)
+    segments  — the term dictionary with per-term stats (term, df, cf);
+                bounded-width rows, safe at any corpus size
     stats     — collection stats: max_doc, sum_total_term_freq, avgdl
                 (avgdl computed float32 like BM25Similarity.java:82-87)
     """
@@ -184,42 +185,19 @@ def build_index(
     if persist:
         postings = postings.persist()
 
-    # ---- mtree merge: per-(term, partition) sorted runs, then per-term ------
-    runs = (
-        postings.groupBy("term", "index_partition")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("docid", "tf", "dl_approx"))
-            ).alias("run"),
-            F.count(F.lit(1)).cast("int").alias("run_df"),
-            F.sum("tf").alias("run_cf"),
-        )
-        .withColumn("first_docid", F.col("run")[0]["docid"])
-    )
-    merged = (
-        runs.groupBy("term")
-        .agg(
-            F.sum("run_df").cast("int").alias("df"),
-            F.sum("run_cf").cast("long").alias("cf"),
-            # Concatenate per-partition runs ordered by first docid, then a
-            # final array_sort: when docids are content-assigned the runs are
-            # already disjoint ranges (sort is a near-no-op); in docid_col
-            # mode (pid = docid % P) the runs interleave and the sort merges.
-            F.array_sort(
-                F.flatten(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("first_docid", "run"))),
-                        lambda s: s["run"],
-                    )
-                )
-            ).alias("plist"),
-        )
-    )
-    segments = merged.select(
-        "term", "df", "cf",
-        F.transform("plist", lambda s: s["docid"]).alias("doc_ids"),
-        F.transform("plist", lambda s: s["tf"]).alias("tfs"),
-        F.transform("plist", lambda s: s["dl_approx"]).alias("dl_approxs"),
+    # ---- term dictionary + per-term stats -----------------------------------
+    # One bounded-width row per term: (term, df, cf) — a plain two-phase
+    # (map-side partial + merge) hash aggregate, the same shape the persisted
+    # store exposes (store.load_index / load_streaming_index).  The per-term
+    # global posting ARRAYS that used to live here are gone from the default
+    # build: at web scale a head term's posting list is a multi-GB single row
+    # (executor OOM).  The scale path keeps postings encoded per
+    # (partition, term-bucket) in the compressed codec tables (compress.py);
+    # global arrays remain available for CheckIndex/tests via
+    # ``segment_arrays``.
+    segments = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("int").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
     )
     if persist:
         segments = segments.persist()
@@ -254,11 +232,57 @@ def build_index(
     )
 
 
+def segment_arrays(index: IndexTables, terms: list[str] | None = None) -> DataFrame:
+    """Global per-term posting arrays (term, df, cf, doc_ids, tfs, dl_approxs)
+    via the mtree merge (MapReduceIndexerTool.java:322-351): per-(term,
+    partition) sorted runs concatenated in first-docid order, final array_sort
+    for interleaved docid ranges.
+
+    TEST/DIAGNOSTIC ONLY: a head term's global posting list is one unbounded
+    row — at web scale this shape OOMs an executor, which is why the default
+    build keeps only (term, df, cf) and the query kernels read the
+    per-(partition, bucket) compressed tables.  Pass ``terms`` to bound the
+    work to a term subset."""
+    p = index.postings
+    if terms is not None:
+        p = p.filter(F.col("term").isin(list(terms)))
+    runs = (
+        p.groupBy("term", "index_partition")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("docid", "tf", "dl_approx"))
+            ).alias("run"),
+            F.count(F.lit(1)).cast("int").alias("run_df"),
+            F.sum("tf").alias("run_cf"),
+        )
+        .withColumn("first_docid", F.col("run")[0]["docid"])
+    )
+    merged = runs.groupBy("term").agg(
+        F.sum("run_df").cast("int").alias("df"),
+        F.sum("run_cf").cast("long").alias("cf"),
+        F.array_sort(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("first_docid", "run"))),
+                    lambda s: s["run"],
+                )
+            )
+        ).alias("plist"),
+    )
+    return merged.select(
+        "term", "df", "cf",
+        F.transform("plist", lambda s: s["docid"]).alias("doc_ids"),
+        F.transform("plist", lambda s: s["tf"]).alias("tfs"),
+        F.transform("plist", lambda s: s["dl_approx"]).alias("dl_approxs"),
+    )
+
+
 def verify_index(index: IndexTables) -> dict:
     """CheckIndex analog (lucene/core/.../index/CheckIndex.java): structural
     invariants over the built tables. Returns a dict of violation counts —
-    all zero on a healthy index."""
-    seg = index.segments
+    all zero on a healthy index.  Builds global posting arrays via
+    ``segment_arrays`` — diagnostic tool, not part of the query path."""
+    seg = segment_arrays(index)
     bad = seg.select(
         F.sum((F.size("doc_ids") != F.col("df")).cast("int")).alias("df_mismatch"),
         F.sum(

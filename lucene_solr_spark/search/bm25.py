@@ -77,33 +77,74 @@ def term_scores(index: IndexTables, terms: list[str]) -> DataFrame:
     return scored.select("docid", "term", "score")
 
 
-def _expand_terms(index: IndexTables, q) -> list[str]:
-    """MultiTermQuery rewrite: expand against the term dictionary
-    (segments.term), like MultiTermQuery.java's rewrite over TermsEnum."""
+# BooleanQuery.maxClauseCount (BooleanQuery.java:48-56): the cap on how many
+# expanded terms a scoring multi-term rewrite may collect to the driver.
+MAX_CLAUSE_COUNT = 1024
+
+
+class TooManyClauses(ValueError):
+    """BooleanQuery.TooManyClauses analog: a scoring multi-term rewrite
+    expanded past MAX_CLAUSE_COUNT dictionary terms."""
+
+
+def _matched_terms_df(index: IndexTables, q) -> DataFrame:
+    """MultiTermQuery rewrite as a DataFrame: the dictionary terms matching a
+    prefix/wildcard/regexp/fuzzy/range query (MultiTermQuery.java's TermsEnum
+    walk, re-expressed as a filter over the term dictionary).  Stays
+    distributed — callers semi-join postings against it; only the bounded
+    scoring_boolean path materializes it (capped at MAX_CLAUSE_COUNT)."""
     t = index.segments.select("term")
     if isinstance(q, PrefixQuery):
-        rows = t.filter(F.col("term").startswith(q.prefix)).collect()
-    elif isinstance(q, WildcardQuery):
+        return t.filter(F.col("term").startswith(q.prefix))
+    if isinstance(q, WildcardQuery):
         # Lucene wildcard -> SQL LIKE ( * -> %, ? -> _ )
         like = q.pattern.replace("%", r"\%").replace("_", r"\_")
         like = like.replace("*", "%").replace("?", "_")
-        rows = t.filter(F.col("term").like(like)).collect()
-    elif isinstance(q, RegexpQuery):
+        return t.filter(F.col("term").like(like))
+    if isinstance(q, RegexpQuery):
         # Lucene RegexpQuery is a FULL match over the term (AutomatonQuery
         # semantics) — anchor the pattern; rlike alone is substring search
-        rows = t.filter(F.col("term").rlike(f"^(?:{q.pattern})$")).collect()
-    elif isinstance(q, FuzzyQuery):
-        rows = t.filter(F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits).collect()
-    elif isinstance(q, RangeQuery):
+        return t.filter(F.col("term").rlike(f"^(?:{q.pattern})$"))
+    if isinstance(q, FuzzyQuery):
+        return t.filter(F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits)
+    if isinstance(q, RangeQuery):
         c = F.col("term")
         cond = F.lit(True)
         if q.lower is not None:
             cond = cond & (c >= q.lower if q.include_lower else c > q.lower)
         if q.upper is not None:
             cond = cond & (c <= q.upper if q.include_upper else c < q.upper)
-        rows = t.filter(cond).collect()
-    else:
-        raise TypeError(type(q))
+        return t.filter(cond)
+    raise TypeError(type(q))
+
+
+def _matched_docset(index: IndexTables, q) -> DataFrame:
+    """Distinct docids matching a multi-term query — postings semi-joined
+    against the matched dictionary terms.  No driver materialization: the
+    expanded term set never leaves the cluster (constant-score rewrite,
+    MultiTermQueryConstantScoreWrapper semantics)."""
+    return (
+        index.postings.join(
+            F.broadcast(_matched_terms_df(index, q)), "term", "left_semi"
+        )
+        .select("docid")
+        .distinct()
+    )
+
+
+def _expand_terms(
+    index: IndexTables, q, max_clauses: int = MAX_CLAUSE_COUNT
+) -> list[str]:
+    """Bounded driver-side expansion for the SCORING rewrite
+    (SCORING_BOOLEAN_QUERY_REWRITE needs one fixed-order score column per
+    term).  Raises TooManyClauses past ``max_clauses``, like
+    BooleanQuery.maxClauseCount — wide wildcards belong on the
+    constant-score path, which never materializes terms."""
+    rows = _matched_terms_df(index, q).limit(max_clauses + 1).collect()
+    if len(rows) > max_clauses:
+        raise TooManyClauses(
+            f"{type(q).__name__} expanded past maxClauseCount={max_clauses}"
+        )
     return sorted(r.term for r in rows)
 
 
@@ -192,6 +233,81 @@ def _phrase_topk(index: IndexTables, q: PhraseQuery, round_dp: int) -> DataFrame
     return hits.select("docid", F.round(score, round_dp).alias("score"))
 
 
+def _sloppy_phrase_topk(index: IndexTables, q: PhraseQuery, round_dp: int) -> DataFrame:
+    """Sloppy phrase (slop>0) — anchor-based analytic reformulation of
+    SloppyPhraseScorer.java's greedy priority-queue loop.
+
+    For each occurrence ``p`` of the first term, the per-term deviation is
+    dev_i = min over positions q_i of term i of |(q_i - i) - p| (positions
+    adjusted by phrase offset, PhrasePositions.java:34-38).  The anchor
+    matches when every dev_i <= slop; its matchLength is max_i dev_i and it
+    contributes sloppyFreq = 1/(1+matchLength) to the phrase tf
+    (SloppyPhraseScorer.java:49-56 slop factor).  For two-term phrases
+    without repeats — the dominant web-query shape — matchLength equals
+    Lucene's window spread exactly; for longer phrases deviation is measured
+    from the anchor rather than the joint window (documented divergence).
+
+    Engine-determinism: the float tf is assembled from INTEGER
+    per-matchLength counts combined in fixed order m=0..slop, so both engines
+    add the identical float64 sequence regardless of row order.
+    """
+    if index.positions is None:
+        raise ValueError("index built without positions")
+    if len(q.terms) < 2:
+        raise ValueError("phrase needs >= 2 terms")
+    slop = int(q.slop)
+    pos = index.positions
+    t0 = q.terms[0]
+    m = pos.filter(F.col("term") == t0).select(
+        "docid", "dl_approx", F.col("pos").alias("p")
+    )
+    dev_cols: list[str] = []
+    for i, t in enumerate(q.terms[1:], start=1):
+        pi = pos.filter(F.col("term") == t).select(
+            F.col("docid").alias("_d"), (F.col("pos") - i).alias("_adj")
+        )
+        dev = F.abs(F.col("_adj") - F.col("p"))
+        joined = m.join(pi, (m["docid"] == pi["_d"]) & (dev <= slop))
+        group_cols = ["docid", "dl_approx", "p", *dev_cols]
+        m = joined.groupBy(*group_cols).agg(F.min(dev).alias(f"_dev{i}"))
+        dev_cols.append(f"_dev{i}")
+    ml = (
+        F.greatest(*[F.col(c) for c in dev_cols])
+        if len(dev_cols) > 1
+        else F.col(dev_cols[0])
+    )
+    anchors = m.withColumn("_ml", ml)
+    counts = anchors.groupBy("docid", "dl_approx").agg(
+        *[
+            F.sum((F.col("_ml") == mv).cast("long")).alias(f"_c{mv}")
+            for mv in range(slop + 1)
+        ]
+    )
+    tf = F.lit(0.0)
+    for mv in range(slop + 1):  # fixed-order float64 assembly
+        tf = tf + F.col(f"_c{mv}") * F.lit(1.0 / (1 + mv))
+    hits = counts.withColumn("tf", tf).filter(F.col("tf") > 0)
+
+    stats = {
+        r.term: r.df
+        for r in index.term_stats()
+        .filter(F.col("term").isin(list(q.terms)))
+        .collect()
+    }
+    import math
+
+    n = index.max_doc
+    idf_sum = sum(
+        math.log(1.0 + (n - stats.get(t, 0) + 0.5) / (stats.get(t, 0) + 0.5))
+        for t in q.terms
+    )
+    score = (
+        F.lit(idf_sum) * 2.2 * F.col("tf")
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl_approx") / F.lit(index.avgdl)))
+    )
+    return hits.select("docid", F.round(score, round_dp).alias("score"))
+
+
 def search(
     index: IndexTables,
     query,
@@ -215,18 +331,11 @@ def search(
     if isinstance(query, TermQuery):
         query = BooleanQuery(must=(query,))
     if isinstance(query, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, RangeQuery)):
-        terms = _expand_terms(index, query)
-        if not terms:
-            return index.postings.sparkSession.createDataFrame(
-                [], "docid long, score double"
-            )
         if rewrite == "constant_score":
+            # semi-join rewrite: the expanded term set never hits the driver
             boost = float(getattr(query, "boost", 1.0))
-            out = (
-                index.postings.filter(F.col("term").isin(terms))
-                .select("docid")
-                .distinct()
-                .select("docid", F.lit(boost).alias("score"))
+            out = _matched_docset(index, query).select(
+                "docid", F.lit(boost).alias("score")
             )
             if after is not None:
                 a_score, a_docid = after
@@ -235,6 +344,11 @@ def search(
                     | ((F.col("score") == a_score) & (F.col("docid") > a_docid))
                 )
             return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+        terms = _expand_terms(index, query)  # bounded by MAX_CLAUSE_COUNT
+        if not terms:
+            return index.postings.sparkSession.createDataFrame(
+                [], "docid long, score double"
+            )
         qboost = float(getattr(query, "boost", 1.0))
         query = BooleanQuery(
             should=tuple(TermQuery(t, boost=qboost) for t in terms),
@@ -246,7 +360,10 @@ def search(
             "docid", F.lit(float(query.boost)).alias("score")
         )
     elif isinstance(query, PhraseQuery):
-        out = _phrase_topk(index, query, round_dp)
+        if query.slop > 0:
+            out = _sloppy_phrase_topk(index, query, round_dp)
+        else:
+            out = _phrase_topk(index, query, round_dp)
     elif isinstance(query, BooleanQuery):
         out = _boolean_topk(index, query, k, round_dp)
     else:
@@ -291,22 +408,17 @@ def search_parsed(
     def part_scores(q) -> DataFrame:
         """Full (docid, score) set for one sub-query, unrounded."""
         if isinstance(q, PhraseQuery):
-            p = _phrase_topk(index, q, round_dp=10)
+            if q.slop > 0:
+                p = _sloppy_phrase_topk(index, q, round_dp=10)
+            else:
+                p = _phrase_topk(index, q, round_dp=10)
             if q.boost != 1.0:
                 p = p.select("docid", (F.col("score") * F.lit(q.boost)).alias("score"))
             return p
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, RangeQuery)):
-            terms = _expand_terms(index, q)
-            if not terms:
-                return index.postings.sparkSession.createDataFrame(
-                    [], "docid long, score double"
-                )
-            boost = getattr(q, "boost", 1.0)
-            return (
-                index.postings.filter(F.col("term").isin(terms))
-                .select("docid")
-                .distinct()
-                .select("docid", F.lit(float(boost)).alias("score"))
+            boost = float(getattr(q, "boost", 1.0))
+            return _matched_docset(index, q).select(
+                "docid", F.lit(boost).alias("score")
             )
         raise TypeError(type(q))
 

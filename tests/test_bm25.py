@@ -167,3 +167,124 @@ def test_constant_score_rewrite_default(index, oracle):
     terms = sorted(t for t in oracle.df if t.startswith("sc"))
     want_docs = sorted({d for d in oracle.docids if any(oracle.tf[d].get(t) for t in terms)})[:10]
     assert got == [(d, 1.0) for d in want_docs]
+
+
+# ---------------------------------------------------------------------------
+# sloppy phrase (slop > 0) — SloppyPhraseScorer semantics, anchor-based
+# ---------------------------------------------------------------------------
+
+def _tiny_index(spark, texts):
+    from lucene_solr_spark.index.builder import build_index
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return build_index(
+        spark, docs, key_col="doc_id", docid_col="doc_id",
+        num_index_partitions=2, build_positions=True, persist=False,
+    )
+
+
+def test_sloppy_phrase_match_set_and_weights(spark):
+    """matchLength per anchor: 0=adjacent, 1=one gap, 2=reversed/two gaps;
+    sloppyFreq = 1/(1+matchLength)."""
+    import math
+
+    from lucene_solr_spark.search import PhraseQuery, search
+    from lucene_solr_spark.smallfloat import NORM_TABLE, encode_norm
+
+    texts = [
+        "alpha beta",                 # exact: ml=0, tf=1
+        "alpha gamma beta",           # one gap: ml=1, tf=1/2
+        "beta alpha",                 # reversed: ml=2, tf=1/3
+        "alpha delta delta beta",     # two gaps: ml=2, tf=1/3
+        "beta gamma gamma alpha",     # ml=4 > slop: no match
+        "gamma delta",                # neither term
+    ]
+    idx = _tiny_index(spark, texts)
+    got = {
+        r.docid: r.score
+        for r in search(idx, PhraseQuery(("alpha", "beta"), slop=2), k=10).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+
+    # exact expected scores (engine formula, float64)
+    dfs = {"alpha": 5, "beta": 5}  # both terms appear in docs 0-4
+    n = 6
+    idf_sum = sum(
+        math.log(1.0 + (n - df + 0.5) / (df + 0.5)) for df in dfs.values()
+    )
+    lens = [2, 3, 2, 4, 4, 2]
+    avgdl = idx.avgdl
+    import numpy as np
+
+    def expect(doc, tf):
+        dl = float(NORM_TABLE[int(encode_norm(lens[doc])[0])])
+        s = idf_sum * 2.2 * tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        return float(np.round(s, 4))
+
+    tf0 = 0.0 + 1 * 1.0
+    tf1 = 0.0 + 0 * 1.0 + 1 * 0.5
+    tf2 = 0.0 + 0 * 1.0 + 0 * 0.5 + 1 * (1.0 / 3)
+    assert got[0] == pytest.approx(expect(0, tf0), abs=1e-9)
+    assert got[1] == pytest.approx(expect(1, tf1), abs=1e-9)
+    assert got[2] == pytest.approx(expect(2, tf2), abs=1e-9)
+    assert got[3] == pytest.approx(expect(3, tf2), abs=1e-9)
+
+
+def test_sloppy_slop0_equals_exact_path(spark):
+    from lucene_solr_spark.search import PhraseQuery, search
+    from lucene_solr_spark.search.bm25 import _sloppy_phrase_topk
+
+    texts = ["alpha beta gamma", "beta alpha", "alpha beta alpha beta"]
+    idx = _tiny_index(spark, texts)
+    exact = {
+        (r.docid, r.score)
+        for r in search(idx, PhraseQuery(("alpha", "beta")), k=10).collect()
+    }
+    # slop=0 through the sloppy kernel: ml=0 only, tf = exact alignment count
+    sloppy = {
+        (r.docid, r.score)
+        for r in _sloppy_phrase_topk(
+            idx, PhraseQuery(("alpha", "beta"), slop=0), round_dp=4
+        ).collect()
+    }
+    assert sloppy == exact
+
+
+def test_parsed_sloppy_phrase_dispatch(spark):
+    from lucene_solr_spark.search import PhraseQuery, search
+    from lucene_solr_spark.search.bm25 import search_parsed
+
+    texts = ["alpha beta", "alpha gamma beta", "beta alpha", "gamma delta"]
+    idx = _tiny_index(spark, texts)
+    got = [(r.docid, r.score) for r in search_parsed(idx, '"alpha beta"~2').collect()]
+    want = [
+        (r.docid, r.score)
+        for r in search(idx, PhraseQuery(("alpha", "beta"), slop=2), k=10).collect()
+    ]
+    assert got == want and len(got) == 3
+
+
+def test_multiterm_constant_score_plan_has_no_driver_expansion(spark):
+    """Constant-score rewrite must be a semi-join against the dictionary —
+    no collect() of expanded terms, no BatchEvalPython."""
+    from lucene_solr_spark.search import PrefixQuery, search
+
+    texts = ["alpha beta", "alps beta", "gamma delta", "alpine gamma"]
+    idx = _tiny_index(spark, texts)
+    df = search(idx, PrefixQuery("alp"), k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    got = {r.docid for r in df.collect()}
+    assert got == {0, 1, 3}
+
+
+def test_scoring_rewrite_max_clause_count(spark):
+    from lucene_solr_spark.search import PrefixQuery
+    from lucene_solr_spark.search.bm25 import TooManyClauses, _expand_terms
+
+    texts = ["alpha alps alpine", "beta gamma"]
+    idx = _tiny_index(spark, texts)
+    assert _expand_terms(idx, PrefixQuery("alp")) == ["alpha", "alpine", "alps"]
+    with pytest.raises(TooManyClauses):
+        _expand_terms(idx, PrefixQuery("alp"), max_clauses=2)
