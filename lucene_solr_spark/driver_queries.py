@@ -1209,6 +1209,113 @@ _register_analytics_queries()
 
 
 # ===========================================================================
+# Multi-field schema (IndexSchema.java:79-149): a synthesized ``title`` field
+# (first 40 chars of text — deterministic in both engines) next to the
+# ``body`` field, each with its own postings/norms/df/avgdl
+# ===========================================================================
+
+_MFI_CACHE: dict[str, object] = {}
+
+
+def get_mfi(spark: SparkSession, sf_dir: str):
+    from lucene_solr_spark.index.fields import build_multifield_index
+
+    if sf_dir not in _MFI_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _MFI_CACHE[sf_dir] = build_multifield_index(
+            spark,
+            docs,
+            key_col="doc_id",
+            field_exprs={"body": "text", "title": F.substring("text", 1, 40)},
+            default_field="body",
+            docid_col="doc_id",
+            num_index_partitions=8,
+        )
+    return _MFI_CACHE[sf_dir]
+
+
+def _register_field_queries():
+    from lucene_solr_spark.oracle.sqlgen import prelude_ctes
+
+    _body_ctes = prelude_ctes("SELECT doc_id AS docid, text FROM documents")
+    _title_ctes = prelude_ctes(
+        "SELECT doc_id AS docid, substr(text, 1, 40) AS text FROM documents",
+        suffix="_t",
+    )
+    _score = score_cols_sql()
+
+    def _field_pivot(cte: str, terms: list[str], col_prefix: str, sfx: str) -> str:
+        cases = ",\n         ".join(
+            f"max(CASE WHEN f.term = '{t}' THEN {_score} END) AS {col_prefix}{i}"
+            for i, t in enumerate(terms)
+        )
+        inlist = ", ".join(f"'{t}'" for t in terms)
+        return f"""{cte} AS (
+  SELECT f.docid,
+         {cases}
+  FROM tf{sfx} f JOIN doc{sfx} d ON d.docid = f.docid
+       JOIN tstat{sfx} s ON s.term = f.term CROSS JOIN stats{sfx} st
+  WHERE f.term IN ({inlist}) GROUP BY f.docid
+)"""
+
+    _FIELD_SQL = f"""WITH {_body_ctes},
+{_title_ctes},
+{_field_pivot('fb', ['scan'], 's_b', '')},
+{_field_pivot('ft', ['merge'], 's_t', '_t')}
+SELECT coalesce(fb.docid, ft.docid) AS docid,
+       round(0.0 + coalesce(s_b0, 0.0) + coalesce(s_t0, 0.0), 4) AS score
+FROM fb FULL OUTER JOIN ft ON ft.docid = fb.docid
+ORDER BY score DESC, docid ASC LIMIT 10"""
+
+    @_q("field_query", _FIELD_SQL)
+    def field_query(spark, sf_dir):
+        """field:term syntax (QueryParserBase.java:486-858) over a 2-field
+        schema: 'scan title:merge' — scan scored on body, merge on the title
+        field's own postings/norms/avgdl."""
+        from lucene_solr_spark.index.fields import search_parsed_fields
+
+        return search_parsed_fields(get_mfi(spark, sf_dir), "scan title:merge", k=10)
+
+    _t0, _t1 = "table", "scan"
+    _parts = {
+        f: f"coalesce({{c}}, 0.0) * {b!r}" for f, b in (("title", 2.0), ("body", 1.0))
+    }
+
+    def _dismax_term(ti: int) -> str:
+        pt = _parts["title"].format(c=f"t{ti}")
+        pb = _parts["body"].format(c=f"b{ti}")
+        return (
+            f"(greatest({pt}, {pb}) + 0.3 * (({pt} + {pb}) - greatest({pt}, {pb})))"
+        )
+
+    _DISMAX_F_SQL = f"""WITH {_body_ctes},
+{_title_ctes},
+{_field_pivot('pt', [_t0, _t1], 't', '_t')},
+{_field_pivot('pb', [_t0, _t1], 'b', '')}
+SELECT coalesce(pt.docid, pb.docid) AS docid,
+       round(0.0 + {_dismax_term(0)} + {_dismax_term(1)}, 4) AS score
+FROM pt FULL OUTER JOIN pb ON pb.docid = pt.docid
+ORDER BY score DESC, docid ASC LIMIT 10"""
+
+    @_q("dismax_fields", _DISMAX_F_SQL)
+    def dismax_fields_q(spark, sf_dir):
+        """DisMax over real fields with per-field boosts (DisMaxQParser qf +
+        DisjunctionMaxQuery.java:45-59): qf='title^2 body', tie=0.3."""
+        from lucene_solr_spark.index.fields import dismax_fields
+
+        return dismax_fields(
+            get_mfi(spark, sf_dir),
+            [_t0, _t1],
+            qf={"title": 2.0, "body": 1.0},
+            tie=0.3,
+            k=10,
+        )
+
+
+_register_field_queries()
+
+
+# ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
 # pytest and manual rerun) but outside the driver window.  Near-duplicate

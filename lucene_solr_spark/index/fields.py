@@ -1,0 +1,334 @@
+"""Multi-field schema layer: per-field inverted indexes + field-aware search.
+
+The reference's schema surface (solr/core/src/java/org/apache/solr/schema/
+IndexSchema.java:79-149 — named fields, each with its own analyzed postings,
+norms, and per-field statistics; lucene/core FieldInfo.java) re-expressed
+Spark-first: every field is its own IndexTables (postings/segments/positions
+DataFrames share the docid space, norms and avgdl are computed per field as
+in BM25Similarity's per-field CollectionStatistics).  At storage scale the
+per-field tables are one physical table partitioned by a ``field`` column;
+here each field keeps its own lineage through the existing single-field
+builder so all kernels (Catalyst scoring, WAND, phrase) work unchanged
+against any field.
+
+Query-side surface:
+- ``search_fields`` — BooleanQuery whose TermQuery clauses carry field tags
+  (the classic grammar's ``field:term`` production,
+  QueryParserBase.java:486-858).
+- ``dismax_fields`` — Solr DisMax ``qf`` semantics (DisMaxQParser.java:
+  createQuery + DisjunctionMaxQuery.java:45-59): per user term, the score is
+  the max over per-field scores (each weighted by the field boost) plus
+  ``tie`` times the sum of the non-max fields; term scores sum.
+- ``search_parsed_fields`` — the QParser front door over a MultiFieldIndex:
+  field-tagged terms, phrases, and multi-term clauses compose with the same
+  boolean-of-subqueries semantics as bm25.search_parsed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.builder import IndexTables, build_index
+from lucene_solr_spark.search.query import (
+    BooleanQuery,
+    FuzzyQuery,
+    PhraseQuery,
+    PrefixQuery,
+    RangeQuery,
+    RegexpQuery,
+    TermQuery,
+    WildcardQuery,
+)
+
+_MULTITERM = (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, RangeQuery)
+
+
+@dataclass
+class MultiFieldIndex:
+    """A schema: named fields, each an IndexTables over the same docids."""
+
+    fields: dict[str, IndexTables]
+    default_field: str
+
+    def of(self, name: str | None = None) -> IndexTables:
+        fname = name or self.default_field
+        if fname not in self.fields:
+            raise KeyError(
+                f"unknown field {fname!r}; schema fields: {sorted(self.fields)}"
+            )
+        return self.fields[fname]
+
+    @property
+    def docs(self) -> DataFrame:
+        return self.fields[self.default_field].docs
+
+
+def build_multifield_index(
+    spark: SparkSession,
+    source: DataFrame,
+    key_col: str,
+    field_exprs: dict[str, Column | str],
+    default_field: str,
+    docid_col: str | None = None,
+    num_index_partitions: int = 32,
+    passthrough_cols: tuple[str, ...] = (),
+    persist: bool = True,
+    build_positions: bool = False,
+) -> MultiFieldIndex:
+    """Build one index per named field.  ``field_exprs`` maps field name to
+    the source column (or Column expression) holding that field's text —
+    e.g. ``{"body": "text", "title": F.substring("text", 1, 40)}``.
+    Requires ``docid_col`` (or a deterministic key) so every field addresses
+    the same docid space."""
+    out: dict[str, IndexTables] = {}
+    for fname, expr in field_exprs.items():
+        col = F.col(expr) if isinstance(expr, str) else expr
+        src = source.withColumn(f"_field_{fname}", col)
+        out[fname] = build_index(
+            spark,
+            src,
+            key_col=key_col,
+            text_col=f"_field_{fname}",
+            docid_col=docid_col,
+            num_index_partitions=num_index_partitions,
+            passthrough_cols=passthrough_cols if fname == default_field else (),
+            persist=persist,
+            build_positions=build_positions,
+        )
+    if default_field not in out:
+        raise ValueError(f"default_field {default_field!r} not in {sorted(out)}")
+    return MultiFieldIndex(out, default_field)
+
+
+def _clause_frames(
+    mfi: MultiFieldIndex, clauses: list[TermQuery]
+) -> tuple[list[DataFrame], list[str]]:
+    """One pivoted (docid, _c<i>...) frame per FIELD covering the given term
+    clauses; returns (frames, per-clause column names in clause order)."""
+    from lucene_solr_spark.search.bm25 import term_scores
+
+    by_field: dict[str, list[tuple[int, str]]] = {}
+    for ci, t in enumerate(clauses):
+        fname = t.field or mfi.default_field
+        by_field.setdefault(fname, []).append((ci, t.term))
+    frames = []
+    for fname, items in by_field.items():
+        idx = mfi.of(fname)
+        terms = list(dict.fromkeys(t for _, t in items))
+        scored = term_scores(idx, terms)
+        aggs = [
+            F.max(F.when(F.col("term") == t, F.col("score"))).alias(f"_c{ci}")
+            for ci, t in items
+        ]
+        frames.append(scored.groupBy("docid").agg(*aggs))
+    return frames, [f"_c{ci}" for ci in range(len(clauses))]
+
+
+def search_fields(
+    mfi: MultiFieldIndex,
+    q: BooleanQuery,
+    k: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Field-aware boolean top-k: TermQuery clauses may carry ``field`` tags;
+    scoring/filter semantics are bm25._boolean_topk's (fixed-order addition,
+    MUST/mm/MUST_NOT on the composed set, round-then-order, docid ties)."""
+    clauses = [*q.must, *q.should]
+    if not clauses:
+        raise ValueError("BooleanQuery needs at least one scoring clause")
+    n_must = len(q.must)
+    frames, cols = _clause_frames(mfi, clauses)
+    acc = frames[0]
+    for fr in frames[1:]:
+        acc = acc.join(fr, "docid", "full")
+
+    score = F.lit(0.0)
+    for ci, t in enumerate(clauses):
+        c = F.coalesce(F.col(cols[ci]), F.lit(0.0))
+        if t.boost != 1.0:
+            c = c * F.lit(t.boost)
+        score = score + c
+    out = acc.withColumn("score", score)
+
+    for ci in range(n_must):
+        out = out.filter(F.col(cols[ci]).isNotNull())
+    should_cols = cols[n_must:]
+    mm = q.minimum_should_match
+    if n_must == 0:
+        mm = max(mm, 1)
+    if should_cols and mm > 0:
+        matched = sum((F.col(c).isNotNull()).cast("int") for c in should_cols)
+        out = out.filter(matched >= mm)
+
+    for t in q.must_not:
+        idx = mfi.of(t.field)
+        excl = (
+            idx.postings.filter(F.col("term") == t.term).select("docid").distinct()
+        )
+        out = out.join(excl, "docid", "left_anti")
+
+    return (
+        out.select("docid", F.round("score", round_dp).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+
+
+def dismax_fields(
+    mfi: MultiFieldIndex,
+    terms: list[str],
+    qf: dict[str, float],
+    tie: float = 0.0,
+    k: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Solr DisMax over real fields (DisMaxQParser ``qf``): per user term,
+    score = max over fields of (field_boost * field_score) + tie * (sum of
+    the others); per-doc total = fixed-order sum of term scores."""
+    from lucene_solr_spark.search.bm25 import term_scores
+
+    fields = list(qf.items())
+    frames = []
+    for fi, (fname, _boost) in enumerate(fields):
+        idx = mfi.of(fname)
+        scored = term_scores(idx, terms)
+        aggs = [
+            F.max(F.when(F.col("term") == t, F.col("score"))).alias(f"_f{fi}t{ti}")
+            for ti, t in enumerate(terms)
+        ]
+        frames.append(scored.groupBy("docid").agg(*aggs))
+    acc = frames[0]
+    for fr in frames[1:]:
+        acc = acc.join(fr, "docid", "full")
+
+    total = F.lit(0.0)
+    for ti in range(len(terms)):
+        parts = [
+            F.coalesce(F.col(f"_f{fi}t{ti}"), F.lit(0.0)) * F.lit(boost)
+            for fi, (_f, boost) in enumerate(fields)
+        ]
+        mx = F.greatest(*parts) if len(parts) > 1 else parts[0]
+        sm = parts[0]
+        for p in parts[1:]:
+            sm = sm + p
+        total = total + (mx + F.lit(tie) * (sm - mx))
+    return (
+        acc.select("docid", F.round(total, round_dp).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+
+
+def search_parsed_fields(
+    mfi: MultiFieldIndex,
+    query_string: str,
+    k: int = 10,
+    default_op: str = "OR",
+    round_dp: int = 4,
+) -> DataFrame:
+    """QParser front door over a schema: parse then execute with field
+    routing.  Terms/phrases/multi-term clauses tagged ``field:`` run against
+    that field's index; untagged clauses use the default field."""
+    from lucene_solr_spark.search.bm25 import (
+        _matched_docset,
+        _phrase_topk,
+        _sloppy_phrase_topk,
+    )
+    from lucene_solr_spark.search.parser import CompositeQuery, parse_query
+
+    parsed = parse_query(query_string, default_op=default_op)
+    spark = mfi.docs.sparkSession
+
+    def empty() -> DataFrame:
+        return spark.createDataFrame([], "docid long, score double")
+
+    if isinstance(parsed, BooleanQuery):
+        if not (parsed.must or parsed.should):
+            return empty()
+        return search_fields(mfi, parsed, k=k, round_dp=round_dp)
+    if isinstance(parsed, PhraseQuery):
+        idx = mfi.of(parsed.field)
+        fn = _sloppy_phrase_topk if parsed.slop > 0 else _phrase_topk
+        out = fn(idx, parsed, round_dp)
+        return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+    if isinstance(parsed, _MULTITERM):
+        boost = float(getattr(parsed, "boost", 1.0))
+        out = _matched_docset(mfi.of(parsed.field), parsed).select(
+            "docid", F.lit(boost).alias("score")
+        )
+        return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+    assert isinstance(parsed, CompositeQuery)
+
+    def part_scores(q) -> DataFrame:
+        idx = mfi.of(getattr(q, "field", None))
+        if isinstance(q, PhraseQuery):
+            fn = _sloppy_phrase_topk if q.slop > 0 else _phrase_topk
+            p = fn(idx, q, round_dp=10)
+            if q.boost != 1.0:
+                p = p.select(
+                    "docid", (F.col("score") * F.lit(q.boost)).alias("score")
+                )
+            return p
+        if isinstance(q, _MULTITERM):
+            boost = float(getattr(q, "boost", 1.0))
+            return _matched_docset(idx, q).select(
+                "docid", F.lit(boost).alias("score")
+            )
+        raise TypeError(type(q))
+
+    b = parsed.boolean
+    clauses = [*b.must, *b.should]
+    n_must = len(b.must)
+    frames: list[DataFrame] = []
+    contribs: list[tuple[str, bool, float]] = []  # (col, required, boost)
+    if clauses:
+        cl_frames, cols = _clause_frames(mfi, clauses)
+        frames.extend(cl_frames)
+        for ci, t in enumerate(clauses):
+            contribs.append((cols[ci], ci < n_must, t.boost))
+    specials = [(q, True) for q in parsed.must_specials] + [
+        (q, False) for q in parsed.should_specials
+    ]
+    for j, (q, req) in enumerate(specials):
+        frames.append(part_scores(q).withColumnRenamed("score", f"_sp{j}"))
+        contribs.append((f"_sp{j}", req, 1.0))
+    if not frames:
+        return empty()
+
+    acc = frames[0]
+    for fr in frames[1:]:
+        acc = acc.join(fr, "docid", "full")
+    score = F.lit(0.0)
+    for name, _req, boost in contribs:
+        c = F.coalesce(F.col(name), F.lit(0.0))
+        if boost != 1.0:
+            c = c * F.lit(boost)
+        score = score + c
+    out = acc.withColumn("score", score)
+    for name, req, _b in contribs:
+        if req:
+            out = out.filter(F.col(name).isNotNull())
+    should_cols = [name for name, req, _b in contribs if not req]
+    mm = b.minimum_should_match
+    if not any(req for _n, req, _b in contribs):
+        mm = max(mm, 1)
+    if should_cols and mm > 0:
+        matched = sum((F.col(n).isNotNull()).cast("int") for n in should_cols)
+        out = out.filter(matched >= mm)
+    for t in b.must_not:
+        idx = mfi.of(t.field)
+        excl = (
+            idx.postings.filter(F.col("term") == t.term).select("docid").distinct()
+        )
+        out = out.join(excl, "docid", "left_anti")
+    for q in parsed.not_specials:
+        out = out.join(part_scores(q).select("docid"), "docid", "left_anti")
+    return (
+        out.select("docid", F.round("score", round_dp).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )

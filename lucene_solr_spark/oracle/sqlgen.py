@@ -26,6 +26,27 @@ def _norm_values() -> str:
     )
 
 
+def prelude_ctes(doc_source: str, suffix: str = "") -> str:
+    """The shared CTE list (no leading WITH) over any doc source, with every
+    CTE name suffixed — so two fields' preludes (IndexSchema's per-field
+    postings/norms/stats) can coexist in one query.  See prelude_sql."""
+    import re as _re
+
+    body = _prelude_body(doc_source)
+    if suffix:
+        for name in ("docsrc", "tokraw", "tok", "doclen", "normmap",
+                     "doc", "stats", "tf", "tstat"):
+            # rename only table positions (CTE definition head, FROM/JOIN
+            # references) — column names like the ``tf`` count stay intact
+            body = _re.sub(rf"(?m)^{name}(?=\(| AS )", f"{name}{suffix}", body)
+            body = _re.sub(
+                rf"\b(FROM|JOIN)(\s+){name}\b",
+                rf"\g<1>\g<2>{name}{suffix}",
+                body,
+            )
+    return body
+
+
 def prelude_sql(doc_source: str) -> str:
     """Render the shared CTE prelude over any doc source.
 
@@ -34,7 +55,11 @@ def prelude_sql(doc_source: str) -> str:
     doc lengths incl. empty docs, exact norm quantization via integer ranges,
     collection stats with float32 avgdl, tf and per-term stats.
     """
-    return f"""WITH docsrc AS (
+    return "WITH " + _prelude_body(doc_source)
+
+
+def _prelude_body(doc_source: str) -> str:
+    return f"""docsrc AS (
   {doc_source}
 ),
 tokraw AS (

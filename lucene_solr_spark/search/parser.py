@@ -39,8 +39,10 @@ from lucene_solr_spark.search.query import (
 _TOKEN_RE = re.compile(
     r"""
     \s*(?:
-        (?P<phrase>"(?P<ph>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?)
-      | (?P<range>\[\s*(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\s*\])
+        (?P<phrase>(?:(?P<phf>[A-Za-z_][A-Za-z0-9_]*):)?
+                   "(?P<ph>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?)
+      | (?P<range>(?:(?P<rgf>[A-Za-z_][A-Za-z0-9_]*):)?
+                  \[\s*(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\s*\])
       | (?P<and>AND\b)
       | (?P<or>OR\b)
       | (?P<not>NOT\b)
@@ -51,6 +53,8 @@ _TOKEN_RE = re.compile(
 
 _BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
 _FUZZY_RE = re.compile(r"~(\d?)$")
+# field:term production (QueryParserBase.java:486-858 — any name:rest pair)
+_FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
 
 
 def parse_query(q: str, default_op: str = "OR"):
@@ -84,17 +88,27 @@ def parse_query(q: str, default_op: str = "OR"):
             if terms:
                 slop = int(mt.group("slop") or 0)
                 pboost = float(mt.group("pboost") or 1.0)
+                field = mt.group("phf")
                 if len(terms) == 1:
-                    specials.append((bucket or "auto", TermQuery(terms[0], boost=pboost)))
+                    specials.append(
+                        (bucket or "auto", TermQuery(terms[0], boost=pboost, field=field))
+                    )
                 else:
                     specials.append(
-                        (bucket or "auto", PhraseQuery(tuple(terms), slop=slop, boost=pboost))
+                        (
+                            bucket or "auto",
+                            PhraseQuery(tuple(terms), slop=slop, boost=pboost, field=field),
+                        )
                     )
             continue
 
         if mt.group("range") is not None:
             lo, hi = mt.group("lo").lower(), mt.group("hi").lower()
-            rq = RangeQuery(None if lo == "*" else lo, None if hi == "*" else hi)
+            rq = RangeQuery(
+                None if lo == "*" else lo,
+                None if hi == "*" else hi,
+                field=mt.group("rgf"),
+            )
             specials.append((bucket or "auto", rq))
             continue
 
@@ -104,6 +118,11 @@ def parse_query(q: str, default_op: str = "OR"):
             bucket = "not"
         elif sign == "+":
             bucket = "must"
+
+        field = None
+        fm_field = _FIELD_RE.match(body)
+        if fm_field:
+            field, body = fm_field.group(1), fm_field.group(2)
 
         boost = 1.0
         bm = _BOOST_RE.search(body)
@@ -119,20 +138,29 @@ def parse_query(q: str, default_op: str = "OR"):
                 specials.append(
                     (
                         bucket or "auto",
-                        FuzzyQuery(terms[0], max_edits=int(fm.group(1) or 2), boost=boost),
+                        FuzzyQuery(
+                            terms[0],
+                            max_edits=int(fm.group(1) or 2),
+                            boost=boost,
+                            field=field,
+                        ),
                     )
                 )
             continue
 
         if body.endswith("*") and "*" not in body[:-1] and "?" not in body:
-            specials.append((bucket or "auto", PrefixQuery(body[:-1].lower(), boost=boost)))
+            specials.append(
+                (bucket or "auto", PrefixQuery(body[:-1].lower(), boost=boost, field=field))
+            )
             continue
         if "*" in body or "?" in body:
-            specials.append((bucket or "auto", WildcardQuery(body.lower(), boost=boost)))
+            specials.append(
+                (bucket or "auto", WildcardQuery(body.lower(), boost=boost, field=field))
+            )
             continue
 
         for term in analyze_text(body):
-            tq = TermQuery(term, boost=boost)
+            tq = TermQuery(term, boost=boost, field=field)
             if bucket == "not":
                 must_not.append(tq)
             elif bucket == "must":

@@ -16,6 +16,7 @@ from dataclasses import dataclass, field
 class TermQuery:
     term: str
     boost: float = 1.0
+    field: str | None = None  # None -> the index's default field
 
 
 @dataclass(frozen=True)
@@ -23,24 +24,28 @@ class PhraseQuery:
     terms: tuple[str, ...]
     slop: int = 0
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class PrefixQuery:
     prefix: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class WildcardQuery:
     pattern: str  # Lucene wildcard: * and ?
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class RegexpQuery:
     pattern: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -48,6 +53,7 @@ class FuzzyQuery:
     term: str
     max_edits: int = 1
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -59,6 +65,7 @@ class RangeQuery:
     upper: str | None
     include_lower: bool = True
     include_upper: bool = True
+    field: str | None = None
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,153 @@
+"""Multi-field schema: per-field postings/norms/stats, field: query syntax,
+field-aware boolean search and DisMax over real fields."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.fields import (
+    build_multifield_index,
+    dismax_fields,
+    search_fields,
+    search_parsed_fields,
+)
+from lucene_solr_spark.search.parser import CompositeQuery, parse_query
+from lucene_solr_spark.search.query import BooleanQuery, PhraseQuery, PrefixQuery, TermQuery
+
+
+@pytest.fixture(scope="module")
+def mfi(spark):
+    rows = [
+        (0, "alpha beta gamma", "alpha title"),
+        (1, "beta gamma delta", "beta things"),
+        (2, "gamma delta alpha", "unrelated heading"),
+        (3, "delta alpha beta", "alpha beta title"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, body string, title string")
+    return build_multifield_index(
+        spark, docs, key_col="doc_id",
+        field_exprs={"body": "body", "title": "title"},
+        default_field="body", docid_col="doc_id",
+        num_index_partitions=2, persist=False, build_positions=True,
+    )
+
+
+# -- parser field: productions ------------------------------------------------
+
+def test_parse_field_term():
+    q = parse_query("title:merge scan")
+    assert q == BooleanQuery(
+        should=(TermQuery("merge", field="title"), TermQuery("scan"))
+    )
+
+
+def test_parse_field_phrase_and_prefix():
+    q = parse_query('title:"alpha beta" body:alp*')
+    assert isinstance(q, CompositeQuery)
+    assert q.should_specials == (
+        PhraseQuery(("alpha", "beta"), field="title"),
+        PrefixQuery("alp", field="body"),
+    )
+
+
+def test_parse_field_with_sign_and_boost():
+    q = parse_query("+title:merge^2 -title:slow")
+    assert q == BooleanQuery(
+        must=(TermQuery("merge", boost=2.0, field="title"),),
+        must_not=(TermQuery("slow", field="title"),),
+    )
+
+
+# -- per-field stats ----------------------------------------------------------
+
+def test_per_field_stats_independent(mfi):
+    body, title = mfi.of("body"), mfi.of("title")
+    assert body.avgdl == 3.0
+    assert title.avgdl == 2.25  # (2+2+2+3)/4
+    body_df = {r.term: r.df for r in body.term_stats().collect()}
+    title_df = {r.term: r.df for r in title.term_stats().collect()}
+    assert body_df["alpha"] == 3
+    assert title_df["alpha"] == 2
+    assert title_df["title"] == 2
+    assert "title" not in body_df
+
+
+def test_unknown_field_raises(mfi):
+    with pytest.raises(KeyError):
+        mfi.of("nope")
+
+
+# -- field-aware search -------------------------------------------------------
+
+def test_search_fields_routes_terms(mfi):
+    # title:title matches docs 0 and 3 only (term absent from all bodies)
+    q = BooleanQuery(must=(TermQuery("title", field="title"),))
+    got = {r.docid for r in search_fields(mfi, q, k=10).collect()}
+    assert got == {0, 3}
+
+
+def test_search_fields_must_across_fields(mfi):
+    # body must contain delta AND title must contain alpha -> doc 3 only
+    q = BooleanQuery(
+        must=(TermQuery("delta"), TermQuery("alpha", field="title"))
+    )
+    got = {r.docid for r in search_fields(mfi, q, k=10).collect()}
+    assert got == {3}
+
+
+def test_search_fields_must_not_field_scoped(mfi):
+    # beta in body, but NOT title:alpha -> docs 0,3 excluded by title
+    q = BooleanQuery(
+        must=(TermQuery("beta"),),
+        must_not=(TermQuery("alpha", field="title"),),
+    )
+    got = {r.docid for r in search_fields(mfi, q, k=10).collect()}
+    assert got == {1}
+
+
+def test_parsed_fields_end_to_end(mfi):
+    # MUST title:alpha -> {0,3}; optional delta only adds score
+    got = {r.docid for r in search_parsed_fields(mfi, "delta +title:alpha").collect()}
+    assert got == {0, 3}
+    got_both = {
+        r.docid for r in search_parsed_fields(mfi, "+delta +title:alpha").collect()
+    }
+    assert got_both == {3}
+    got2 = {r.docid for r in search_parsed_fields(mfi, 'title:"alpha beta"').collect()}
+    assert got2 == {3}
+    # same-scored docs as direct execution
+    a = [(r.docid, r.score) for r in search_parsed_fields(mfi, "title:alpha beta").collect()]
+    q = BooleanQuery(should=(TermQuery("alpha", field="title"), TermQuery("beta")))
+    b = [(r.docid, r.score) for r in search_fields(mfi, q, k=10).collect()]
+    assert a == b
+
+
+def test_dismax_fields_prefers_title_boost(mfi):
+    # 'alpha' in title (boost 3) should dominate body-only matches
+    got = [
+        (r.docid, r.score)
+        for r in dismax_fields(
+            mfi, ["alpha"], qf={"title": 3.0, "body": 1.0}, tie=0.0, k=10
+        ).collect()
+    ]
+    docs = [d for d, _ in got]
+    assert set(docs) == {0, 2, 3}
+    # title matches (0, 3) outrank the body-only match (2)
+    assert set(docs[:2]) == {0, 3}
+    assert docs[2] == 2
+
+
+def test_dismax_fields_tie_adds_other_fields(mfi):
+    no_tie = {
+        r.docid: r.score
+        for r in dismax_fields(mfi, ["alpha"], {"title": 3.0, "body": 1.0}, tie=0.0).collect()
+    }
+    with_tie = {
+        r.docid: r.score
+        for r in dismax_fields(mfi, ["alpha"], {"title": 3.0, "body": 1.0}, tie=0.5).collect()
+    }
+    # doc 3 matches alpha in BOTH fields: tie adds the non-max contribution
+    assert with_tie[3] > no_tie[3]
+    # doc 2 matches body only: tie changes nothing
+    assert with_tie[2] == no_tie[2]
