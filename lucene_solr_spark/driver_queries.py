@@ -869,6 +869,38 @@ ORDER BY facet_count DESC, facet_term ASC LIMIT 10""",
             idx, BooleanQuery.of(should=["table", "merge"], mm=1), k=10
         )
 
+    @_q(
+        "store_delete_query",
+        bool_sql(should=("table", "merge"), mm=1, must_not=("slow",), prelude=prelude),
+    )
+    def store_delete_query(spark, sf_dir):
+        """Delete-by-query through the store (IndexWriter.deleteDocuments /
+        BufferedUpdates.java): docs matching 'slow' get a delete-generation
+        bitmap applied at read time; collection stats stay pre-delete until
+        compaction (liveDocs semantics), so results equal MUST_NOT 'slow'
+        over the full index — which is exactly the oracle."""
+        import hashlib as _h
+        import tempfile
+
+        from lucene_solr_spark.pages import pages_from_documents
+        from lucene_solr_spark.store import (
+            IndexStore,
+            build_pages_to_store,
+            delete_by_term,
+            load_index,
+        )
+
+        tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+        root = f"{tempfile.gettempdir()}/lss_store_del_v1_{tag}"
+        pages = pages_from_documents(spark, sf_dir)
+        build_pages_to_store(
+            spark, pages, root, num_index_partitions=_PAGES_P, batch_size=4
+        )
+        if not (IndexStore(root).head().delete_gens or []):
+            delete_by_term(spark, root, "slow")  # idempotent across re-runs
+        idx = load_index(spark, root)
+        return search(idx, BooleanQuery.of(should=["table", "merge"], mm=1), k=10)
+
 
 _register_pages_queries()
 

@@ -2,7 +2,11 @@ from lucene_solr_spark.store.store import (
     IndexStore,
     SimulatedFailure,
     build_pages_to_store,
+    delete_by_key,
+    delete_by_term,
+    delete_docids,
     load_index,
+    open_index,
     postings_from_compressed,
 )
 
@@ -10,6 +14,10 @@ __all__ = [
     "IndexStore",
     "SimulatedFailure",
     "build_pages_to_store",
+    "delete_by_key",
+    "delete_by_term",
+    "delete_docids",
     "load_index",
+    "open_index",
     "postings_from_compressed",
 ]

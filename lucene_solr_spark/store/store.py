@@ -61,6 +61,13 @@ class Snapshot:
     # gen list (compacted gens use negative ids, outside the batch-id space)
     # while replay detection must keep comparing against batch history.
     max_batch_id: int | None = None
+    # delete generations (BufferedUpdates / liveDocs analog): each is a
+    # parquet directory of deleted docids under deletes/dgen=<id>, applied as
+    # an anti-join at read time.  Collection stats (max_doc, df, avgdl) stay
+    # UNCHANGED until compaction, exactly like Lucene segment deletes
+    # (IndexWriter.java:256ff — deletes don't rewrite segment stats; merges
+    # drop deleted docs physically).
+    delete_gens: list[int] | None = None
 
     @property
     def avgdl(self) -> float:
@@ -76,6 +83,7 @@ class IndexStore:
         self.root = root
         self.docs_path = os.path.join(root, "docs")
         self.segments_path = os.path.join(root, "segments")
+        self.deletes_path = os.path.join(root, "deletes")
         self.lineage_path = os.path.join(root, "lineage")
         self.snapshots_dir = os.path.join(root, "snapshots")
         self.head_path = os.path.join(root, "HEAD")
@@ -269,12 +277,94 @@ def postings_from_compressed(compressed: DataFrame) -> DataFrame:
     )
 
 
-def load_index(spark: SparkSession, root: str) -> IndexTables:
+def deleted_docids(spark: SparkSession, store: IndexStore, snap: Snapshot):
+    """Union of all committed delete generations as (docid) — the liveDocs
+    complement — or None when the store has no deletes."""
+    if not snap.delete_gens:
+        return None
+    keep = F.col("dgen").isin(snap.delete_gens)
+    return (
+        spark.read.option("basePath", store.deletes_path)
+        .parquet(store.deletes_path)
+        .filter(keep)
+        .select("docid")
+        .distinct()
+    )
+
+
+def delete_docids(spark: SparkSession, root: str, docids: DataFrame) -> Snapshot:
+    """Record a delete generation (IndexWriter.deleteDocuments /
+    BufferedUpdates analog): write the docid set as deletes/dgen=<n> and
+    commit a snapshot referencing it.  Applied at read time as an anti-join;
+    collection stats are untouched until compaction, matching Lucene's
+    liveDocs semantics."""
+    store = IndexStore(root)
+    snap = store.head()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    dgen = max(snap.delete_gens or [0]) + 1
+    docids.select(F.col("docid").cast("long").alias("docid")).distinct().write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store.deletes_path, f"dgen={dgen}"))
+    new_snap = Snapshot(
+        **{
+            **snap.__dict__,
+            "snapshot_id": snap.snapshot_id + 1,
+            "parent_id": snap.snapshot_id,
+            "delete_gens": sorted(set(snap.delete_gens or []) | {dgen}),
+        }
+    )
+    store.commit(new_snap)
+    return new_snap
+
+
+def open_index(
+    spark: SparkSession, root: str, apply_deletes: bool = True
+) -> IndexTables:
+    """Open any store (batch partition-committed or streaming generational)
+    at its current snapshot — dispatches on whether the snapshot tracks
+    generations."""
+    snap = IndexStore(root).head()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    if snap.gens:
+        from lucene_solr_spark.streaming.incremental import load_streaming_index
+
+        return load_streaming_index(spark, root, apply_deletes=apply_deletes)
+    return load_index(spark, root, apply_deletes=apply_deletes)
+
+
+def delete_by_term(spark: SparkSession, root: str, term: str) -> Snapshot:
+    """Solr deleteByQuery for a term: resolve matching docids against the
+    committed postings, record them as a delete generation."""
+    idx = open_index(spark, root, apply_deletes=False)
+    matching = idx.postings.filter(F.col("term") == term).select("docid").distinct()
+    return delete_docids(spark, root, matching)
+
+
+def delete_by_key(
+    spark: SparkSession, root: str, keys: list, key_col: str = "url"
+) -> Snapshot:
+    """Delete-by-id (unique key), IndexWriter.deleteDocuments(Term(id))."""
+    idx = open_index(spark, root, apply_deletes=False)
+    matching = idx.docs.filter(F.col(key_col).isin(list(keys))).select("docid")
+    return delete_docids(spark, root, matching)
+
+
+def load_index(
+    spark: SparkSession, root: str, apply_deletes: bool = True
+) -> IndexTables:
     """Open the store at its current snapshot as queryable IndexTables.
 
     Collection stats come from the snapshot manifest (exact, build-order
     independent); postings are a lazy decoded view over the compressed
-    segments, so the store holds exactly one copy of the posting data."""
+    segments, so the store holds exactly one copy of the posting data.
+
+    Deletes: committed delete generations are applied as an anti-join on
+    docs/postings; stats stay at their pre-delete values until compaction
+    (Lucene liveDocs semantics).  A deleted store's WAND path re-encodes the
+    live postings on first use (the zero-copy compressed view would leak
+    deleted docs); compaction restores the zero-copy path."""
     store = IndexStore(root)
     snap = store.head()
     if snap is None:
@@ -287,6 +377,10 @@ def load_index(spark: SparkSession, root: str) -> IndexTables:
         F.sum("df_part").cast("int").alias("df"),
         F.sum("cf_part").cast("long").alias("cf"),
     )
+    deleted = deleted_docids(spark, store, snap) if apply_deletes else None
+    if deleted is not None:
+        docs = docs.join(deleted, "docid", "left_anti")
+        postings = postings.join(deleted, "docid", "left_anti")
     index = IndexTables(
         docs=docs,
         postings=postings,
@@ -296,5 +390,6 @@ def load_index(spark: SparkSession, root: str) -> IndexTables:
         avgdl=snap.avgdl,
         positions=None,
     )
-    object.__setattr__(index, "_compressed", compressed)
+    if deleted is None:
+        object.__setattr__(index, "_compressed", compressed)
     return index

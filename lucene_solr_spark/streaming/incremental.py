@@ -154,6 +154,7 @@ class StreamingIndexer:
                 int(batch_id),
                 snap.max_batch_id if snap and snap.max_batch_id is not None else -1,
             ),
+            delete_gens=snap.delete_gens if snap else None,
         )
         self.store.commit(new_snap)  # soft-commit: new gen visible to readers
         return new_snap
@@ -201,14 +202,15 @@ def compact_store(spark: SparkSession, root: str) -> Snapshot:
     import shutil
 
     from lucene_solr_spark.index.compress import compress_postings
-    from lucene_solr_spark.store.store import postings_from_compressed
+    from lucene_solr_spark.store.store import deleted_docids, postings_from_compressed
 
     store = IndexStore(root)
     snap = store.head()
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot at {root}")
     old_gens = list(snap.gens or [])
-    if len(old_gens) <= 1:
+    old_dgens = list(snap.delete_gens or [])
+    if len(old_gens) <= 1 and not old_dgens:
         return snap
 
     keep = F.col("gen").isin(old_gens)
@@ -219,6 +221,19 @@ def compact_store(spark: SparkSession, root: str) -> Snapshot:
         store.segments_path
     ).filter(keep)
     postings = postings_from_compressed(compressed)
+
+    # merge drops deleted docs physically (SegmentMerger over liveDocs) and
+    # the compacted snapshot's stats reflect only live documents
+    deleted = deleted_docids(spark, store, snap)
+    new_max_doc, new_sum_ttf = snap.max_doc, snap.sum_total_term_freq
+    if deleted is not None:
+        docs = docs.join(deleted, "docid", "left_anti")
+        postings = postings.join(deleted, "docid", "left_anti")
+        agg = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("num_terms"), F.lit(0)).alias("s"),
+        ).collect()[0]
+        new_max_doc, new_sum_ttf = int(agg["n"]), int(agg["s"])
 
     # Compacted generations live in a NEGATIVE id namespace so they can never
     # collide with (or be mistaken for) a Structured-Streaming batch id: after
@@ -236,24 +251,62 @@ def compact_store(spark: SparkSession, root: str) -> Snapshot:
         parent_id=snap.snapshot_id,
         committed_partitions=snap.committed_partitions,
         num_index_partitions=snap.num_index_partitions,
-        max_doc=snap.max_doc,
-        sum_total_term_freq=snap.sum_total_term_freq,
+        max_doc=new_max_doc,
+        sum_total_term_freq=new_sum_ttf,
         gens=[new_gen],
         doc_bases=snap.doc_bases,
         max_batch_id=snap.max_batch_id
         if snap.max_batch_id is not None
         else max((g for g in old_gens if g >= 0), default=None),
+        delete_gens=[],  # physically dropped above
     )
     store.commit(new_snap)
     for g in old_gens:
         shutil.rmtree(os.path.join(store.docs_path, f"gen={g}"), ignore_errors=True)
         shutil.rmtree(os.path.join(store.segments_path, f"gen={g}"), ignore_errors=True)
+    for dg in old_dgens:
+        shutil.rmtree(
+            os.path.join(store.deletes_path, f"dgen={dg}"), ignore_errors=True
+        )
     return new_snap
 
 
-def load_streaming_index(spark: SparkSession, root: str) -> IndexTables:
-    """Open a streaming store (all committed generations) as IndexTables."""
-    from lucene_solr_spark.store.store import postings_from_compressed
+def update_documents(
+    spark: SparkSession, root: str, pages_df: DataFrame
+) -> Snapshot:
+    """updateDocument = atomic delete-by-key + add (IndexWriter.java:256ff
+    updateDocument): delete any committed docs carrying the incoming urls,
+    then index the new versions as a fresh generation.
+
+    Intended for stores updated through this API or with the stream
+    quiesced: the new generation consumes the next batch id, so a stream
+    resumed from an older checkpoint would see that id as already committed.
+    """
+    from lucene_solr_spark.store.store import delete_by_key
+
+    store = IndexStore(root)
+    snap = store.head()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    urls = [r.url for r in pages_df.select("url").distinct().collect()]
+    delete_by_key(spark, root, urls, key_col="url")
+    snap = store.head()
+    next_bid = (
+        snap.max_batch_id
+        if snap.max_batch_id is not None
+        else max((g for g in (snap.gens or []) if g >= 0), default=-1)
+    ) + 1
+    indexer = StreamingIndexer(spark, root, snap.num_index_partitions)
+    return indexer.process_batch(pages_df, next_bid)
+
+
+def load_streaming_index(
+    spark: SparkSession, root: str, apply_deletes: bool = True
+) -> IndexTables:
+    """Open a streaming store (all committed generations) as IndexTables.
+    Committed delete generations apply as an anti-join (liveDocs); stats stay
+    pre-delete until compaction, like load_index."""
+    from lucene_solr_spark.store.store import deleted_docids, postings_from_compressed
 
     store = IndexStore(root)
     snap = store.head()
@@ -271,6 +324,10 @@ def load_streaming_index(spark: SparkSession, root: str) -> IndexTables:
         F.sum("df_part").cast("int").alias("df"),
         F.sum("cf_part").cast("long").alias("cf"),
     )
+    deleted = deleted_docids(spark, store, snap) if apply_deletes else None
+    if deleted is not None:
+        docs = docs.join(deleted, "docid", "left_anti")
+        postings = postings.join(deleted, "docid", "left_anti")
     index = IndexTables(
         docs=docs,
         postings=postings,
@@ -280,5 +337,6 @@ def load_streaming_index(spark: SparkSession, root: str) -> IndexTables:
         avgdl=snap.avgdl,
         positions=None,
     )
-    object.__setattr__(index, "_compressed", compressed)
+    if deleted is None:
+        object.__setattr__(index, "_compressed", compressed)
     return index
