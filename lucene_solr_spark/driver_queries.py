@@ -859,7 +859,7 @@ ORDER BY facet_count DESC, facet_term ASC LIMIT 10""",
         # layout-versioned path: a stale store written by an older codec
         # layout must never be resumed into
         tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
-        root = f"{tempfile.gettempdir()}/lss_store_v2_{tag}"
+        root = f"{tempfile.gettempdir()}/lss_store_v3_{tag}"
         pages = pages_from_documents(spark, sf_dir)
         build_pages_to_store(
             spark, pages, root, num_index_partitions=_PAGES_P, batch_size=4
@@ -891,7 +891,7 @@ ORDER BY facet_count DESC, facet_term ASC LIMIT 10""",
         )
 
         tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
-        root = f"{tempfile.gettempdir()}/lss_store_del_v1_{tag}"
+        root = f"{tempfile.gettempdir()}/lss_store_del_v2_{tag}"
         pages = pages_from_documents(spark, sf_dir)
         build_pages_to_store(
             spark, pages, root, num_index_partitions=_PAGES_P, batch_size=4

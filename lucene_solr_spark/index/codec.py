@@ -34,6 +34,16 @@ K1 = 1.2
 B = 0.75
 
 
+def _vb_lengths(a: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (1..10) for writeVInt format."""
+    nbytes = np.ones(a.size, dtype=np.int64)
+    v = a >> np.uint64(7)
+    while v.any():
+        nbytes += v > 0
+        v >>= np.uint64(7)
+    return nbytes
+
+
 def vb_encode(values: np.ndarray) -> bytes:
     """Vectorized variable-byte encode of a uint64 array (writeVInt format:
     low 7 bits first, high bit = continuation)."""
@@ -41,12 +51,7 @@ def vb_encode(values: np.ndarray) -> bytes:
     n = a.size
     if n == 0:
         return b""
-    # bytes needed per value (1..10)
-    nbytes = np.ones(n, dtype=np.int64)
-    v = a >> np.uint64(7)
-    while v.any():
-        nbytes += v > 0
-        v >>= np.uint64(7)
+    nbytes = _vb_lengths(a)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
@@ -115,6 +120,11 @@ def encode_postings(
           length in the block; with block_max_tf this yields the query-time
           block-max WAND score bound (block_max_partial_bound) without baking
           a build-time avgdl into the index.
+      block_doc_off / block_tf_off — int64 per block: byte offset of the
+          block's first varbyte value in doc_gaps_vb / tfs_vb, so a surviving
+          block decodes alone (the skip-pointer payload of
+          Lucene41SkipWriter — docPointer/posPointer per skip entry); the
+          docid base for block b>0 is block_last_docid[b-1].
     ``avgdl`` is accepted for API stability but unused.
     """
     d = np.ascontiguousarray(doc_ids, dtype=np.int64)
@@ -141,6 +151,12 @@ def encode_postings(
         block_max_tf[blk] = t[lo:hi].max()
         block_min_dlb[blk] = nb[lo:hi].max()  # max byte == min decoded length
 
+    block_starts = np.arange(nblocks, dtype=np.int64) * BLOCK_SIZE
+    gap_ends = np.concatenate(
+        ([0], np.cumsum(_vb_lengths(gaps.astype(np.uint64))))
+    )
+    tf_ends = np.concatenate(([0], np.cumsum(_vb_lengths(t.astype(np.uint64)))))
+
     return {
         "doc_gaps_vb": vb_encode(gaps.astype(np.uint64)),
         "tfs_vb": vb_encode(t.astype(np.uint64)),
@@ -148,6 +164,8 @@ def encode_postings(
         "block_last_docid": block_last,
         "block_max_tf": block_max_tf,
         "block_min_dlb": block_min_dlb,
+        "block_doc_off": gap_ends[block_starts],
+        "block_tf_off": tf_ends[block_starts],
     }
 
 
@@ -162,14 +180,37 @@ def decode_postings(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return doc_ids, tfs, norms
 
 
+def _has_offsets(row) -> bool:
+    try:
+        return row["block_doc_off"] is not None
+    except (KeyError, IndexError):
+        return False
+
+
 def decode_block(row, blk: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a single 128-posting block without touching other blocks.
 
-    Requires byte offsets (``block_doc_off``/``block_tf_off``) when present;
-    falls back to full decode + slice otherwise.  The WAND kernel memoizes
-    decoded blocks, so the fallback is still O(list) once per list worst-case.
+    With byte offsets (``block_doc_off``/``block_tf_off``) only the block's
+    own varbyte span is decoded — block-max skipping then saves decode work,
+    not just scoring (the Lucene skip-pointer payload).  Offset-less rows
+    (older encodes) fall back to full decode + slice; the WAND kernel
+    memoizes per block either way.
     """
     lo = blk * BLOCK_SIZE
     hi = lo + BLOCK_SIZE
-    doc_ids, tfs, norms = decode_postings(row)
-    return doc_ids[lo:hi], tfs[lo:hi], norms[lo:hi]
+    if not _has_offsets(row):
+        doc_ids, tfs, norms = decode_postings(row)
+        return doc_ids[lo:hi], tfs[lo:hi], norms[lo:hi]
+
+    doff = np.asarray(row["block_doc_off"], dtype=np.int64)
+    toff = np.asarray(row["block_tf_off"], dtype=np.int64)
+    dbuf = bytes(row["doc_gaps_vb"])
+    tbuf = bytes(row["tfs_vb"])
+    d_end = int(doff[blk + 1]) if blk + 1 < doff.size else len(dbuf)
+    t_end = int(toff[blk + 1]) if blk + 1 < toff.size else len(tbuf)
+    gaps = vb_decode(dbuf[int(doff[blk]):d_end]).astype(np.int64)
+    base = int(row["block_last_docid"][blk - 1]) if blk > 0 else 0
+    doc_ids = np.cumsum(gaps) + base
+    tfs = vb_decode(tbuf[int(toff[blk]):t_end]).astype(np.int64)
+    norms = np.frombuffer(bytes(row["norm_bytes"]), dtype=np.uint8)[lo:hi]
+    return doc_ids, tfs, norms

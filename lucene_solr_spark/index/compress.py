@@ -39,7 +39,8 @@ COMPRESSED_SCHEMA = (
     "index_partition int, term string, df_part int, cf_part long, "
     "first_docid long, doc_gaps_vb binary, tfs_vb binary, norm_bytes binary, "
     "block_last_docid array<long>, block_max_tf array<int>, "
-    "block_min_dlb array<int>"
+    "block_min_dlb array<int>, block_doc_off array<long>, "
+    "block_tf_off array<long>"
 )
 
 # Reverse NORM_TABLE: dl_approx (float64 of the float32 decoded length) ->
@@ -84,6 +85,8 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 enc["block_last_docid"].tolist(),
                 enc["block_max_tf"].tolist(),
                 enc["block_min_dlb"].tolist(),
+                enc["block_doc_off"].tolist(),
+                enc["block_tf_off"].tolist(),
             )
         )
     return pd.DataFrame(
@@ -91,7 +94,7 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         columns=[
             "index_partition", "term", "df_part", "cf_part", "first_docid",
             "doc_gaps_vb", "tfs_vb", "norm_bytes", "block_last_docid",
-            "block_max_tf", "block_min_dlb",
+            "block_max_tf", "block_min_dlb", "block_doc_off", "block_tf_off",
         ],
     )
 

@@ -38,11 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lucene_solr_spark.index.builder import IndexTables
-from lucene_solr_spark.index.codec import (
-    BLOCK_SIZE,
-    block_max_partial_bound,
-    vb_decode,
-)
+from lucene_solr_spark.index.codec import block_max_partial_bound, decode_block
 from lucene_solr_spark.index.compress import get_compressed
 from lucene_solr_spark.search.query import BooleanQuery, TermQuery
 from lucene_solr_spark.smallfloat import NORM_TABLE
@@ -71,8 +67,7 @@ class _TermCursor:
     """Per-term decode state over one encoded segment row."""
 
     __slots__ = ("idf22", "boost", "is_must", "block_last", "block_max",
-                 "blk", "nblocks", "_row", "_doc_ids", "_tfs", "_norms",
-                 "_starts")
+                 "blk", "nblocks", "_row", "_blocks")
 
     def __init__(self, row, idf22: float, boost: float, is_must: bool, avgdl: float):
         self.idf22 = idf22
@@ -85,9 +80,7 @@ class _TermCursor:
         self.nblocks = len(self.block_last)
         self.blk = 0
         self._row = row
-        self._doc_ids = None
-        self._tfs = None
-        self._norms = None
+        self._blocks: dict[int, tuple] = {}  # blk -> (docids, tfs, dls)
 
     def advance(self, target: int) -> bool:
         """Move the block pointer to the first block with last_docid >= target.
@@ -97,35 +90,39 @@ class _TermCursor:
         )
         return self.blk < self.nblocks
 
-    def bound(self) -> float:
-        return self.idf22 * self.block_max[self.blk] * self.boost
-
-    def _ensure_decoded(self):
-        if self._doc_ids is None:
-            gaps = vb_decode(bytes(self._row["doc_gaps_vb"])).astype(np.int64)
-            self._doc_ids = np.cumsum(gaps)
-            self._tfs = vb_decode(bytes(self._row["tfs_vb"])).astype(np.float64)
-            self._norms = np.frombuffer(bytes(self._row["norm_bytes"]), dtype=np.uint8)
+    def _block(self, blk: int):
+        """Decode ONE block lazily (memoized): with per-block byte offsets in
+        the codec row, blocks skipped by block-max pruning are never decoded
+        at all — skipping saves decode work, not just scoring."""
+        cached = self._blocks.get(blk)
+        if cached is None:
+            d, tf, nb = decode_block(self._row, blk)
+            cached = (
+                d,
+                tf.astype(np.float64),
+                NORM_TABLE[nb].astype(np.float64),
+            )
+            self._blocks[blk] = cached
+        return cached
 
     def window(self, lo: int, hi: int, avgdl: float):
         """(docids, scores) for postings with lo <= docid <= hi in the current
         block span.  Scores replicate the Catalyst expression left-to-right:
         ((idf*2.2) * tf) / (tf + 1.2*(0.25 + (0.75*dl)/avgdl)), then * boost."""
-        self._ensure_decoded()
-        a = self.blk * BLOCK_SIZE
-        b = min((self.blk + 1) * BLOCK_SIZE, len(self._doc_ids))
-        d = self._doc_ids[a:b]
+        d, tfs, dls = self._block(self.blk)
         i0, i1 = np.searchsorted(d, [lo, hi + 1])
         if i0 == i1:
             return None
-        d = d[i0:i1]
-        tf = self._tfs[a + i0:a + i1]
-        dl = NORM_TABLE[self._norms[a + i0:a + i1]].astype(np.float64)
+        tf = tfs[i0:i1]
+        dl = dls[i0:i1]
         denom = tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)
         s = (self.idf22 * tf) / denom
         if self.boost != 1.0:
             s = s * self.boost
-        return d, s
+        return d[i0:i1], s
+
+    def bound(self) -> float:
+        return self.idf22 * self.block_max[self.blk] * self.boost
 
 
 def _partition_topk(

@@ -205,3 +205,43 @@ def test_compressed_segments_roundtrip_vs_segments(index):
         sub = grp[part_mask]
         np.testing.assert_array_equal(d, sub.docid.to_numpy())
         np.testing.assert_array_equal(t, sub.tf.to_numpy())
+
+
+def test_decode_block_with_offsets_matches_full_decode():
+    """Per-block byte offsets: each block decodes alone, identical to the
+    slice of the full decode (incl. the docid base from the previous block's
+    skip entry)."""
+    from lucene_solr_spark.index.codec import (
+        BLOCK_SIZE,
+        decode_block,
+        decode_postings,
+        encode_postings,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 1000  # 8 blocks, last partial
+    gaps = rng.integers(1, 5000, size=n)
+    doc_ids = np.cumsum(gaps)
+    tfs = rng.integers(1, 300, size=n)
+    norms = rng.integers(1, 255, size=n).astype(np.uint8)
+    enc = encode_postings(doc_ids, tfs, norms)
+    assert len(enc["block_doc_off"]) == (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    full_d, full_t, full_n = decode_postings(enc)
+    for blk in range(len(enc["block_doc_off"])):
+        d, t, nb = decode_block(enc, blk)
+        lo, hi = blk * BLOCK_SIZE, min((blk + 1) * BLOCK_SIZE, n)
+        np.testing.assert_array_equal(d, full_d[lo:hi])
+        np.testing.assert_array_equal(t, full_t[lo:hi])
+        np.testing.assert_array_equal(nb, full_n[lo:hi])
+
+
+def test_decode_block_fallback_without_offsets():
+    from lucene_solr_spark.index.codec import BLOCK_SIZE, decode_block, encode_postings
+
+    doc_ids = np.arange(1, 300, dtype=np.int64) * 3
+    tfs = np.ones(299, dtype=np.int64)
+    norms = np.full(299, 100, dtype=np.uint8)
+    enc = encode_postings(doc_ids, tfs, norms)
+    legacy = {k: v for k, v in enc.items() if not k.startswith("block_doc_off") and k != "block_tf_off"}
+    d, t, nb = decode_block(legacy, 1)
+    np.testing.assert_array_equal(d, doc_ids[BLOCK_SIZE : 2 * BLOCK_SIZE])
