@@ -1,8 +1,10 @@
 from lucene_solr_spark.facets.facets import (
     collapse,
+    expand_component,
     facet_field,
     facet_query,
     facet_range,
+    facet_range_extended,
     group_topk,
     interval_facets,
     pivot_facets,
@@ -11,6 +13,7 @@ from lucene_solr_spark.facets.facets import (
 )
 
 __all__ = [
-    "collapse", "facet_field", "facet_query", "facet_range", "group_topk",
-    "interval_facets", "pivot_facets", "stats_component", "terms_component",
+    "collapse", "expand_component", "facet_field", "facet_query",
+    "facet_range", "facet_range_extended", "group_topk", "interval_facets",
+    "pivot_facets", "stats_component", "terms_component",
 ]

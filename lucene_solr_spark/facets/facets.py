@@ -38,13 +38,22 @@ def facet_field(
     sort: str = "count",
     prefix: str | None = None,
     multivalued: bool = False,
+    missing: bool = False,
 ) -> DataFrame:
-    """facet.field: (term, count) with Solr ordering semantics."""
+    """facet.field: (term, count) with Solr ordering semantics.
+
+    ``missing=True`` appends the facet.missing bucket — the count of result
+    docs with a NULL field value — as a final row with NULL facet_term,
+    after the limited term list (SimpleFacets.java:516 missing handling)."""
     col = F.explode(field) if multivalued else F.col(field)
-    base = results.select(col.alias("facet_term")).where(F.col("facet_term").isNotNull())
+    base = results.select(col.alias("facet_term"))
     if prefix:
         base = base.where(F.col("facet_term").startswith(prefix))
-    counts = base.groupBy("facet_term").agg(F.count(F.lit(1)).alias("facet_count"))
+    counts = (
+        base.where(F.col("facet_term").isNotNull())
+        .groupBy("facet_term")
+        .agg(F.count(F.lit(1)).alias("facet_count"))
+    )
     counts = counts.where(F.col("facet_count") >= mincount)
     if sort == "count":
         counts = counts.orderBy(F.col("facet_count").desc(), F.col("facet_term").asc())
@@ -53,6 +62,12 @@ def facet_field(
     out = counts.limit(offset + limit)
     if offset:
         out = out.offset(offset)
+    if missing:
+        miss = base.where(F.col("facet_term").isNull()).agg(
+            F.lit(None).cast("string").alias("facet_term"),
+            F.count(F.lit(1)).alias("facet_count"),
+        )
+        out = out.unionAll(miss)
     return out
 
 
@@ -98,6 +113,65 @@ def facet_range(
     return out
 
 
+def facet_range_extended(
+    results: DataFrame,
+    field: str,
+    start: float,
+    end: float,
+    gap: float,
+    include_upper: bool = False,
+    hardend: bool = True,
+    others: tuple[str, ...] = (),
+) -> DataFrame:
+    """facet.range with the include/other flags (SimpleFacets.java:1295-1374,
+    RangeEndpointCalculator):
+
+    - ``include_upper``: buckets are (lo, hi] instead of the default [lo, hi)
+      (facet.range.include=upper vs lower).
+    - ``hardend=False``: the last bucket stretches to cover the remainder
+      when (end-start) is not a multiple of gap.
+    - ``others``: any of "before" (< start), "after" (> end), "between" —
+      appended as labeled rows (facet.range.other).
+
+    Returns (bucket, facet_count) where bucket is the bucket start rendered
+    as a string, with before/after/between labeled rows appended."""
+    c = F.col(field).cast("double")
+    n_buckets = int(-(-(end - start) // gap))  # ceil
+    real_end = start + n_buckets * gap
+    hi_end = end if hardend else real_end
+    lo_cmp = (c > start) if include_upper else (c >= start)
+    hi_cmp = (c <= hi_end) if include_upper else (c < hi_end)
+    in_range = results.where(lo_cmp & hi_cmp)
+    if include_upper:  # (lo, hi]: value == lo+i*gap belongs to bucket i-1
+        bucket_i = F.ceil((c - F.lit(start)) / F.lit(gap)) - F.lit(1)
+    else:  # [lo, hi)
+        bucket_i = F.floor((c - F.lit(start)) / F.lit(gap))
+    if not hardend:
+        bucket_i = F.least(bucket_i, F.lit(n_buckets - 1))
+    bucket = (bucket_i * F.lit(gap) + F.lit(start)).cast("long").cast("string")
+    out = (
+        in_range.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("facet_count"))
+    )
+    extras = []
+    if "before" in others:
+        pred = (c <= start) if include_upper else (c < start)
+        extras.append(("before", pred))
+    if "after" in others:
+        pred = (c > hi_end) if include_upper else (c >= hi_end)
+        extras.append(("after", pred))
+    if "between" in others:
+        extras.append(("between", lo_cmp & hi_cmp))
+    for label, pred in extras:
+        row = results.agg(
+            F.lit(label).alias("bucket"),
+            F.sum(pred.cast("long")).alias("facet_count"),
+        )
+        out = out.unionAll(row)
+    return out.orderBy("bucket")
+
+
 def interval_facets(
     results: DataFrame, field: str, intervals: list[tuple[str, float | None, float | None]]
 ) -> DataFrame:
@@ -128,12 +202,15 @@ def pivot_facets(
     return counts.orderBy(*order).limit(limit)
 
 
-def stats_component(results: DataFrame, field: str) -> DataFrame:
+def stats_component(
+    results: DataFrame, field: str, calcdistinct: bool = False
+) -> DataFrame:
     """StatsComponent: min/max/sum/count/missing/sumOfSquares/mean/stddev.
     stddev is Solr's sample-ish formula sqrt((sumsq - sum^2/N) / (N-1))
-    (StatsValuesFactory.java:257-306) == stddev_samp."""
+    (StatsValuesFactory.java:257-306) == stddev_samp.
+    ``calcdistinct`` adds countDistinct (StatsValuesFactory.java:44-64)."""
     c = F.col(field).cast("double")
-    return results.agg(
+    aggs = [
         F.min(c).alias("stats_min"),
         F.max(c).alias("stats_max"),
         F.sum(c).alias("stats_sum"),
@@ -142,7 +219,10 @@ def stats_component(results: DataFrame, field: str) -> DataFrame:
         F.sum(c * c).alias("stats_sumsq"),
         F.avg(c).alias("stats_mean"),
         F.stddev_samp(c).alias("stats_stddev"),
-    )
+    ]
+    if calcdistinct:
+        aggs.append(F.countDistinct(c).alias("stats_distinct"))
+    return results.agg(*aggs)
 
 
 def group_topk(
@@ -163,6 +243,28 @@ def group_topk(
 def collapse(results: DataFrame, group_field: str, order_by: list[Column]) -> DataFrame:
     """CollapsingQParserPlugin: keep only the best row per group."""
     return group_topk(results, group_field, order_by, k=1).drop("group_rank")
+
+
+def expand_component(
+    results: DataFrame,
+    group_field: str,
+    order_by: list[Column],
+    expand_rows: int = 5,
+) -> DataFrame:
+    """ExpandComponent (solr/core/.../component/ExpandComponent.java): for
+    each group surviving a collapse, return the group members HIDDEN by the
+    collapse — everything except the head row — up to ``expand_rows`` per
+    group, in the expand sort order.  One window pass: rank per group, keep
+    ranks 2..expand_rows+1 (rank 1 is the collapsed head the main result
+    already shows)."""
+    w = Window.partitionBy(group_field).orderBy(*order_by)
+    return (
+        results.withColumn("expand_rank", F.row_number().over(w))
+        .where(
+            (F.col("expand_rank") >= 2)
+            & (F.col("expand_rank") <= expand_rows + 1)
+        )
+    )
 
 
 def terms_component(segments: DataFrame, limit: int = 20, prefix: str | None = None) -> DataFrame:

@@ -8,6 +8,7 @@ from lucene_solr_spark.store.store import (
     load_index,
     open_index,
     postings_from_compressed,
+    realtime_get,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "load_index",
     "open_index",
     "postings_from_compressed",
+    "realtime_get",
 ]

@@ -342,6 +342,19 @@ def delete_by_term(spark: SparkSession, root: str, term: str) -> Snapshot:
     return delete_docids(spark, root, matching)
 
 
+def realtime_get(
+    spark: SparkSession, root: str, keys: list, key_col: str = "url"
+) -> DataFrame:
+    """RealTimeGet (solr/core/.../component/RealTimeGetComponent.java):
+    fetch documents by unique key across EVERY committed generation with
+    delete generations applied — because each micro-batch soft-commits a
+    snapshot, a reader that re-resolves HEAD sees a just-indexed doc
+    immediately, and an updated doc resolves to its newest generation (the
+    older version is in a delete bitmap)."""
+    idx = open_index(spark, root)
+    return idx.docs.filter(F.col(key_col).isin(list(keys)))
+
+
 def delete_by_key(
     spark: SparkSession, root: str, keys: list, key_col: str = "url"
 ) -> Snapshot:

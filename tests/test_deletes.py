@@ -145,3 +145,31 @@ def test_compaction_drops_deletes_physically(spark, stream_store):
         r.docid for r in after.docs.select("docid").collect()
     }
     assert IndexStore(stream_store).head().delete_gens == []
+
+
+def test_realtime_get_sees_update_and_delete(spark, pages, stream_store):
+    """RealTimeGetComponent analog: get-by-key resolves the NEWEST committed
+    version and honors delete bitmaps."""
+    from lucene_solr_spark.store import delete_by_key, realtime_get
+    from lucene_solr_spark.streaming import update_documents
+
+    urls = [r.url for r in realtime_get(
+        spark, stream_store,
+        [f"https://site{d % 100}.example/doc/{d}" for d in (2, 4)],
+    ).select("url").collect()]
+    assert len(urls) == 2
+
+    victim, kept = urls[0], urls[1]
+    new_pages = pages.where(F.col("url") == victim).withColumn(
+        "html",
+        F.encode(F.lit("<html><body><p>rtgfresh content</p></body></html>"), "utf-8"),
+    )
+    update_documents(spark, stream_store, new_pages)
+    got = realtime_get(spark, stream_store, [victim, kept])
+    rows = {r.url: r.num_terms for r in got.collect()}
+    assert set(rows) == {victim, kept}
+    assert rows[victim] == 2  # "rtgfresh content" -> 2 terms
+
+    delete_by_key(spark, stream_store, [kept])
+    left = realtime_get(spark, stream_store, [victim, kept])
+    assert [r.url for r in left.collect()] == [victim]

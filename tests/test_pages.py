@@ -141,3 +141,66 @@ def test_pages_docs_norms_match_documents_index(spark, pages_index, sf_dir):
         .agg(F.count("*").alias("n")).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# facet polish: missing bucket, range include/other flags, expand, distinct
+# ---------------------------------------------------------------------------
+
+def test_facet_field_missing_bucket(spark):
+    from lucene_solr_spark.facets import facet_field
+
+    rows = [(1, "en"), (2, "en"), (3, None), (4, "fr"), (5, None)]
+    df = spark.createDataFrame(rows, "docid long, lang string")
+    got = {
+        (r.facet_term, r.facet_count)
+        for r in facet_field(df, "lang", missing=True).collect()
+    }
+    assert got == {("en", 2), ("fr", 1), (None, 2)}
+
+
+def test_facet_range_extended_include_upper_and_others(spark):
+    from lucene_solr_spark.facets import facet_range_extended
+
+    rows = [(v,) for v in [50, 100, 101, 200, 250, 300, 301, 500]]
+    df = spark.createDataFrame(rows, "v long")
+    got = {
+        (r.bucket, r.facet_count)
+        for r in facet_range_extended(
+            df, "v", start=100, end=300, gap=100,
+            include_upper=True, others=("before", "after", "between"),
+        ).collect()
+    }
+    # (100,200]: 101,200 ; (200,300]: 250,300 ; before: <=100 (50,100) ;
+    # after: >300 (301,500) ; between: 4
+    assert got == {
+        ("100", 2), ("200", 2), ("before", 2), ("after", 2), ("between", 4)
+    }
+
+
+def test_expand_component_returns_hidden_members(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.facets import collapse, expand_component
+
+    rows = [
+        (1, "a", 9.0), (2, "a", 7.0), (3, "a", 5.0), (4, "a", 3.0),
+        (5, "b", 8.0), (6, "b", 6.0),
+        (7, "c", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "docid long, grp string, score double")
+    order = [F.col("score").desc(), F.col("docid").asc()]
+    heads = {r.docid for r in collapse(df, "grp", order).collect()}
+    assert heads == {1, 5, 7}
+    exp = expand_component(df, "grp", order, expand_rows=2)
+    got = {(r.grp, r.docid, r.expand_rank) for r in exp.collect()}
+    # group a: ranks 2,3 (docids 2,3; 4 beyond expand_rows); b: rank 2; c: none
+    assert got == {("a", 2, 2), ("a", 3, 3), ("b", 6, 2)}
+
+
+def test_stats_component_calcdistinct(spark):
+    from lucene_solr_spark.facets import stats_component
+
+    df = spark.createDataFrame([(1,), (2,), (2,), (3,), (3,)], "v long")
+    row = stats_component(df, "v", calcdistinct=True).collect()[0]
+    assert row.stats_distinct == 3 and row.stats_count == 5
