@@ -75,6 +75,9 @@ def run(sf_dir: str, cpus: str) -> dict:
             idx, BooleanQuery.of(must=["table"], must_not=["slow"]), k=10
         ),
         "phrase": lambda: search(idx, PhraseQuery(("table", "scan")), k=10),
+        "sloppy_phrase": lambda: search(
+            idx, PhraseQuery(("table", "scan"), slop=2), k=10
+        ),
         "prefix_cs": lambda: search(idx, PrefixQuery("sc"), k=10),
         "match_all_count": lambda: search(idx, MatchAllQuery(), k=100),
         "dismax": lambda: dismax(idx, ["table", "customer"], tie=0.3, k=10),
