@@ -59,8 +59,8 @@ INDEX_PARTITIONS = 32  # constant across runs: identical output index shape
 LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_BENCH_LEVELS", "1,4").split(",")
 )
-ROUNDS = 2
-TRIALS = 2
+ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
 
 _STORE_DIR = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 

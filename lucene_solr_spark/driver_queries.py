@@ -368,15 +368,16 @@ SELECT docid, score FROM (
 
 @_q("deep_paging", _DEEP_PAGING_SQL)
 def deep_paging(spark, sf_dir):
-    from pyspark.sql import Window
-
+    """offset/rows windowing as TakeOrderedAndProject: top-(offset+rows) via
+    per-partition bounded heaps + driver merge, then drop the head — never a
+    single-partition global sort (the keyset ``after=`` cursor in
+    cursor_mark_page2 is the unbounded-depth scale path)."""
     idx = get_index(spark, sf_dir)
     scored = _scored_docset(idx, "table")
-    w = Window.orderBy(F.col("score").desc(), F.col("docid").asc())
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") >= 11) & (F.col("rn") <= 20))
-        .orderBy("rn")
+        scored.orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(20)
+        .offset(10)
         .select("docid", "score")
     )
 
@@ -1474,6 +1475,63 @@ ORDER BY bucket""",
 _register_facet_polish_queries()
 
 
+def _register_span_and_join_queries():
+    @_q(
+        "span_near_query",
+        f"""{PRELUDE},
+anch AS (
+  SELECT p0.docid, p0.pos AS p, min(p1.pos) - p0.pos - 1 AS ml
+  FROM tok p0 JOIN tok p1 ON p1.docid = p0.docid AND p1.pos > p0.pos
+  WHERE p0.term = 'table' AND p1.term = 'scan'
+  GROUP BY p0.docid, p0.pos
+),
+cnt AS (
+  SELECT docid,
+         sum(CASE WHEN ml = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN ml = 1 THEN 1 ELSE 0 END) AS c1
+  FROM anch WHERE ml <= 1 GROUP BY 1
+),
+pm AS (SELECT docid, 0.0 + c0 * 1.0 + c1 * 0.5 AS tf FROM cnt WHERE c0 + c1 > 0)
+SELECT pm.docid,
+       round(({idf_sql('table')} + {idf_sql('scan')})
+             * 2.2 * pm.tf / (pm.tf + 1.2 * (0.25 + 0.75 * d.dl_approx / st.avgdl)), 4) AS score
+FROM pm JOIN doc d ON d.docid = pm.docid CROSS JOIN stats st
+ORDER BY score DESC, pm.docid ASC LIMIT 10""",
+    )
+    def span_near_query(spark, sf_dir):
+        """SpanNearQuery ordered, slop=1 (NearSpansOrdered.java:58-101):
+        'table' then 'scan' within one intervening position, sloppyFreq
+        scoring."""
+        from lucene_solr_spark.search.bm25 import span_near_topk
+
+        idx = get_index(spark, sf_dir)
+        out = span_near_topk(idx, ["table", "scan"], slop=1, in_order=True)
+        return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(10)
+
+    @_q(
+        "block_join_parents",
+        """SELECT l_orderkey AS o_orderkey,
+       round(max(CAST(l_quantity AS DOUBLE)), 4) AS score
+FROM lineitem WHERE l_quantity >= 45
+GROUP BY 1 ORDER BY score DESC, o_orderkey ASC LIMIT 20""",
+    )
+    def block_join_parents(spark, sf_dir):
+        """ToParentBlockJoinQuery, ScoreMode.Max
+        (lucene/join/.../ToParentBlockJoinQuery.java): lineitem children
+        matching the child query roll up to their order parent."""
+        from lucene_solr_spark.search.bm25 import to_parent_block_join
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        children = li.where(F.col("l_quantity") >= 45).select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("l_quantity").cast("double").alias("score"),
+        )
+        return to_parent_block_join(children, "o_orderkey", "max").limit(20)
+
+
+_register_span_and_join_queries()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -1510,6 +1568,8 @@ _DEFER_LAST = [
     "dismax_query",             # dismax_fields (per-field version)
     "facet_missing_lang",       # facet_field_lang (facet.field op) — polish row
     "facet_range_flags_nchars", # facet_range_date_events — include/other flags
+    "span_near_query",          # sloppy_phrase (positions machinery) — new op, window full
+    "block_join_parents",       # join_query (keyed join family) — new op, window full
 ]
 
 

@@ -308,6 +308,134 @@ def _sloppy_phrase_topk(index: IndexTables, q: PhraseQuery, round_dp: int) -> Da
     return hits.select("docid", F.round(score, round_dp).alias("score"))
 
 
+def span_near_topk(
+    index: IndexTables,
+    terms: list[str],
+    slop: int = 0,
+    in_order: bool = True,
+    round_dp: int = 4,
+) -> DataFrame:
+    """SpanNearQuery (lucene/core/.../search/spans/SpanNearQuery.java,
+    NearSpansOrdered.java): terms must co-occur within a window.
+
+    Ordered semantics per NearSpansOrdered.java:58-101: for each occurrence
+    ``p`` of the first clause, greedily shrink to the MINIMAL ordered chain
+    p < q_1 < ... < q_{k-1} (each q_i the smallest position of term i after
+    the previous clause); matchLength = (q_last - p) - (k-1) — the slack
+    beyond adjacency; a span matches when matchLength <= slop.  Unordered
+    (``in_order=False``, NearSpansUnordered.java window semantics) allows
+    either direction: per-term deviation |q_i - p| - 1 (the window slack of
+    the two-position span), minimized per term, matchLength = max over
+    terms — exact for two clauses, anchor-approximate beyond.  Scoring is
+    SpanScorer's sloppyFreq sum (SpanScorer.java:42-56): tf = sum over
+    matching spans of 1/(1+matchLength), assembled from integer
+    per-matchLength counts in fixed order for engine determinism, then BM25
+    with idf summed over clause terms.
+    """
+    if index.positions is None:
+        raise ValueError("index built without positions")
+    if len(terms) < 2:
+        raise ValueError("span_near needs >= 2 clauses")
+    slop = int(slop)
+    pos = index.positions
+    t0 = terms[0]
+    m = pos.filter(F.col("term") == t0).select(
+        "docid", "dl_approx", F.col("pos").alias("_prev")
+    ).withColumn("_p0", F.col("_prev"))
+    for i, t in enumerate(terms[1:], start=1):
+        pi = pos.filter(F.col("term") == t).select(
+            F.col("docid").alias("_d"), F.col("pos").alias("_q")
+        )
+        if in_order:
+            cond = (m["docid"] == pi["_d"]) & (F.col("_q") > F.col("_prev"))
+        else:
+            cond = (m["docid"] == pi["_d"]) & (F.col("_q") != F.col("_p0"))
+        joined = m.join(pi, cond)
+        group_cols = [c for c in m.columns if c != "_prev"] + ["_prev"]
+        if in_order:
+            # greedy minimal chain: smallest q after the previous clause
+            m = (
+                joined.groupBy(*group_cols)
+                .agg(F.min("_q").alias("_next"))
+                .drop("_prev")
+                .withColumnRenamed("_next", "_prev")
+            )
+        else:
+            dev = F.abs(F.col("_q") - F.col("_p0")) - F.lit(1)
+            m = (
+                joined.groupBy(*group_cols)
+                .agg(F.min(dev).alias(f"_dev{i}"))
+            )
+    if in_order:
+        ml = (F.col("_prev") - F.col("_p0")) - F.lit(len(terms) - 1)
+    else:
+        devs = [F.col(f"_dev{i}") for i in range(1, len(terms))]
+        ml = F.greatest(*devs) if len(devs) > 1 else devs[0]
+    anchors = m.withColumn("_ml", ml).filter(F.col("_ml") <= slop)
+    counts = anchors.groupBy("docid", "dl_approx").agg(
+        *[
+            F.sum((F.col("_ml") == mv).cast("long")).alias(f"_c{mv}")
+            for mv in range(slop + 1)
+        ]
+    )
+    tf = F.lit(0.0)
+    for mv in range(slop + 1):
+        tf = tf + F.col(f"_c{mv}") * F.lit(1.0 / (1 + mv))
+    hits = counts.withColumn("tf", tf).filter(F.col("tf") > 0)
+
+    stats = {
+        r.term: r.df
+        for r in index.term_stats().filter(F.col("term").isin(list(terms))).collect()
+    }
+    import math
+
+    n = index.max_doc
+    idf_sum = sum(
+        math.log(1.0 + (n - stats.get(t, 0) + 0.5) / (stats.get(t, 0) + 0.5))
+        for t in terms
+    )
+    score = (
+        F.lit(idf_sum) * 2.2 * F.col("tf")
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl_approx") / F.lit(index.avgdl)))
+    )
+    return hits.select("docid", F.round(score, round_dp).alias("score"))
+
+
+def to_parent_block_join(
+    scored_children: DataFrame,
+    parent_col: str,
+    score_mode: str = "max",
+    round_dp: int = 4,
+) -> DataFrame:
+    """ToParentBlockJoinQuery (lucene/join/.../ToParentBlockJoinQuery.java:
+    score modes in ScoreMode — None/Avg/Max/Total): children matching the
+    child query roll up to their parent with the chosen score aggregation.
+    ``scored_children`` is any (.., <parent_col>, score) DataFrame — e.g. a
+    child-table query's output; Lucene's doc-block adjacency becomes a plain
+    keyed aggregation (the parent key IS the block identity here)."""
+    agg = {
+        "max": F.max("score"),
+        "total": F.sum("score"),
+        "avg": F.avg("score"),
+        "none": F.lit(1.0),
+    }[score_mode]
+    return (
+        scored_children.groupBy(parent_col)
+        .agg(F.round(agg, round_dp).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(parent_col).asc())
+    )
+
+
+def to_child_block_join(
+    parents: DataFrame, children: DataFrame, parent_col: str
+) -> DataFrame:
+    """ToChildBlockJoinQuery: matching parents fan out to their children
+    (a semi-join of children against the parent result set)."""
+    return children.join(
+        parents.select(parent_col).distinct(), parent_col, "left_semi"
+    )
+
+
 def search(
     index: IndexTables,
     query,

@@ -186,19 +186,32 @@ class StreamingIndexer:
         return writer.start()
 
 
-def compact_store(spark: SparkSession, root: str) -> Snapshot:
-    """Merge all committed segment generations into one (TieredMergePolicy /
-    forceMerge analog, lucene/core/.../index/TieredMergePolicy.java:281-334).
+def compact_store(
+    spark: SparkSession, root: str, max_merge_at_once: int | None = None
+) -> Snapshot:
+    """Merge committed segment generations (TieredMergePolicy / forceMerge,
+    lucene/core/.../index/TieredMergePolicy.java:281-334).
 
-    Decode every generation's postings, re-encode into a single new
-    generation, commit a snapshot pointing only at it, then delete the old
-    generation directories.  Crash-safe: readers resolve generations through
-    the snapshot, so a crash before the commit leaves the old snapshot
-    intact and the half-written new gen invisible; a crash after the commit
-    leaves orphan old dirs that the next compaction sweep removes.
-    Query cost drops from one kernel group per (partition, gen) back to one
-    per partition.
+    Default (``max_merge_at_once=None``) is forceMerge-all: decode every
+    generation's postings, apply delete generations physically, re-encode
+    into ONE new generation whose snapshot stats reflect live docs only, and
+    clear the delete list.
+
+    ``max_merge_at_once=N`` is the tiered mode (TieredMergePolicy.java:86
+    maxMergeAtOnce): pick the N SMALLEST generations by doc count and merge
+    only those, leaving the big ones alone — the amortized policy that keeps
+    merge cost proportional to the small tail instead of the whole index.
+    Tiered merges are pure concatenation: delete generations are NOT applied
+    (they must keep masking the untouched generations) and stats are
+    unchanged; a later full compaction drops deletes physically.
+
+    Crash-safe either way: readers resolve generations through the snapshot,
+    so a crash before the commit leaves the old snapshot intact and the
+    half-written new gen invisible; a crash after the commit leaves orphan
+    old dirs that the next compaction sweep removes.
     """
+    if max_merge_at_once is not None:
+        return _compact_tiered(spark, root, max_merge_at_once)
     import shutil
 
     from lucene_solr_spark.index.compress import compress_postings
@@ -267,6 +280,68 @@ def compact_store(spark: SparkSession, root: str) -> Snapshot:
     for dg in old_dgens:
         shutil.rmtree(
             os.path.join(store.deletes_path, f"dgen={dg}"), ignore_errors=True
+        )
+    return new_snap
+
+
+def _compact_tiered(spark: SparkSession, root: str, max_merge_at_once: int) -> Snapshot:
+    """Tiered partial merge: concatenate the smallest generations only."""
+    import shutil
+
+    from lucene_solr_spark.index.compress import compress_postings
+    from lucene_solr_spark.store.store import postings_from_compressed
+
+    store = IndexStore(root)
+    snap = store.head()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    gens = list(snap.gens or [])
+    if len(gens) <= 1 or max_merge_at_once < 2:
+        return snap
+
+    sizes = {
+        int(r["gen"]): int(r["n"])
+        for r in spark.read.option("basePath", store.docs_path)
+        .parquet(store.docs_path)
+        .filter(F.col("gen").isin(gens))
+        .groupBy("gen")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    merge_gens = sorted(gens, key=lambda g: (sizes.get(g, 0), g))[:max_merge_at_once]
+    keep_gens = [g for g in gens if g not in merge_gens]
+
+    keep = F.col("gen").isin(merge_gens)
+    docs = spark.read.option("basePath", store.docs_path).parquet(
+        store.docs_path
+    ).filter(keep).drop("gen")
+    compressed = spark.read.option("basePath", store.segments_path).parquet(
+        store.segments_path
+    ).filter(keep)
+    postings = postings_from_compressed(compressed)
+
+    all_gens = keep_gens + merge_gens
+    new_gen = min(0, min(all_gens)) - 1
+    docs.write.mode("overwrite").partitionBy("index_partition").parquet(
+        os.path.join(store.docs_path, f"gen={new_gen}")
+    )
+    compress_postings(postings).write.mode("overwrite").partitionBy(
+        "index_partition"
+    ).parquet(os.path.join(store.segments_path, f"gen={new_gen}"))
+
+    new_snap = Snapshot(
+        **{
+            **snap.__dict__,
+            "snapshot_id": snap.snapshot_id + 1,
+            "parent_id": snap.snapshot_id,
+            "gens": sorted(keep_gens + [new_gen]),
+        }
+    )
+    store.commit(new_snap)
+    for g in merge_gens:
+        shutil.rmtree(os.path.join(store.docs_path, f"gen={g}"), ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(store.segments_path, f"gen={g}"), ignore_errors=True
         )
     return new_snap
 

@@ -288,3 +288,57 @@ def test_scoring_rewrite_max_clause_count(spark):
     assert _expand_terms(idx, PrefixQuery("alp")) == ["alpha", "alpine", "alps"]
     with pytest.raises(TooManyClauses):
         _expand_terms(idx, PrefixQuery("alp"), max_clauses=2)
+
+
+# ---------------------------------------------------------------------------
+# span-near (ordered/unordered) + block join
+# ---------------------------------------------------------------------------
+
+def test_span_near_ordered_vs_unordered(spark):
+    from lucene_solr_spark.search.bm25 import span_near_topk
+
+    texts = [
+        "alpha beta",            # ordered adjacent: ml=0
+        "alpha gamma beta",      # ordered 1 gap: ml=1
+        "beta alpha",            # reversed: ordered NO; unordered window ml=0
+        "alpha gamma gamma beta" # ordered ml=2 > slop 1; unordered ml=2
+    ]
+    idx = _tiny_index(spark, texts)
+    ordered = {r.docid for r in span_near_topk(idx, ["alpha", "beta"], slop=1).collect()}
+    assert ordered == {0, 1}
+    unordered = {
+        r.docid
+        for r in span_near_topk(
+            idx, ["alpha", "beta"], slop=2, in_order=False
+        ).collect()
+    }
+    assert unordered == {0, 1, 2, 3}
+
+
+def test_span_near_three_terms_greedy_chain(spark):
+    from lucene_solr_spark.search.bm25 import span_near_topk
+
+    texts = [
+        "alpha beta gamma",        # chain slack 0
+        "alpha x beta y gamma",    # slack 2
+        "gamma beta alpha",        # wrong order
+    ]
+    idx = _tiny_index(spark, texts)
+    got0 = {r.docid for r in span_near_topk(idx, ["alpha", "beta", "gamma"], slop=0).collect()}
+    assert got0 == {0}
+    got2 = {r.docid for r in span_near_topk(idx, ["alpha", "beta", "gamma"], slop=2).collect()}
+    assert got2 == {0, 1}
+
+
+def test_block_join_score_modes(spark):
+    from lucene_solr_spark.search.bm25 import to_child_block_join, to_parent_block_join
+
+    rows = [(1, 10.0), (1, 4.0), (2, 6.0), (3, 2.0)]
+    children = spark.createDataFrame(rows, "parent long, score double")
+    mx = {r.parent: r.score for r in to_parent_block_join(children, "parent", "max").collect()}
+    assert mx == {1: 10.0, 2: 6.0, 3: 2.0}
+    tot = {r.parent: r.score for r in to_parent_block_join(children, "parent", "total").collect()}
+    assert tot == {1: 14.0, 2: 6.0, 3: 2.0}
+    parents = spark.createDataFrame([(1,), (3,)], "parent long")
+    kids = to_child_block_join(parents, children, "parent")
+    assert {(r.parent, r.score) for r in kids.collect()} == {(1, 10.0), (1, 4.0), (3, 2.0)}

@@ -176,3 +176,27 @@ def test_batch_after_compaction_not_dropped(spark, pages, streamed):
     assert s2.max_batch_id == 2
     idx = load_streaming_index(spark, root)
     assert idx.max_doc == s2.max_doc
+
+
+def test_tiered_compaction_merges_smallest_only(spark, pages, streamed):
+    """TieredMergePolicy mode: merge the N smallest generations, leave the
+    rest; stats and delete semantics untouched (pure concatenation)."""
+    from lucene_solr_spark.streaming import compact_store, load_streaming_index
+    from lucene_solr_spark.streaming.incremental import StreamingIndexer
+
+    indexer, root = streamed
+    before = indexer.store.head()
+    # add two tiny generations on top of whatever state earlier tests left
+    doc_id = F.split(F.col("url"), "/doc/")[1].cast("long")
+    nb = before.max_batch_id
+    s1 = indexer.process_batch(pages.where(doc_id < 3), nb + 1)
+    s2 = indexer.process_batch(pages.where((doc_id >= 3) & (doc_id < 6)), nb + 2)
+    assert len(s2.gens) >= 3
+    total_before = load_streaming_index(spark, root).docs.count()
+
+    snap = compact_store(spark, root, max_merge_at_once=2)
+    # two smallest gens merged into one: net gen count shrinks by exactly 1
+    assert len(snap.gens) == len(s2.gens) - 1
+    assert snap.max_doc == s2.max_doc  # stats untouched by tiered merge
+    after = load_streaming_index(spark, root)
+    assert after.docs.count() == total_before
