@@ -1532,6 +1532,35 @@ GROUP BY 1 ORDER BY score DESC, o_orderkey ASC LIMIT 20""",
 _register_span_and_join_queries()
 
 
+def _register_function_parser_query():
+    _NOW_MS = 1767225600000  # 2026-01-01T00:00:00Z, pinned NOW
+
+    @_q(
+        "parsed_function_query",
+        f"""SELECT event_id,
+       round(1000.0 / (0.0000000005 * ({_NOW_MS} - epoch_ms(ts)) + 1000.0), 6) AS fscore
+FROM events ORDER BY fscore DESC, event_id ASC LIMIT 10""",
+    )
+    def parsed_function_query(spark, sf_dir):
+        """The func QParser front door (FunctionQParser.java +
+        ValueSourceParser.java:90 registry): a function-query STRING compiled
+        to a Catalyst expression — recip(ms(NOW,ts),m,a,b) freshness."""
+        from lucene_solr_spark.functions import parse_function_query
+
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        fscore = parse_function_query(
+            "recip(ms(NOW,ts),0.0000000005,1000,1000)", now_epoch_ms=_NOW_MS
+        )
+        return (
+            e.select("event_id", F.round(fscore, 6).alias("fscore"))
+            .orderBy(F.col("fscore").desc(), F.col("event_id").asc())
+            .limit(10)
+        )
+
+
+_register_function_parser_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -1570,6 +1599,7 @@ _DEFER_LAST = [
     "facet_range_flags_nchars", # facet_range_date_events — include/other flags
     "span_near_query",          # sloppy_phrase (positions machinery) — new op, window full
     "block_join_parents",       # join_query (keyed join family) — new op, window full
+    "parsed_function_query",    # function_query_recip_freshness (same semantics, string front door)
 ]
 
 
