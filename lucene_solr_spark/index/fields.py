@@ -177,6 +177,22 @@ def search_fields(
     )
 
 
+def parse_qf(qf: str) -> dict[str, float]:
+    """Parse a Solr ``qf`` parameter string — 'title^2 body^0.5 text' —
+    into {field: boost} (DisMaxQParser.parseQueryFields ->
+    SolrPluginUtils.parseFieldBoosts)."""
+    out: dict[str, float] = {}
+    for part in qf.split():
+        if "^" in part:
+            f, b = part.split("^", 1)
+            out[f] = float(b)
+        else:
+            out[part] = 1.0
+    if not out:
+        raise ValueError("empty qf")
+    return out
+
+
 def dismax_fields(
     mfi: MultiFieldIndex,
     terms: list[str],

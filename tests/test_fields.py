@@ -151,3 +151,13 @@ def test_dismax_fields_tie_adds_other_fields(mfi):
     assert with_tie[3] > no_tie[3]
     # doc 2 matches body only: tie changes nothing
     assert with_tie[2] == no_tie[2]
+
+
+def test_parse_qf_and_string_form(mfi):
+    from lucene_solr_spark.index.fields import parse_qf
+
+    assert parse_qf("title^2 body") == {"title": 2.0, "body": 1.0}
+    assert parse_qf("a^0.5 b c^3") == {"a": 0.5, "b": 1.0, "c": 3.0}
+    a = dismax_fields(mfi, ["alpha"], qf=parse_qf("title^3 body"), tie=0.5)
+    b = dismax_fields(mfi, ["alpha"], qf={"title": 3.0, "body": 1.0}, tie=0.5)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
