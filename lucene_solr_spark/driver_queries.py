@@ -1561,6 +1561,25 @@ FROM events ORDER BY fscore DESC, event_id ASC LIMIT 10""",
 _register_function_parser_query()
 
 
+@_q(
+    "early_term_sort",
+    "SELECT doc_id AS docid, n_chars FROM documents "
+    "ORDER BY n_chars DESC, docid ASC LIMIT 10",
+)
+def early_term_sort(spark, sf_dir):
+    """Early termination on an index-time sort
+    (EarlyTerminatingSortingCollector.java): each sorted segment contributes
+    only its first k rows; the global merge sees P*k candidates."""
+    from lucene_solr_spark.search.bm25 import early_terminating_topk
+
+    idx = get_index(spark, sf_dir)
+    order = [F.col("n_chars").desc(), F.col("docid").asc()]
+    sorted_store = (
+        idx.docs.select("docid", "n_chars").repartition(4).sortWithinPartitions(*order)
+    )
+    return early_terminating_topk(sorted_store, order, k=10)
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -1600,6 +1619,7 @@ _DEFER_LAST = [
     "span_near_query",          # sloppy_phrase (positions machinery) — new op, window full
     "block_join_parents",       # join_query (keyed join family) — new op, window full
     "parsed_function_query",    # function_query_recip_freshness (same semantics, string front door)
+    "early_term_sort",          # sort_by_field (same result, early-terminating path)
 ]
 
 

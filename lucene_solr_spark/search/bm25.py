@@ -426,6 +426,35 @@ def to_parent_block_join(
     )
 
 
+def early_terminating_topk(
+    sorted_docs: DataFrame,
+    order_by: list,
+    k: int = 10,
+) -> DataFrame:
+    """EarlyTerminatingSortingCollector (lucene/core/.../search/
+    EarlyTerminatingSortingCollector.java): when every segment is already
+    sorted by the query sort, the per-segment scan STOPS after k hits instead
+    of reading the segment.
+
+    ``sorted_docs`` must be sorted WITHIN partitions by ``order_by`` (the
+    index-time sort — e.g. ``df.sortWithinPartitions(...)`` before writing,
+    or a store written with that layout).  Each partition then contributes
+    only its first k rows (islice stops pulling from the iterator — with a
+    columnar source, later pages are never materialized) and the global
+    top-k merges P*k candidates.  One of the few justified mapPartitions:
+    early termination is imperative by nature."""
+    from itertools import islice
+
+    spark = sorted_docs.sparkSession
+    schema = sorted_docs.schema
+
+    def head(it):
+        return islice(it, k)
+
+    heads = spark.createDataFrame(sorted_docs.rdd.mapPartitions(head), schema)
+    return heads.orderBy(*order_by).limit(k)
+
+
 def to_child_block_join(
     parents: DataFrame, children: DataFrame, parent_col: str
 ) -> DataFrame:

@@ -342,3 +342,19 @@ def test_block_join_score_modes(spark):
     parents = spark.createDataFrame([(1,), (3,)], "parent long")
     kids = to_child_block_join(parents, children, "parent")
     assert {(r.parent, r.score) for r in kids.collect()} == {(1, 10.0), (1, 4.0), (3, 2.0)}
+
+
+def test_early_terminating_topk_on_index_sorted_docs(spark, index):
+    """Early termination over an index-time sort: equal to the full global
+    sort while reading only k rows per partition."""
+    from lucene_solr_spark.search.bm25 import early_terminating_topk
+
+    order = [F.col("n_chars").desc(), F.col("docid").asc()]
+    docs = idx_docs = index.docs.select("docid", "n_chars")
+    sorted_store = docs.repartition(4).sortWithinPartitions(*order)
+    got = [
+        (r.docid, r.n_chars)
+        for r in early_terminating_topk(sorted_store, order, k=10).collect()
+    ]
+    want = [(r.docid, r.n_chars) for r in docs.orderBy(*order).limit(10).collect()]
+    assert got == want
