@@ -91,3 +91,52 @@ def test_duckdb_re2_parity():
             """
         ).fetchall()
         assert [r[0] for r in rows] == analyze_text(t), t
+
+
+# ---------------------------------------------------------------------------
+# token filter factories (§2.11 extension surface) — JVM-side array transforms
+# ---------------------------------------------------------------------------
+
+def _toks(spark, expr, text="the Quick brown foxes run fast"):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analysis.analyzer import StandardAnalyzer
+
+    df = spark.createDataFrame([(text,)], "text string")
+    base = StandardAnalyzer().tokens_col(F.col("text"))
+    return df.select(expr(base).alias("t")).collect()[0].t
+
+
+def test_synonym_filter(spark):
+    from lucene_solr_spark.analysis.filters import synonym_filter
+
+    got = _toks(spark, lambda t: synonym_filter(t, {"quick": "fast", "run": "sprint"}))
+    assert got == ["fast", "brown", "foxes", "sprint", "fast"]
+
+
+def test_shingle_filter(spark):
+    from lucene_solr_spark.analysis.filters import shingle_filter
+
+    got = _toks(spark, lambda t: shingle_filter(t, n=2))
+    assert got == ["quick brown", "brown foxes", "foxes run", "run fast"]
+    # fewer tokens than n -> empty
+    assert _toks(spark, lambda t: shingle_filter(t, n=3), text="the word") == []
+
+
+def test_edge_and_char_ngrams(spark):
+    from lucene_solr_spark.analysis.filters import edge_ngram_filter, ngram_filter
+
+    got = _toks(spark, lambda t: edge_ngram_filter(t, 2, 3), text="scan x")
+    assert got == ["sc", "sca"]  # 'x' shorter than min_gram drops out
+    got2 = _toks(spark, lambda t: ngram_filter(t, 2, 2), text="scan y")
+    assert got2 == ["sc", "ca", "an"]
+
+
+def test_english_minimal_stem_and_length(spark):
+    from lucene_solr_spark.analysis.filters import english_minimal_stem, length_filter
+
+    got = _toks(spark, english_minimal_stem, text="foxes pass bus axis dogs is")
+    # foxes->foxe dogs->dog; pass/bus/axis keep; 'is' is a stopword upstream
+    assert got == ["foxe", "pass", "bus", "axis", "dog"]
+    got2 = _toks(spark, lambda t: length_filter(t, 4, 5), text="go fast table scanner")
+    assert got2 == ["fast", "table"]
