@@ -114,3 +114,43 @@ def make_oracle(rows: list[tuple[int, str]]) -> OracleIndex:
     o = OracleIndex(rows)
     o._texts = rows
     return o
+
+
+def sloppy_phrase_topk(oracle: OracleIndex, terms: list[str], slop: int, k: int = 10):
+    """Brute-force anchor-based sloppy phrase (independent of the engine):
+    per-anchor matchLength = max over terms of min |(q_i - i) - p|; tf =
+    fixed-order sum of per-matchLength counts weighted 1/(1+ml)."""
+    from lucene_solr_spark.analysis.analyzer import analyze_text_positions
+
+    idf_sum = sum(oracle.idf(t) for t in terms)
+    out = []
+    for d, text in oracle._texts:
+        pos = analyze_text_positions(text)
+        index = defaultdict(set)
+        for p, t in pos:
+            index[t].add(p)
+        counts = Counter()
+        for p in index.get(terms[0], ()):
+            devs = []
+            ok = True
+            for i, t in enumerate(terms[1:], start=1):
+                qs = index.get(t, ())
+                if not qs:
+                    ok = False
+                    break
+                dev = min(abs((q - i) - p) for q in qs)
+                if dev > slop:
+                    ok = False
+                    break
+                devs.append(dev)
+            if ok:
+                counts[max(devs) if devs else 0] += 1
+        tf = 0.0
+        for m in range(slop + 1):
+            tf = tf + counts.get(m, 0) * (1.0 / (1 + m))
+        if tf > 0:
+            dl = oracle.dl_approx[d]
+            s = idf_sum * 2.2 * tf / (tf + 1.2 * (0.25 + 0.75 * dl / oracle.avgdl))
+            out.append((d, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]

@@ -358,3 +358,16 @@ def test_early_terminating_topk_on_index_sorted_docs(spark, index):
     ]
     want = [(r.docid, r.n_chars) for r in docs.orderBy(*order).limit(10).collect()]
     assert got == want
+
+
+@pytest.mark.parametrize("terms,slop", [
+    (("table", "scan"), 1),
+    (("table", "scan"), 3),
+    (("data", "stream"), 2),
+])
+def test_sloppy_phrase_matches_bruteforce_oracle(index, oracle, terms, slop):
+    from tests.oracle_py import sloppy_phrase_topk
+
+    got = search(index, PhraseQuery(tuple(terms), slop=slop), k=10)
+    want = sloppy_phrase_topk(oracle, list(terms), slop, k=10)
+    _compare(got, want, 10)
