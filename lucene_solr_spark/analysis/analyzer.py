@@ -45,10 +45,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # One pattern, three engines (java.util.regex / Python re / RE2). No
-# lookaround, no backreferences; alternation order matters and is identical
+# lookaround, no backreferences, no \p classes (Python re lacks them) —
+# explicit char ranges only; alternation order matters and is identical
 # (leftmost-first) in all three engines.
+#
+# CJK per StandardTokenizer token types (StandardTokenizer.java:61-91):
+# Han ideographs and Hiragana emit ONE char per token (<IDEOGRAPHIC>,
+# <HIRAGANA>); Katakana forms runs (WB13, <KATAKANA> — the full block incl.
+# the U+30FC prolonged-sound mark); Hangul syllables are ALetter-class runs
+# (<HANGUL>).
 TOKEN_PATTERN = (
-    "[一-鿿]"
+    "[一-鿿]"       # Han U+4E00-U+9FFF: one char per token
+    "|[ぁ-ゟ]"      # Hiragana U+3041-U+309F: one char per token
+    "|[゠-ヿ]+"     # Katakana U+30A0-U+30FF: runs
+    "|[가-힣]+"     # Hangul syllables U+AC00-U+D7A3: runs
     "|(?:[A-Za-z]+(?:['.’][A-Za-z]+)*"
     "|[0-9]+(?:[.,'][0-9]+)*"
     "|[0-9A-Za-z_])+"

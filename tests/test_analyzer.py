@@ -140,3 +140,58 @@ def test_english_minimal_stem_and_length(spark):
     assert got == ["foxe", "pass", "bus", "axis", "dog"]
     got2 = _toks(spark, lambda t: length_filter(t, 4, 5), text="go fast table scanner")
     assert got2 == ["fast", "table"]
+
+
+# ---------------------------------------------------------------------------
+# CJK token types: tri-engine parity (JVM regex / Python re / DuckDB RE2)
+# ---------------------------------------------------------------------------
+
+_CJK_SAMPLES = [
+    "日本語のテキスト",          # Han x3, Hiragana 'の', Katakana run 'テキスト'
+    "スパーク ストリーム 処理",   # Katakana runs with prolonged mark + Han
+    "한국어 검색 엔진",           # Hangul syllable runs
+    "mixed 漢字 and カタカナ2000", # Latin + Han + Katakana + digits
+    "ひらがな",                  # Hiragana: one char per token
+]
+
+
+@pytest.mark.parametrize("text", _CJK_SAMPLES)
+def test_cjk_tri_engine_parity(spark, text):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analysis.analyzer import (
+        analyze_text,
+        sql_quoted_pattern,
+        tokens_expr,
+    )
+
+    py = analyze_text(text)
+    jvm = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(tokens_expr(F.col("text")).alias("t"))
+        .collect()[0]
+        .t
+    )
+    con = duckdb.connect()
+    stop = ", ".join(f"'{w}'" for w in ENGLISH_STOP_WORDS)
+    rows = con.execute(
+        f"""SELECT t FROM (
+              SELECT lower(unnest(regexp_extract_all(?, {sql_quoted_pattern()}))) AS t
+            ) WHERE length(t) BETWEEN 1 AND 255 AND t NOT IN ({stop})""",
+        [text],
+    ).fetchall()
+    re2 = [r[0] for r in rows]
+    assert py == jvm == re2
+    assert len(py) > 0
+
+
+def test_cjk_token_type_shapes():
+    from lucene_solr_spark.analysis.analyzer import analyze_text
+
+    # Han + Hiragana single-char, Katakana run
+    assert analyze_text("日本語のテキスト") == ["日", "本", "語", "の", "テキスト"]
+    # Hangul runs
+    assert analyze_text("한국어 검색") == ["한국어", "검색"]
+    # Hiragana one per char
+    assert analyze_text("ひらがな") == ["ひ", "ら", "が", "な"]
