@@ -1509,6 +1509,68 @@ ORDER BY score DESC, pm.docid ASC LIMIT 10""",
         return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(10)
 
     @_q(
+        "span_or_terms",
+        f"""{PRELUDE},
+pm AS (SELECT docid, sum(tf) AS tf FROM tf
+       WHERE term IN ('merge', 'vector') GROUP BY 1)
+SELECT pm.docid,
+       round(({idf_sql('merge')} + {idf_sql('vector')})
+             * 2.2 * pm.tf / (pm.tf + 1.2 * (0.25 + 0.75 * d.dl_approx / st.avgdl)), 4) AS score
+FROM pm JOIN doc d ON d.docid = pm.docid CROSS JOIN stats st
+ORDER BY score DESC, pm.docid ASC LIMIT 10""",
+    )
+    def span_or_terms(spark, sf_dir):
+        """SpanOrQuery over term spans (spans/SpanOrQuery.java): tf = total
+        occurrences of ANY clause term, one idf sum over clauses — ranks
+        differently from boolean OR's per-term score sum."""
+        from lucene_solr_spark.search.bm25 import span_or_topk
+
+        idx = get_index(spark, sf_dir)
+        out = span_or_topk(idx, ["merge", "vector"])
+        return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(10)
+
+    @_q(
+        "span_not_query",
+        f"""{PRELUDE},
+anch AS (
+  SELECT p0.docid, p0.pos AS p, min(p1.pos) AS e
+  FROM tok p0 JOIN tok p1 ON p1.docid = p0.docid AND p1.pos > p0.pos
+  WHERE p0.term = 'table' AND p1.term = 'scan'
+  GROUP BY 1, 2
+),
+spans AS (SELECT docid, p, e, e - p - 1 AS ml FROM anch WHERE e - p - 1 <= 1),
+clean AS (
+  SELECT s.* FROM spans s WHERE NOT EXISTS (
+    SELECT 1 FROM tok x
+    WHERE x.docid = s.docid AND x.term = 'slow'
+      AND x.pos >= s.p - 2 AND x.pos <= s.e + 2)
+),
+cnt AS (
+  SELECT docid,
+         sum(CASE WHEN ml = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN ml = 1 THEN 1 ELSE 0 END) AS c1
+  FROM clean GROUP BY 1
+),
+pm AS (SELECT docid, 0.0 + c0 * 1.0 + c1 * 0.5 AS tf FROM cnt WHERE c0 + c1 > 0)
+SELECT pm.docid,
+       round(({idf_sql('table')} + {idf_sql('scan')})
+             * 2.2 * pm.tf / (pm.tf + 1.2 * (0.25 + 0.75 * d.dl_approx / st.avgdl)), 4) AS score
+FROM pm JOIN doc d ON d.docid = pm.docid CROSS JOIN stats st
+ORDER BY score DESC, pm.docid ASC LIMIT 10""",
+    )
+    def span_not_query(spark, sf_dir):
+        """SpanNotQuery (spans/SpanNotQuery.java:44-58): ordered
+        'table scan' spans (slop=1) that do NOT come within 2 positions of
+        'slow' (pre=2/post=2 exclusion window)."""
+        from lucene_solr_spark.search.bm25 import span_not_topk
+
+        idx = get_index(spark, sf_dir)
+        out = span_not_topk(
+            idx, ["table", "scan"], "slow", slop=1, pre=2, post=2
+        )
+        return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(10)
+
+    @_q(
         "block_join_parents",
         """SELECT l_orderkey AS o_orderkey,
        round(max(CAST(l_quantity AS DOUBLE)), 4) AS score
@@ -1617,6 +1679,8 @@ _DEFER_LAST = [
     "facet_missing_lang",       # facet_field_lang (facet.field op) — polish row
     "facet_range_flags_nchars", # facet_range_date_events — include/other flags
     "span_near_query",          # sloppy_phrase (positions machinery) — new op, window full
+    "span_or_terms",            # span_near_query (span algebra) — new op, window full
+    "span_not_query",           # span_near_query (span algebra) — new op, window full
     "block_join_parents",       # join_query (keyed join family) — new op, window full
     "parsed_function_query",    # function_query_recip_freshness (same semantics, string front door)
     "early_term_sort",          # sort_by_field (same result, early-terminating path)

@@ -308,35 +308,20 @@ def _sloppy_phrase_topk(index: IndexTables, q: PhraseQuery, round_dp: int) -> Da
     return hits.select("docid", F.round(score, round_dp).alias("score"))
 
 
-def span_near_topk(
-    index: IndexTables,
-    terms: list[str],
-    slop: int = 0,
-    in_order: bool = True,
-    round_dp: int = 4,
+def _span_near_spans(
+    index: IndexTables, terms: list[str], in_order: bool
 ) -> DataFrame:
-    """SpanNearQuery (lucene/core/.../search/spans/SpanNearQuery.java,
-    NearSpansOrdered.java): terms must co-occur within a window.
+    """Candidate spans for a span-near over term clauses: one row per anchor
+    (docid, dl_approx, _p0=start, _end, _ml=matchLength), UNFILTERED by slop.
 
     Ordered semantics per NearSpansOrdered.java:58-101: for each occurrence
     ``p`` of the first clause, greedily shrink to the MINIMAL ordered chain
     p < q_1 < ... < q_{k-1} (each q_i the smallest position of term i after
     the previous clause); matchLength = (q_last - p) - (k-1) — the slack
-    beyond adjacency; a span matches when matchLength <= slop.  Unordered
-    (``in_order=False``, NearSpansUnordered.java window semantics) allows
-    either direction: per-term deviation |q_i - p| - 1 (the window slack of
-    the two-position span), minimized per term, matchLength = max over
-    terms — exact for two clauses, anchor-approximate beyond.  Scoring is
-    SpanScorer's sloppyFreq sum (SpanScorer.java:42-56): tf = sum over
-    matching spans of 1/(1+matchLength), assembled from integer
-    per-matchLength counts in fixed order for engine determinism, then BM25
-    with idf summed over clause terms.
-    """
-    if index.positions is None:
-        raise ValueError("index built without positions")
-    if len(terms) < 2:
-        raise ValueError("span_near needs >= 2 clauses")
-    slop = int(slop)
+    beyond adjacency.  Unordered (NearSpansUnordered.java window semantics)
+    allows either direction: per-term deviation |q_i - p| - 1, minimized per
+    term, matchLength = max over terms — exact for two clauses,
+    anchor-approximate beyond; ``_end`` is not meaningful (set to _p0)."""
     pos = index.positions
     t0 = terms[0]
     m = pos.filter(F.col("term") == t0).select(
@@ -368,10 +353,25 @@ def span_near_topk(
             )
     if in_order:
         ml = (F.col("_prev") - F.col("_p0")) - F.lit(len(terms) - 1)
-    else:
-        devs = [F.col(f"_dev{i}") for i in range(1, len(terms))]
-        ml = F.greatest(*devs) if len(devs) > 1 else devs[0]
-    anchors = m.withColumn("_ml", ml).filter(F.col("_ml") <= slop)
+        return m.withColumn("_ml", ml).withColumnRenamed("_prev", "_end")
+    devs = [F.col(f"_dev{i}") for i in range(1, len(terms))]
+    ml = F.greatest(*devs) if len(devs) > 1 else devs[0]
+    return m.withColumn("_end", F.col("_p0")).withColumn("_ml", ml)
+
+
+def _sloppy_span_score(
+    index: IndexTables,
+    spans: DataFrame,
+    terms: list[str],
+    slop: int,
+    round_dp: int,
+) -> DataFrame:
+    """SpanScorer's sloppyFreq sum (SpanScorer.java:42-56) over candidate
+    spans: keep spans with matchLength <= slop; tf = sum of 1/(1+matchLength)
+    assembled from integer per-matchLength counts in fixed order for engine
+    determinism; BM25 with idf summed over clause terms (SpanWeight builds
+    one similarity over the query's extracted terms)."""
+    anchors = spans.filter(F.col("_ml") <= slop)
     counts = anchors.groupBy("docid", "dl_approx").agg(
         *[
             F.sum((F.col("_ml") == mv).cast("long")).alias(f"_c{mv}")
@@ -399,6 +399,104 @@ def span_near_topk(
         / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl_approx") / F.lit(index.avgdl)))
     )
     return hits.select("docid", F.round(score, round_dp).alias("score"))
+
+
+def span_near_topk(
+    index: IndexTables,
+    terms: list[str],
+    slop: int = 0,
+    in_order: bool = True,
+    round_dp: int = 4,
+) -> DataFrame:
+    """SpanNearQuery (lucene/core/.../search/spans/SpanNearQuery.java):
+    terms must co-occur within a window of ``slop`` slack positions; scoring
+    is the sloppyFreq sum over matching spans (see _span_near_spans and
+    _sloppy_span_score for the ordered/unordered semantics)."""
+    if index.positions is None:
+        raise ValueError("index built without positions")
+    if len(terms) < 2:
+        raise ValueError("span_near needs >= 2 clauses")
+    spans = _span_near_spans(index, terms, in_order)
+    return _sloppy_span_score(index, spans, terms, int(slop), round_dp)
+
+
+def span_or_topk(
+    index: IndexTables, terms: list[str], round_dp: int = 4
+) -> DataFrame:
+    """SpanOrQuery over SpanTermQueries (lucene/core/.../search/spans/
+    SpanOrQuery.java): the disjunction merges all clause spans.  Each term
+    span has matchLength 0 → sloppyFreq 1 per occurrence (SpanScorer.java:
+    42-56), so the phrase-style tf is the TOTAL occurrence count of any
+    clause term, scored by ONE SpanWeight whose idf sums over the extracted
+    clause terms.  This differs from BooleanQuery OR, which saturates tf
+    per term before summing per-term scores — both are real reference
+    operators with distinct rankings."""
+    if not terms:
+        raise ValueError("span_or needs >= 1 clause")
+    p = index.postings.filter(F.col("term").isin(list(terms)))
+    hits = p.groupBy("docid", "dl_approx").agg(F.sum("tf").alias("tf"))
+
+    stats = {
+        r.term: r.df
+        for r in index.term_stats().filter(F.col("term").isin(list(terms))).collect()
+    }
+    import math
+
+    n = index.max_doc
+    idf_sum = sum(
+        math.log(1.0 + (n - stats.get(t, 0) + 0.5) / (stats.get(t, 0) + 0.5))
+        for t in terms
+    )
+    score = (
+        F.lit(idf_sum) * 2.2 * F.col("tf")
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl_approx") / F.lit(index.avgdl)))
+    )
+    return hits.select("docid", F.round(score, round_dp).alias("score"))
+
+
+def span_not_topk(
+    index: IndexTables,
+    include_terms: list[str],
+    exclude_term: str,
+    slop: int = 0,
+    pre: int = 0,
+    post: int = 0,
+    round_dp: int = 4,
+) -> DataFrame:
+    """SpanNotQuery (lucene/core/.../search/spans/SpanNotQuery.java:44-58):
+    spans of the include query that do NOT overlap any span of the exclude
+    term, with the overlap window widened by ``pre`` positions before the
+    span start and ``post`` after its end (the 4.10 dist/pre/post ctor).
+    Include = one term (SpanTermQuery, span [p,p]) or an ORDERED span-near
+    chain over >= 2 terms; unordered include is rejected because its anchor
+    form does not track span extents.  Scoring uses the include clause's
+    terms only (SpanNotQuery.extractTerms delegates to include)."""
+    if index.positions is None:
+        raise ValueError("index built without positions")
+    if not include_terms:
+        raise ValueError("span_not needs an include clause")
+    slop = int(slop)
+    if len(include_terms) == 1:
+        pos = index.positions
+        spans = pos.filter(F.col("term") == include_terms[0]).select(
+            "docid",
+            "dl_approx",
+            F.col("pos").alias("_p0"),
+            F.col("pos").alias("_end"),
+            F.lit(0).alias("_ml"),
+        )
+    else:
+        spans = _span_near_spans(index, include_terms, in_order=True)
+    excl = index.positions.filter(F.col("term") == exclude_term).select(
+        F.col("docid").alias("_d"), F.col("pos").alias("_e")
+    )
+    overlap = (
+        (spans["docid"] == excl["_d"])
+        & (F.col("_e") >= F.col("_p0") - F.lit(int(pre)))
+        & (F.col("_e") <= F.col("_end") + F.lit(int(post)))
+    )
+    clean = spans.join(excl, overlap, "left_anti")
+    return _sloppy_span_score(index, clean, include_terms, slop, round_dp)
 
 
 def to_parent_block_join(

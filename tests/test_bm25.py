@@ -330,6 +330,62 @@ def test_span_near_three_terms_greedy_chain(spark):
     assert got2 == {0, 1}
 
 
+def test_span_or_total_occurrences(spark):
+    """SpanOrQuery: tf = total occurrences of ANY clause term, one idf sum
+    over clauses — distinct from boolean OR's per-term score sum."""
+    import math
+
+    from lucene_solr_spark.search.bm25 import span_or_topk
+
+    texts = [
+        "alpha alpha beta",  # tf = 3
+        "alpha",             # tf = 1
+        "gamma",             # no match
+        "beta beta",         # tf = 2
+    ]
+    idx = _tiny_index(spark, texts)
+    rows = {r.docid: r.score for r in span_or_topk(idx, ["alpha", "beta"]).collect()}
+    assert set(rows) == {0, 1, 3}
+    dl = {r.docid: r.dl_approx for r in idx.docs.collect()}
+    dfs = {r.term: r.df for r in idx.term_stats().collect()}
+    idf = sum(
+        math.log(1 + (4 - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in ["alpha", "beta"]
+    )
+    for d, tf in {0: 3, 1: 1, 3: 2}.items():
+        exp = idf * 2.2 * tf / (tf + 1.2 * (0.25 + 0.75 * dl[d] / idx.avgdl))
+        assert rows[d] == pytest.approx(exp, abs=1e-3)
+
+
+def test_span_not_excludes_overlapping_spans(spark):
+    """SpanNotQuery: include spans overlapping the exclude term (window
+    widened by pre/post) are dropped; non-overlapping spans still score."""
+    from lucene_solr_spark.search.bm25 import span_not_topk
+
+    texts = [
+        "alpha beta",        # clean span
+        "alpha beta bad",    # excluded only when post >= 1
+        "bad alpha beta",    # excluded only when pre >= 1
+        "alpha beta x bad",  # bad beyond post=1 window: kept
+        "alpha bad beta",    # bad INSIDE the slop-1 span: always excluded
+    ]
+    idx = _tiny_index(spark, texts)
+    got = {
+        r.docid
+        for r in span_not_topk(
+            idx, ["alpha", "beta"], "bad", slop=1, pre=1, post=1
+        ).collect()
+    }
+    assert got == {0, 3}
+    got0 = {
+        r.docid
+        for r in span_not_topk(idx, ["alpha", "beta"], "bad", slop=1).collect()
+    }
+    assert got0 == {0, 1, 2, 3}
+    # single include term: SpanTermQuery spans [p, p]
+    got1 = {r.docid for r in span_not_topk(idx, ["alpha"], "bad", post=1).collect()}
+    assert got1 == {0, 1, 2, 3}
+
+
 def test_block_join_score_modes(spark):
     from lucene_solr_spark.search.bm25 import to_child_block_join, to_parent_block_join
 
