@@ -66,6 +66,22 @@ TOKEN_PATTERN = (
 
 _PY_RE = re.compile(TOKEN_PATTERN)
 
+# UAX29URLEmailTokenizer analog (lucene/analysis/common/src/java/org/apache/
+# lucene/analysis/standard/UAX29URLEmailTokenizer.java): StandardTokenizer's
+# rules plus <URL> and <EMAIL> token types kept as SINGLE tokens.  The
+# reference's JFlex grammar (UAX29URLEmailTokenizerImpl.jflex) covers full
+# RFC-3986/5321; this is a documented subset — scheme-required URLs
+# (http/https/ftp, optional port/path/query/fragment) and local@domain.tld
+# emails — in the same tri-engine dialect (no lookaround, leftmost-first
+# alternation, so the URL/EMAIL branches MUST precede the word branches).
+URL_EMAIL_TOKEN_PATTERN = (
+    "(?:[Hh][Tt][Tt][Pp][Ss]?|[Ff][Tt][Pp])://"
+    "[A-Za-z0-9.-]+(?::[0-9]+)?"
+    "(?:/[A-Za-z0-9._~%/?#@!$&+,;=()-]*)?"
+    "|[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)+"
+    "|" + TOKEN_PATTERN
+)
+
 MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH
 
 # StopAnalyzer.ENGLISH_STOP_WORDS_SET (StopAnalyzer.java:47-59) — 33 words.
@@ -82,6 +98,11 @@ _STOP_SET = frozenset(ENGLISH_STOP_WORDS)
 def sql_quoted_pattern() -> str:
     """TOKEN_PATTERN as a single-quoted SQL string literal (for DuckDB/RE2)."""
     return "'" + TOKEN_PATTERN.replace("'", "''") + "'"
+
+
+def sql_quote_pattern(pattern: str) -> str:
+    """Any pattern as a single-quoted SQL string literal (for DuckDB/RE2)."""
+    return "'" + pattern.replace("'", "''") + "'"
 
 
 def sql_stopword_list() -> str:
@@ -219,3 +240,9 @@ class StandardAnalyzer:
             if t not in stop:
                 out.append(t)
         return out
+
+
+def uax29_url_email_analyzer() -> StandardAnalyzer:
+    """The UAX29URLEmailTokenizer-based chain: URL/EMAIL single tokens plus
+    the standard rules, then the usual lowercase/length/stop filters."""
+    return StandardAnalyzer(pattern=URL_EMAIL_TOKEN_PATTERN)

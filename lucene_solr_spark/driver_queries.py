@@ -1623,6 +1623,66 @@ FROM events ORDER BY fscore DESC, event_id ASC LIMIT 10""",
 _register_function_parser_query()
 
 
+def _register_url_email_query():
+    from lucene_solr_spark.analysis.analyzer import (
+        sql_quote_pattern,
+        sql_stopword_list,
+        uax29_url_email_analyzer,
+    )
+
+    _a = uax29_url_email_analyzer()
+    _pat = sql_quote_pattern(_a.pattern)
+
+    @_q(
+        "uax29_url_email",
+        f"""WITH src AS (
+  SELECT doc_id AS docid,
+         'Contact admin@' || source || '.example.com or see https://' || source
+         || '.example.org/docs?id=' || doc_id || ' ' || lang AS text
+  FROM documents WHERE doc_id < 20
+),
+tokraw AS (
+  SELECT docid,
+         lower(unnest(regexp_extract_all(text, {_pat}))) AS term,
+         unnest(range(1, len(regexp_extract_all(text, {_pat})) + 1)) AS rawpos
+  FROM src
+),
+kept AS (
+  SELECT docid, term, rawpos FROM tokraw
+  WHERE length(term) <= 255 AND term NOT IN {sql_stopword_list()}
+)
+SELECT docid,
+       CAST(row_number() OVER (PARTITION BY docid ORDER BY rawpos) - 1 AS INT) AS pos,
+       term
+FROM kept ORDER BY docid, pos""",
+    )
+    def uax29_url_email(spark, sf_dir):
+        """UAX29URLEmailTokenizer analog (UAX29URLEmailTokenizer.java): URL
+        and EMAIL kept as single tokens through the full filter chain.  The
+        corpus has no URLs, so both engines synthesize identical text from
+        document columns, then tokenize."""
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+            F.col("doc_id") < 20
+        )
+        txt = F.concat(
+            F.lit("Contact admin@"), F.col("source"),
+            F.lit(".example.com or see https://"), F.col("source"),
+            F.lit(".example.org/docs?id="), F.col("doc_id").cast("string"),
+            F.lit(" "), F.col("lang"),
+        )
+        a = uax29_url_email_analyzer()
+        return (
+            d.select(
+                F.col("doc_id").alias("docid"),
+                F.posexplode(a.tokens_col(txt)).alias("pos", "term"),
+            )
+            .orderBy("docid", "pos")
+        )
+
+
+_register_url_email_query()
+
+
 @_q(
     "early_term_sort",
     "SELECT doc_id AS docid, n_chars FROM documents "
@@ -1684,6 +1744,7 @@ _DEFER_LAST = [
     "block_join_parents",       # join_query (keyed join family) — new op, window full
     "parsed_function_query",    # function_query_recip_freshness (same semantics, string front door)
     "early_term_sort",          # sort_by_field (same result, early-terminating path)
+    "uax29_url_email",          # analyzer-chain variant — tokenizer goldens are primary evidence
 ]
 
 

@@ -186,6 +186,64 @@ def test_cjk_tri_engine_parity(spark, text):
     assert len(py) > 0
 
 
+def test_uax29_url_email_goldens():
+    from lucene_solr_spark.analysis.analyzer import uax29_url_email_analyzer
+
+    a = uax29_url_email_analyzer()
+    assert a.analyze("Contact Admin@Example.COM or visit the site") == [
+        "contact", "admin@example.com", "visit", "site",
+    ]
+    assert a.analyze("see https://spark.apache.org/docs/latest?x=1#frag now") == [
+        "see", "https://spark.apache.org/docs/latest?x=1#frag", "now",
+    ]
+    assert a.analyze("FTP://Files.Example.com and http://host:8080/a/b-c_d") == [
+        "ftp://files.example.com", "http://host:8080/a/b-c_d",
+    ]
+    # plain text identical to the standard chain
+    from lucene_solr_spark.analysis.analyzer import analyze_text
+
+    plain = "The quick brown fox can't stop 3.14 foo_bar"
+    assert a.analyze(plain) == analyze_text(plain)
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "Contact Admin@Example.COM or visit https://spark.apache.org/x?a=1 now",
+        "FTP://Files.Example.com and http://host:8080/a/b-c_d done",
+        "plain words user.name+tag@sub.domain.org trailing",
+    ],
+)
+def test_uax29_url_email_tri_engine_parity(spark, text):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analysis.analyzer import (
+        sql_quote_pattern,
+        uax29_url_email_analyzer,
+    )
+
+    a = uax29_url_email_analyzer()
+    py = a.analyze(text)
+    jvm = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(a.tokens_col(F.col("text")).alias("t"))
+        .collect()[0]
+        .t
+    )
+    con = duckdb.connect()
+    stop = ", ".join(f"'{w}'" for w in ENGLISH_STOP_WORDS)
+    rows = con.execute(
+        f"""SELECT t FROM (
+              SELECT lower(unnest(regexp_extract_all(?, {sql_quote_pattern(a.pattern)}))) AS t
+            ) WHERE length(t) BETWEEN 1 AND 255 AND t NOT IN ({stop})""",
+        [text],
+    ).fetchall()
+    re2 = [r[0] for r in rows]
+    assert py == jvm == re2
+    assert len(py) > 0
+
+
 def test_cjk_token_type_shapes():
     from lucene_solr_spark.analysis.analyzer import analyze_text
 
