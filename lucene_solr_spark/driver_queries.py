@@ -932,6 +932,42 @@ ORDER BY facet_count DESC, facet_term ASC LIMIT 10""",
         idx = load_index(spark, root)
         return search(idx, BooleanQuery.of(should=["table", "merge"], mm=1), k=10)
 
+    @_q(
+        "store_phrase_query",
+        f"""{prelude},
+pm AS (
+  SELECT p0.docid, count(*) AS tf
+  FROM tok p0 JOIN tok p1 ON p1.docid = p0.docid AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'table' AND p1.term = 'scan'
+  GROUP BY 1
+)
+SELECT pm.docid,
+       round(({idf_sql('table')} + {idf_sql('scan')})
+             * 2.2 * pm.tf / (pm.tf + 1.2 * (0.25 + 0.75 * d.dl_approx / st.avgdl)), 4) AS score
+FROM pm JOIN doc d ON d.docid = pm.docid CROSS JOIN stats st
+ORDER BY score DESC, pm.docid ASC LIMIT 10""",
+    )
+    def store_phrase_query(spark, sf_dir):
+        """Exact phrase over the PERSISTED positions layer (Lucene41 .pos
+        stream analog: per-doc position deltas + tf counts, varbyte blobs in
+        positions/): build -> store -> load -> phrase, no in-memory positions
+        rebuild."""
+        import hashlib as _h
+        import tempfile
+
+        from lucene_solr_spark.pages import pages_from_documents
+        from lucene_solr_spark.store import build_pages_to_store, load_index
+
+        tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+        root = f"{tempfile.gettempdir()}/lss_store_pos_v1_{tag}"
+        pages = pages_from_documents(spark, sf_dir)
+        build_pages_to_store(
+            spark, pages, root, num_index_partitions=_PAGES_P, batch_size=4
+        )
+        idx = load_index(spark, root)
+        assert idx.positions is not None
+        return search(idx, PhraseQuery(("table", "scan")), k=10)
+
     _RTG_IDS = (3, 7, 11)
     _RTG_SQL = f"""{PRELUDE}
 SELECT 'https://site' || CAST(docid % 100 AS VARCHAR) || '.example/doc/' || CAST(docid AS VARCHAR) AS url,
@@ -1745,6 +1781,7 @@ _DEFER_LAST = [
     "parsed_function_query",    # function_query_recip_freshness (same semantics, string front door)
     "early_term_sort",          # sort_by_field (same result, early-terminating path)
     "uax29_url_email",          # analyzer-chain variant — tokenizer goldens are primary evidence
+    "store_phrase_query",       # phrase_query + store_persisted_query (persisted positions layer)
 ]
 
 

@@ -169,6 +169,67 @@ def encode_postings(
     }
 
 
+def encode_positions(
+    doc_ids: np.ndarray, positions: np.ndarray, norm_bytes: np.ndarray
+) -> dict:
+    """Encode one term's position postings — the Lucene41 ``.pos`` stream
+    analog (Lucene41PostingsWriter.java:329-352: per-doc position DELTAS in
+    one stream, tf values per doc delimiting it).
+
+    Inputs are occurrence-level arrays sorted by (docid, pos): ``doc_ids``
+    repeated once per occurrence, ``positions`` ascending within each doc,
+    ``norm_bytes`` repeated per occurrence.  Returns:
+      doc_gaps_vb   — varbyte deltas of the UNIQUE docids
+      pos_counts_vb — varbyte tf per doc (how many positions follow)
+      positions_vb  — varbyte per-doc position deltas (first pos raw)
+      norm_bytes    — raw uint8 per unique doc
+    """
+    d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    p = np.ascontiguousarray(positions, dtype=np.int64)
+    nb = np.ascontiguousarray(norm_bytes, dtype=np.uint8)
+    if not (d.size == p.size == nb.size):
+        raise ValueError("doc_ids/positions/norm_bytes length mismatch")
+    if d.size == 0:
+        return {
+            "doc_gaps_vb": b"", "pos_counts_vb": b"",
+            "positions_vb": b"", "norm_bytes": b"",
+        }
+    uniq, starts = np.unique(d, return_index=True)
+    counts = np.diff(np.append(starts, d.size))
+    gaps = np.empty_like(uniq)
+    gaps[0] = uniq[0]
+    np.subtract(uniq[1:], uniq[:-1], out=gaps[1:])
+    deltas = p.copy()
+    deltas[1:] -= p[:-1]
+    deltas[starts] = p[starts]  # reset at each doc boundary
+    if np.any(deltas < 0):
+        raise ValueError("positions must be ascending within each doc")
+    return {
+        "doc_gaps_vb": vb_encode(gaps.astype(np.uint64)),
+        "pos_counts_vb": vb_encode(counts.astype(np.uint64)),
+        "positions_vb": vb_encode(deltas.astype(np.uint64)),
+        "norm_bytes": nb[starts].tobytes(),
+    }
+
+
+def decode_positions(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of encode_positions: occurrence-level
+    (doc_ids int64 repeated, positions int64, norm_bytes uint8 repeated)."""
+    gaps = vb_decode(bytes(row["doc_gaps_vb"])).astype(np.int64)
+    if gaps.size == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, np.empty(0, dtype=np.uint8)
+    docs = np.cumsum(gaps)
+    counts = vb_decode(bytes(row["pos_counts_vb"])).astype(np.int64)
+    deltas = vb_decode(bytes(row["positions_vb"])).astype(np.int64)
+    ends = np.cumsum(counts)
+    cs = np.cumsum(deltas)
+    corr = np.repeat(np.concatenate(([0], cs[ends[:-1] - 1])), counts)
+    positions = cs - corr
+    norms = np.frombuffer(bytes(row["norm_bytes"]), dtype=np.uint8)
+    return np.repeat(docs, counts), positions, np.repeat(norms, counts)
+
+
 def decode_postings(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Inverse of encode_postings: (doc_ids int64, tfs int64, norm_bytes uint8).
 

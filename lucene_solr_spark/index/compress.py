@@ -112,6 +112,61 @@ def compress_postings(postings: DataFrame, term_buckets: int = 64) -> DataFrame:
     )
 
 
+POSITIONS_SCHEMA = (
+    "index_partition int, term string, df_part int, first_docid long, "
+    "doc_gaps_vb binary, pos_counts_vb binary, positions_vb binary, "
+    "norm_bytes binary"
+)
+
+
+def _encode_positions_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    from lucene_solr_spark.index.codec import encode_positions
+
+    part = int(pdf["index_partition"].iloc[0])
+    terms = pdf["term"].to_numpy()
+    docids = pdf["docid"].to_numpy(dtype=np.int64)
+    poss = pdf["pos"].to_numpy(dtype=np.int64)
+    dls = pdf["dl_approx"].to_numpy(dtype=np.float64)
+
+    order = np.lexsort((poss, docids, terms))
+    terms, docids, poss, dls = terms[order], docids[order], poss[order], dls[order]
+    norms = _norm_byte_from_dl(dls)
+
+    uniq, starts = np.unique(terms, return_index=True)
+    bounds = np.append(starts, len(terms))
+    rows = []
+    for i, term in enumerate(uniq):
+        lo, hi = bounds[i], bounds[i + 1]
+        enc = encode_positions(docids[lo:hi], poss[lo:hi], norms[lo:hi])
+        rows.append(
+            (
+                part, term, int(np.unique(docids[lo:hi]).size), int(docids[lo]),
+                enc["doc_gaps_vb"], enc["pos_counts_vb"], enc["positions_vb"],
+                enc["norm_bytes"],
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "index_partition", "term", "df_part", "first_docid",
+            "doc_gaps_vb", "pos_counts_vb", "positions_vb", "norm_bytes",
+        ],
+    )
+
+
+def compress_positions(positions: DataFrame, term_buckets: int = 64) -> DataFrame:
+    """Encode a positions-shaped DataFrame
+    (index_partition, term, docid, pos, dl_approx) into position segment rows
+    — the persisted DOCS_AND_FREQS_AND_POSITIONS layer (Lucene41 .pos
+    analog).  Same salted-shuffle shape as compress_postings."""
+    p = positions.select("index_partition", "term", "docid", "pos", "dl_approx")
+    bucket = F.pmod(F.xxhash64("term"), F.lit(term_buckets))
+    return (
+        p.groupBy("index_partition", bucket.alias("_bucket"))
+        .applyInPandas(lambda pdf: _encode_positions_group(pdf), POSITIONS_SCHEMA)
+    )
+
+
 def build_compressed_segments(
     index: IndexTables, persist: bool = True, term_buckets: int = 64
 ) -> DataFrame:

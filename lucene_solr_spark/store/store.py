@@ -37,7 +37,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lucene_solr_spark.index.builder import IndexTables, build_index
-from lucene_solr_spark.index.compress import build_compressed_segments
+from lucene_solr_spark.index.compress import (
+    build_compressed_segments,
+    compress_positions,
+)
 
 
 class SimulatedFailure(RuntimeError):
@@ -83,6 +86,7 @@ class IndexStore:
         self.root = root
         self.docs_path = os.path.join(root, "docs")
         self.segments_path = os.path.join(root, "segments")
+        self.positions_path = os.path.join(root, "positions")
         self.deletes_path = os.path.join(root, "deletes")
         self.lineage_path = os.path.join(root, "lineage")
         self.snapshots_dir = os.path.join(root, "snapshots")
@@ -139,6 +143,7 @@ def build_pages_to_store(
     num_index_partitions: int = 8,
     batch_size: int | None = None,
     fail_after_batches: int | None = None,
+    build_positions: bool = True,
 ) -> Snapshot:
     """Checkpointed, resumable index build over a pages table.
 
@@ -184,10 +189,16 @@ def build_pages_to_store(
             num_index_partitions=num_index_partitions,
             passthrough_cols=("lang",),
             persist=True,
+            build_positions=build_positions,
         )
         _write_partitioned(idx.docs, store.docs_path)
         _write_partitioned(build_compressed_segments(idx, persist=False),
                            store.segments_path)
+        if build_positions and idx.positions is not None:
+            # persisted DOCS_AND_FREQS_AND_POSITIONS layer (Lucene41 .pos)
+            _write_partitioned(
+                compress_positions(idx.positions), store.positions_path
+            )
         wall = time.perf_counter() - t0
 
         sid = (snap.snapshot_id + 1) if snap else 1
@@ -229,8 +240,9 @@ def build_pages_to_store(
             + idx.sum_total_term_freq,
         )
         store.commit(snap)
-        for cached in (idx.docs, idx.postings, idx.segments):
-            cached.unpersist()
+        for cached in (idx.docs, idx.postings, idx.segments, idx.positions):
+            if cached is not None:
+                cached.unpersist()
         batches_done += 1
         if fail_after_batches is not None and batches_done >= fail_after_batches:
             assigned.unpersist()
@@ -274,6 +286,39 @@ def postings_from_compressed(compressed: DataFrame) -> DataFrame:
     return compressed.mapInPandas(
         decode,
         "index_partition int, term string, docid long, tf int, dl_approx double",
+    )
+
+
+def positions_from_compressed(compressed: DataFrame) -> DataFrame:
+    """Decode compressed position rows back to the exploded positions view
+    (index_partition, term, docid, pos, dl_approx) — the phrase / sloppy /
+    span query source.  Arrow-batched decode, no per-row Python loops beyond
+    the per-term blob walk."""
+    from lucene_solr_spark.index.codec import decode_positions
+    from lucene_solr_spark.smallfloat import NORM_TABLE
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                docids, poss, norms = decode_positions(r)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "index_partition": np.int32(r["index_partition"]),
+                            "term": r["term"],
+                            "docid": docids,
+                            "pos": poss.astype(np.int32),
+                            "dl_approx": NORM_TABLE[norms].astype(np.float64),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return compressed.mapInPandas(
+        decode,
+        "index_partition int, term string, docid long, pos int, dl_approx double",
     )
 
 
@@ -390,10 +435,17 @@ def load_index(
         F.sum("df_part").cast("int").alias("df"),
         F.sum("cf_part").cast("long").alias("cf"),
     )
+    positions = None
+    if os.path.isdir(store.positions_path):
+        positions = positions_from_compressed(
+            spark.read.parquet(store.positions_path).filter(keep)
+        )
     deleted = deleted_docids(spark, store, snap) if apply_deletes else None
     if deleted is not None:
         docs = docs.join(deleted, "docid", "left_anti")
         postings = postings.join(deleted, "docid", "left_anti")
+        if positions is not None:
+            positions = positions.join(deleted, "docid", "left_anti")
     index = IndexTables(
         docs=docs,
         postings=postings,
@@ -401,7 +453,7 @@ def load_index(
         max_doc=snap.max_doc,
         sum_total_term_freq=snap.sum_total_term_freq,
         avgdl=snap.avgdl,
-        positions=None,
+        positions=positions,
     )
     if deleted is None:
         object.__setattr__(index, "_compressed", compressed)

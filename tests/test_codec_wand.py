@@ -89,6 +89,57 @@ def test_postings_roundtrip(pl):
         assert enc["block_max_tf"][blk] == tfs[lo:hi].max()
 
 
+@st.composite
+def position_postings(draw):
+    ndocs = draw(st.integers(min_value=1, max_value=60))
+    doc_gaps = draw(
+        st.lists(st.integers(min_value=1, max_value=1 << 16),
+                 min_size=ndocs, max_size=ndocs)
+    )
+    docs = np.cumsum(np.array(doc_gaps, dtype=np.int64))
+    doc_ids, positions, norms = [], [], []
+    for d in docs:
+        npos = draw(st.integers(min_value=1, max_value=8))
+        gaps = draw(
+            st.lists(st.integers(min_value=0, max_value=500),
+                     min_size=npos, max_size=npos)
+        )
+        pos = np.cumsum(np.array(gaps, dtype=np.int64))
+        # strictly ascending within doc is not required (gap 0 = same pos
+        # would be unusual but the codec only needs non-decreasing)
+        doc_ids.extend([d] * npos)
+        positions.extend(pos.tolist())
+        nb = draw(st.integers(min_value=1, max_value=255))
+        norms.extend([nb] * npos)
+    return (
+        np.array(doc_ids, dtype=np.int64),
+        np.array(positions, dtype=np.int64),
+        np.array(norms, dtype=np.uint8),
+    )
+
+
+@given(position_postings())
+@settings(max_examples=60, deadline=None)
+def test_positions_roundtrip(pp):
+    from lucene_solr_spark.index.codec import decode_positions, encode_positions
+
+    doc_ids, positions, norms = pp
+    enc = encode_positions(doc_ids, positions, norms)
+    d2, p2, n2 = decode_positions(enc)
+    np.testing.assert_array_equal(d2, doc_ids)
+    np.testing.assert_array_equal(p2, positions)
+    np.testing.assert_array_equal(n2, norms)
+
+
+def test_positions_encode_empty():
+    from lucene_solr_spark.index.codec import decode_positions, encode_positions
+
+    e = np.empty(0, dtype=np.int64)
+    enc = encode_positions(e, e, np.empty(0, dtype=np.uint8))
+    d2, p2, n2 = decode_positions(enc)
+    assert d2.size == p2.size == n2.size == 0
+
+
 def test_encode_rejects_unsorted():
     with pytest.raises(ValueError):
         encode_postings(

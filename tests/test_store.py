@@ -50,6 +50,48 @@ def test_store_roundtrip_equals_memory_build(spark, pages, mem_index, tmp_path):
     )
 
 
+def test_store_positions_phrase_and_span_equal_memory(spark, pages, tmp_path):
+    """The persisted positions layer (Lucene41 .pos analog): phrase, sloppy
+    and span queries over a LOADED store equal the in-memory positions
+    index."""
+    from lucene_solr_spark.pages import build_index_from_pages
+    from lucene_solr_spark.search import PhraseQuery
+    from lucene_solr_spark.search.bm25 import span_near_topk
+    from lucene_solr_spark.store import build_pages_to_store, load_index
+
+    mem = build_index_from_pages(
+        spark, pages, num_index_partitions=8, build_positions=True
+    )
+    root = str(tmp_path / "idx_pos")
+    build_pages_to_store(spark, pages, root, num_index_partitions=8)
+    loaded = load_index(spark, root)
+    assert loaded.positions is not None
+
+    for q in (PhraseQuery(("table", "scan")), PhraseQuery(("table", "scan"), slop=2)):
+        assert _topk(loaded, q) == _topk(mem, q)
+    got = [
+        (r.docid, r.score)
+        for r in span_near_topk(loaded, ["table", "scan"], slop=1)
+        .orderBy(F.col("score").desc(), F.col("docid").asc()).limit(10).collect()
+    ]
+    want = [
+        (r.docid, r.score)
+        for r in span_near_topk(mem, ["table", "scan"], slop=1)
+        .orderBy(F.col("score").desc(), F.col("docid").asc()).limit(10).collect()
+    ]
+    assert got == want
+
+
+def test_store_without_positions_loads_none(spark, pages, tmp_path):
+    from lucene_solr_spark.store import build_pages_to_store, load_index
+
+    root = str(tmp_path / "idx_nopos")
+    build_pages_to_store(
+        spark, pages, root, num_index_partitions=8, build_positions=False
+    )
+    assert load_index(spark, root).positions is None
+
+
 def test_crash_resume_recovers_exactly(spark, pages, mem_index, tmp_path):
     from lucene_solr_spark.store import (
         IndexStore,
