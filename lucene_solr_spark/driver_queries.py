@@ -1365,6 +1365,7 @@ def get_mfi(spark: SparkSession, sf_dir: str):
             default_field="body",
             docid_col="doc_id",
             num_index_partitions=8,
+            build_positions=True,  # edismax pf phrase boost needs positions
         )
     return _MFI_CACHE[sf_dir]
 
@@ -1443,6 +1444,50 @@ ORDER BY score DESC, docid ASC LIMIT 10"""
             [_t0, _t1],
             qf={"title": 2.0, "body": 1.0},
             tie=0.3,
+            k=10,
+        )
+
+    _EDISMAX_SQL = f"""WITH {_body_ctes},
+{_title_ctes},
+{_field_pivot('pt', [_t0, _t1], 't', '_t')},
+{_field_pivot('pb', [_t0, _t1], 'b', '')},
+pm AS (
+  SELECT p0.docid, count(*) AS tf
+  FROM tok p0 JOIN tok p1 ON p1.docid = p0.docid AND p1.pos = p0.pos + 1
+  WHERE p0.term = '{_t0}' AND p1.term = '{_t1}'
+  GROUP BY 1
+),
+phx AS (
+  SELECT pm.docid,
+         round(({idf_sql(_t0)} + {idf_sql(_t1)})
+               * 2.2 * pm.tf / (pm.tf + 1.2 * (0.25 + 0.75 * d.dl_approx / st.avgdl)), 10) AS phs
+  FROM pm JOIN doc d ON d.docid = pm.docid CROSS JOIN stats st
+)
+SELECT m.docid,
+       round((0.0 + {_dismax_term(0)} + {_dismax_term(1)})
+             + coalesce(phx.phs, 0.0) * 1.5, 4) AS score
+FROM (
+  SELECT coalesce(pt.docid, pb.docid) AS docid, t0, t1, b0, b1
+  FROM pt FULL OUTER JOIN pb ON pb.docid = pt.docid
+  WHERE (t0 IS NOT NULL OR b0 IS NOT NULL)
+    AND (t1 IS NOT NULL OR b1 IS NOT NULL)
+) m LEFT JOIN phx ON phx.docid = m.docid
+ORDER BY score DESC, m.docid ASC LIMIT 10"""
+
+    @_q("edismax_query", _EDISMAX_SQL)
+    def edismax_query(spark, sf_dir):
+        """eDisMax (ExtendedDismaxQParser): qf='title^2 body' tie=0.3 with
+        mm=100% across per-term DisMax clauses, plus a pf='body^1.5' phrase
+        boost added to docs where the full query appears adjacently."""
+        from lucene_solr_spark.index.fields import edismax_fields
+
+        return edismax_fields(
+            get_mfi(spark, sf_dir),
+            [_t0, _t1],
+            qf={"title": 2.0, "body": 1.0},
+            pf={"body": 1.5},
+            tie=0.3,
+            mm="100%",
             k=10,
         )
 
@@ -1782,6 +1827,7 @@ _DEFER_LAST = [
     "early_term_sort",          # sort_by_field (same result, early-terminating path)
     "uax29_url_email",          # analyzer-chain variant — tokenizer goldens are primary evidence
     "store_phrase_query",       # phrase_query + store_persisted_query (persisted positions layer)
+    "edismax_query",            # dismax_fields (same qf machinery) + phrase_query (pf boost)
 ]
 
 

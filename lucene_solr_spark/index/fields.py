@@ -238,6 +238,114 @@ def dismax_fields(
     )
 
 
+def calculate_min_should_match(optional_count: int, spec: str) -> int:
+    """SolrPluginUtils.calculateMinShouldMatch (solr/core/src/java/org/
+    apache/solr/util/SolrPluginUtils.java): supports absolute ('3'),
+    negative ('-2' = all but 2), percentage ('75%'), negative percentage
+    ('-25%' = all but 25%), and space-separated conditional 'n<spec' forms
+    (ascending n; counts <= n require all clauses)."""
+    result = optional_count
+    spec = spec.strip()
+    if "<" in spec:
+        for s in spec.split(" "):
+            upper, _, sub = s.partition("<")
+            if optional_count <= int(upper):
+                return result
+            result = calculate_min_should_match(optional_count, sub)
+        return result
+    if "%" in spec:
+        pct = int(spec[: spec.index("%")])
+        calc = (result * pct) / 100.0
+        result = result + int(calc) if calc < 0 else int(calc)
+    else:
+        calc = int(spec)
+        result = result + calc if calc < 0 else calc
+    return min(optional_count, max(result, 0))
+
+
+def edismax_fields(
+    mfi: MultiFieldIndex,
+    terms: list[str],
+    qf: dict[str, float],
+    pf: dict[str, float] | None = None,
+    tie: float = 0.0,
+    mm: str = "0%",
+    ps: int = 0,
+    k: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """ExtendedDismaxQParser subset (solr/core/src/java/org/apache/solr/
+    search/ExtendedDisMaxQParserPlugin.java / ExtendedDismaxQParser):
+
+    - main query: one DisMax clause per user term over the ``qf`` fields
+      (score = max over fields of boost*field_score + tie*rest), with
+      ``mm`` applied ACROSS the per-term clauses
+      (DisMaxQParser.addMainQuery -> SolrPluginUtils.setMinShouldMatch) —
+      the main query as a unit is REQUIRED;
+    - phrase boost: each ``pf`` field adds an optional phrase query over ALL
+      user terms with slop ``ps`` (addShingledPhraseQueries pf/ps); its
+      boosted score is ADDED to docs already matching the main query
+      (Occur.SHOULD — it never admits new docs).
+    """
+    from lucene_solr_spark.search.bm25 import (
+        _phrase_topk,
+        _sloppy_phrase_topk,
+        term_scores,
+    )
+
+    fields = list(qf.items())
+    frames = []
+    for fi, (fname, _boost) in enumerate(fields):
+        idx = mfi.of(fname)
+        scored = term_scores(idx, terms)
+        aggs = [
+            F.max(F.when(F.col("term") == t, F.col("score"))).alias(f"_f{fi}t{ti}")
+            for ti, t in enumerate(terms)
+        ]
+        frames.append(scored.groupBy("docid").agg(*aggs))
+    acc = frames[0]
+    for fr in frames[1:]:
+        acc = acc.join(fr, "docid", "full")
+
+    total = F.lit(0.0)
+    matched_terms = F.lit(0)
+    for ti in range(len(terms)):
+        raw = [F.col(f"_f{fi}t{ti}") for fi in range(len(fields))]
+        parts = [
+            F.coalesce(c, F.lit(0.0)) * F.lit(boost)
+            for c, (_f, boost) in zip(raw, fields)
+        ]
+        mx = F.greatest(*parts) if len(parts) > 1 else parts[0]
+        sm = parts[0]
+        for p in parts[1:]:
+            sm = sm + p
+        total = total + (mx + F.lit(tie) * (sm - mx))
+        any_field = raw[0].isNotNull()
+        for c in raw[1:]:
+            any_field = any_field | c.isNotNull()
+        matched_terms = matched_terms + any_field.cast("int")
+
+    mm_n = calculate_min_should_match(len(terms), mm)
+    out = acc.withColumn("_main", total).filter(matched_terms >= max(mm_n, 1))
+
+    for fname, boost in (pf or {}).items():
+        idx = mfi.of(fname)
+        pq = PhraseQuery(tuple(terms), slop=ps)
+        fn = _sloppy_phrase_topk if ps > 0 else _phrase_topk
+        ph = fn(idx, pq, round_dp=10).withColumnRenamed("score", "_ph")
+        out = out.join(ph, "docid", "left")
+        out = out.withColumn(
+            "_main",
+            F.col("_main") + F.coalesce(F.col("_ph"), F.lit(0.0)) * F.lit(boost),
+        ).drop("_ph")
+
+    return (
+        out.select("docid", F.round("_main", round_dp).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+
+
 def search_parsed_fields(
     mfi: MultiFieldIndex,
     query_string: str,

@@ -161,3 +161,50 @@ def test_parse_qf_and_string_form(mfi):
     a = dismax_fields(mfi, ["alpha"], qf=parse_qf("title^3 body"), tie=0.5)
     b = dismax_fields(mfi, ["alpha"], qf={"title": 3.0, "body": 1.0}, tie=0.5)
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+# -- edismax ------------------------------------------------------------------
+
+def test_calculate_min_should_match_specs():
+    from lucene_solr_spark.index.fields import calculate_min_should_match as c
+
+    assert c(5, "3") == 3
+    assert c(5, "-2") == 3
+    assert c(5, "100%") == 5
+    assert c(4, "75%") == 3
+    assert c(5, "-25%") == 4  # all but int(5*0.25)=1
+    assert c(5, "0%") == 0
+    assert c(2, "3") == 2     # clamp to optional count
+    # conditional: <=2 -> all; 3..4 -> -1; >4 -> 75%
+    assert c(2, "2<-1 4<75%") == 2
+    assert c(4, "2<-1 4<75%") == 3
+    assert c(8, "2<-1 4<75%") == 6
+
+
+def test_edismax_mm_and_phrase_boost(spark, mfi):
+    from lucene_solr_spark.index.fields import edismax_fields
+
+    # mm=100%: both terms must match (in any field)
+    got = edismax_fields(
+        mfi, ["alpha", "beta"], qf={"title": 2.0, "body": 1.0},
+        tie=0.1, mm="100%",
+    )
+    docids = {r.docid for r in got.collect()}
+    # alpha AND beta both present (any field): doc 0 (body), doc 3 (body +
+    # title); doc 1 lacks alpha, doc 2 lacks beta -> excluded
+    assert docids == {0, 3}
+    # mm=50% of 2 terms -> 1: any single term matches
+    loose = {r.docid for r in edismax_fields(
+        mfi, ["alpha", "beta"], qf={"title": 2.0, "body": 1.0},
+        mm="50%").collect()}
+    assert loose == {0, 1, 2, 3}
+
+    # pf phrase boost: "alpha beta" adjacent in body only in docs 0 and 3
+    plain = {r.docid: r.score for r in edismax_fields(
+        mfi, ["alpha", "beta"], qf={"body": 1.0}, mm="50%").collect()}
+    boosted = {r.docid: r.score for r in edismax_fields(
+        mfi, ["alpha", "beta"], qf={"body": 1.0}, mm="50%",
+        pf={"body": 2.0}).collect()}
+    assert set(plain) == set(boosted)  # pf never admits new docs
+    assert boosted[0] > plain[0] and boosted[3] > plain[3]
+    assert boosted[2] == plain[2]  # no adjacent phrase in doc 2
