@@ -54,10 +54,12 @@ class StreamingIndexer:
         spark: SparkSession,
         store_root: str,
         num_index_partitions: int = 8,
+        build_positions: bool = True,
     ):
         self.spark = spark
         self.store = IndexStore(store_root)
         self.P = num_index_partitions
+        self.build_positions = build_positions
 
     # -- batch core (also callable directly for tests) ----------------------
 
@@ -105,6 +107,7 @@ class StreamingIndexer:
             num_index_partitions=self.P,
             passthrough_cols=("lang",),
             persist=False,
+            build_positions=self.build_positions,
         )
         if idx.max_doc == 0:
             return snap
@@ -117,6 +120,12 @@ class StreamingIndexer:
         build_compressed_segments(idx, persist=False).write.mode(
             "overwrite"
         ).partitionBy("index_partition").parquet(seg_dir)
+        if idx.positions is not None:
+            from lucene_solr_spark.index.compress import compress_positions
+
+            compress_positions(idx.positions).write.mode("overwrite").partitionBy(
+                "index_partition"
+            ).parquet(os.path.join(self.store.positions_path, f"gen={gen}"))
         wall = time.perf_counter() - t0
 
         per_part = {
@@ -214,8 +223,12 @@ def compact_store(
         return _compact_tiered(spark, root, max_merge_at_once)
     import shutil
 
-    from lucene_solr_spark.index.compress import compress_postings
-    from lucene_solr_spark.store.store import deleted_docids, postings_from_compressed
+    from lucene_solr_spark.index.compress import compress_positions, compress_postings
+    from lucene_solr_spark.store.store import (
+        deleted_docids,
+        positions_from_compressed,
+        postings_from_compressed,
+    )
 
     store = IndexStore(root)
     snap = store.head()
@@ -258,6 +271,21 @@ def compact_store(
     compress_postings(postings).write.mode("overwrite").partitionBy(
         "index_partition"
     ).parquet(os.path.join(store.segments_path, f"gen={new_gen}"))
+    # carry the positions layer through the merge when every source gen has it
+    if all(
+        os.path.isdir(os.path.join(store.positions_path, f"gen={g}"))
+        for g in old_gens
+    ):
+        pos = positions_from_compressed(
+            spark.read.option("basePath", store.positions_path)
+            .parquet(store.positions_path)
+            .filter(keep)
+        )
+        if deleted is not None:
+            pos = pos.join(deleted, "docid", "left_anti")
+        compress_positions(pos).write.mode("overwrite").partitionBy(
+            "index_partition"
+        ).parquet(os.path.join(store.positions_path, f"gen={new_gen}"))
 
     new_snap = Snapshot(
         snapshot_id=snap.snapshot_id + 1,
@@ -277,6 +305,7 @@ def compact_store(
     for g in old_gens:
         shutil.rmtree(os.path.join(store.docs_path, f"gen={g}"), ignore_errors=True)
         shutil.rmtree(os.path.join(store.segments_path, f"gen={g}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(store.positions_path, f"gen={g}"), ignore_errors=True)
     for dg in old_dgens:
         shutil.rmtree(
             os.path.join(store.deletes_path, f"dgen={dg}"), ignore_errors=True
@@ -288,8 +317,11 @@ def _compact_tiered(spark: SparkSession, root: str, max_merge_at_once: int) -> S
     """Tiered partial merge: concatenate the smallest generations only."""
     import shutil
 
-    from lucene_solr_spark.index.compress import compress_postings
-    from lucene_solr_spark.store.store import postings_from_compressed
+    from lucene_solr_spark.index.compress import compress_positions, compress_postings
+    from lucene_solr_spark.store.store import (
+        positions_from_compressed,
+        postings_from_compressed,
+    )
 
     store = IndexStore(root)
     snap = store.head()
@@ -328,6 +360,18 @@ def _compact_tiered(spark: SparkSession, root: str, max_merge_at_once: int) -> S
     compress_postings(postings).write.mode("overwrite").partitionBy(
         "index_partition"
     ).parquet(os.path.join(store.segments_path, f"gen={new_gen}"))
+    if all(
+        os.path.isdir(os.path.join(store.positions_path, f"gen={g}"))
+        for g in merge_gens
+    ):
+        pos = positions_from_compressed(
+            spark.read.option("basePath", store.positions_path)
+            .parquet(store.positions_path)
+            .filter(keep)
+        )
+        compress_positions(pos).write.mode("overwrite").partitionBy(
+            "index_partition"
+        ).parquet(os.path.join(store.positions_path, f"gen={new_gen}"))
 
     new_snap = Snapshot(
         **{
@@ -342,6 +386,9 @@ def _compact_tiered(spark: SparkSession, root: str, max_merge_at_once: int) -> S
         shutil.rmtree(os.path.join(store.docs_path, f"gen={g}"), ignore_errors=True)
         shutil.rmtree(
             os.path.join(store.segments_path, f"gen={g}"), ignore_errors=True
+        )
+        shutil.rmtree(
+            os.path.join(store.positions_path, f"gen={g}"), ignore_errors=True
         )
     return new_snap
 
@@ -381,7 +428,11 @@ def load_streaming_index(
     """Open a streaming store (all committed generations) as IndexTables.
     Committed delete generations apply as an anti-join (liveDocs); stats stay
     pre-delete until compaction, like load_index."""
-    from lucene_solr_spark.store.store import deleted_docids, postings_from_compressed
+    from lucene_solr_spark.store.store import (
+        deleted_docids,
+        positions_from_compressed,
+        postings_from_compressed,
+    )
 
     store = IndexStore(root)
     snap = store.head()
@@ -399,10 +450,26 @@ def load_streaming_index(
         F.sum("df_part").cast("int").alias("df"),
         F.sum("cf_part").cast("long").alias("cf"),
     )
+    # positions view only when EVERY committed generation persisted one
+    # (a gen written with build_positions=False leaves phrase queries to an
+    # in-memory rebuild rather than silently missing its occurrences)
+    gens = list(snap.gens or [])
+    positions = None
+    if gens and all(
+        os.path.isdir(os.path.join(store.positions_path, f"gen={g}"))
+        for g in gens
+    ):
+        positions = positions_from_compressed(
+            spark.read.option("basePath", store.positions_path)
+            .parquet(store.positions_path)
+            .filter(keep)
+        )
     deleted = deleted_docids(spark, store, snap) if apply_deletes else None
     if deleted is not None:
         docs = docs.join(deleted, "docid", "left_anti")
         postings = postings.join(deleted, "docid", "left_anti")
+        if positions is not None:
+            positions = positions.join(deleted, "docid", "left_anti")
     index = IndexTables(
         docs=docs,
         postings=postings,
@@ -410,7 +477,7 @@ def load_streaming_index(
         max_doc=snap.max_doc,
         sum_total_term_freq=snap.sum_total_term_freq,
         avgdl=snap.avgdl,
-        positions=None,
+        positions=positions,
     )
     if deleted is None:
         object.__setattr__(index, "_compressed", compressed)

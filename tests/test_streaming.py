@@ -200,3 +200,44 @@ def test_tiered_compaction_merges_smallest_only(spark, pages, streamed):
     assert snap.max_doc == s2.max_doc  # stats untouched by tiered merge
     after = load_streaming_index(spark, root)
     assert after.docs.count() == total_before
+
+
+def test_streamed_positions_phrase_equals_batch(spark, pages, tmp_path):
+    """Each micro-batch persists a positions generation; phrase queries over
+    the loaded streaming store equal the in-memory batch build — including
+    after a full compaction (which re-encodes the positions layer)."""
+    from lucene_solr_spark.pages import build_index_from_pages
+    from lucene_solr_spark.search import PhraseQuery, search
+    from lucene_solr_spark.streaming import (
+        StreamingIndexer,
+        compact_store,
+        load_streaming_index,
+    )
+
+    root = str(tmp_path / "idx_pos")
+    indexer = StreamingIndexer(spark, root, num_index_partitions=4)
+    doc_id = F.split(F.col("url"), "/doc/")[1].cast("long")
+    indexer.process_batch(pages.where(doc_id % 2 == 0), 0)
+    indexer.process_batch(pages.where(doc_id % 2 == 1), 1)
+    mem = build_index_from_pages(
+        spark, pages, num_index_partitions=4, build_positions=True
+    )
+
+    def by_url(idx):
+        out = search(idx, PhraseQuery(("table", "scan")), k=10)
+        return sorted(
+            (r.url, r.score)
+            for r in out.join(idx.docs.select("docid", "url"), "docid").collect()
+        )
+
+    # docids differ between arrival-order and batch assignment; compare by url
+    loaded = load_streaming_index(spark, root)
+    assert loaded.positions is not None
+    want = by_url(mem)
+    got = by_url(loaded)
+    assert [u for u, _ in got] and got == want
+
+    compact_store(spark, root)
+    compacted = load_streaming_index(spark, root)
+    assert compacted.positions is not None
+    assert by_url(compacted) == want
