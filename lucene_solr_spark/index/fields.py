@@ -289,7 +289,7 @@ def edismax_fields(
     """
     from lucene_solr_spark.search.bm25 import (
         _phrase_topk,
-        _sloppy_phrase_topk,
+        _sloppy_dispatch,
         term_scores,
     )
 
@@ -331,7 +331,7 @@ def edismax_fields(
     for fname, boost in (pf or {}).items():
         idx = mfi.of(fname)
         pq = PhraseQuery(tuple(terms), slop=ps)
-        fn = _sloppy_phrase_topk if ps > 0 else _phrase_topk
+        fn = _sloppy_dispatch if ps > 0 else _phrase_topk
         ph = fn(idx, pq, round_dp=10).withColumnRenamed("score", "_ph")
         out = out.join(ph, "docid", "left")
         out = out.withColumn(
@@ -359,7 +359,7 @@ def search_parsed_fields(
     from lucene_solr_spark.search.bm25 import (
         _matched_docset,
         _phrase_topk,
-        _sloppy_phrase_topk,
+        _sloppy_dispatch,
     )
     from lucene_solr_spark.search.parser import CompositeQuery, parse_query
 
@@ -375,7 +375,7 @@ def search_parsed_fields(
         return search_fields(mfi, parsed, k=k, round_dp=round_dp)
     if isinstance(parsed, PhraseQuery):
         idx = mfi.of(parsed.field)
-        fn = _sloppy_phrase_topk if parsed.slop > 0 else _phrase_topk
+        fn = _sloppy_dispatch if parsed.slop > 0 else _phrase_topk
         out = fn(idx, parsed, round_dp)
         return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
     if isinstance(parsed, _MULTITERM):
@@ -390,7 +390,7 @@ def search_parsed_fields(
     def part_scores(q) -> DataFrame:
         idx = mfi.of(getattr(q, "field", None))
         if isinstance(q, PhraseQuery):
-            fn = _sloppy_phrase_topk if q.slop > 0 else _phrase_topk
+            fn = _sloppy_dispatch if q.slop > 0 else _phrase_topk
             p = fn(idx, q, round_dp=10)
             if q.boost != 1.0:
                 p = p.select(

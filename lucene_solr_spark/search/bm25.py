@@ -27,6 +27,7 @@ bounded heap + driver merge, the same algorithm as TopScoreDocCollector.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -306,6 +307,130 @@ def _sloppy_phrase_topk(index: IndexTables, q: PhraseQuery, round_dp: int) -> Da
         / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl_approx") / F.lit(index.avgdl)))
     )
     return hits.select("docid", F.round(score, round_dp).alias("score"))
+
+
+def lucene_sloppy_freq(pos_lists: list, slop: int) -> float:
+    """Exact SloppyPhraseScorer.phraseFreq (lucene/core/.../search/
+    SloppyPhraseScorer.java:39-84 + initSimple:146-162), no-repeats case:
+    a priority queue of per-term adjusted-position streams; repeatedly advance
+    the minimum stream, shrinking the window; every time the popped stream
+    overtakes the next-smallest, the minimized matchLength (end - start) is
+    scored with sloppyFreq = 1/(1+matchLength) if within slop.
+
+    ``pos_lists`` — one ASCENDING list of offset-adjusted positions per term
+    (position - phrase offset, PhrasePositions.java:34-38), all non-empty.
+    """
+    import heapq
+
+    k = len(pos_lists)
+    if k < 2:
+        raise ValueError("needs >= 2 position streams")
+    nxt = [1] * k
+    heap = [(int(pl[0]), i) for i, pl in enumerate(pos_lists)]
+    heapq.heapify(heap)
+    end = max(p for p, _ in heap)
+    freq = 0.0
+    pp_pos, pp_i = heapq.heappop(heap)
+    match_length = end - pp_pos
+    next_pos = heap[0][0]
+    while nxt[pp_i] < len(pos_lists[pp_i]):  # advancePP(pp)
+        pp_pos = int(pos_lists[pp_i][nxt[pp_i]])
+        nxt[pp_i] += 1
+        if pp_pos > end:
+            end = pp_pos
+        if pp_pos > next_pos:  # done minimizing the current match
+            if match_length <= slop:
+                freq += 1.0 / (1 + match_length)
+            heapq.heappush(heap, (pp_pos, pp_i))
+            pp_pos, pp_i = heapq.heappop(heap)
+            next_pos = heap[0][0]
+            match_length = end - pp_pos
+        else:
+            match_length = min(match_length, end - pp_pos)
+    if match_length <= slop:
+        freq += 1.0 / (1 + match_length)
+    return freq
+
+
+def sloppy_phrase_lucene_topk(
+    index: IndexTables, q: PhraseQuery, round_dp: int = 4
+) -> DataFrame:
+    """Sloppy phrase with EXACT SloppyPhraseScorer.phraseFreq semantics for
+    phrases without repeated terms (the hasRpts machinery,
+    SloppyPhraseScorer.java:165-390, is out of scope — repeats raise).
+
+    Shape: candidate docs are those containing ALL terms (semi-join chain on
+    the positions table — same pushdown as the exact-phrase path); their
+    per-term adjusted position arrays (bounded by doc length) feed an
+    Arrow-batched pandas UDF running the greedy pq loop per doc.  This is a
+    justified Python kernel: the loop's stateful window minimization has no
+    Catalyst equivalent, and it touches only candidate docs."""
+    from pyspark.sql.functions import pandas_udf
+
+    if index.positions is None:
+        raise ValueError("index built without positions")
+    terms = list(q.terms)
+    if len(terms) < 2:
+        raise ValueError("phrase needs >= 2 terms")
+    if len(set(terms)) != len(terms):
+        raise ValueError(
+            "repeated phrase terms need SloppyPhraseScorer's repeats "
+            "machinery; use the anchor-based _sloppy_phrase_topk"
+        )
+    slop = int(q.slop)
+    pos = index.positions.filter(F.col("term").isin(terms))
+    offset = F.create_map(
+        *[x for i, t in enumerate(terms) for x in (F.lit(t), F.lit(i))]
+    )
+    adj = pos.withColumn("_adj", F.col("pos") - offset[F.col("term")])
+    lists = adj.groupBy("docid", "dl_approx", "term").agg(
+        F.sort_array(F.collect_list("_adj")).alias("_ps")
+    )
+    piv = lists.groupBy("docid", "dl_approx").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("_ps"))).alias(f"_t{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    for i in range(len(terms)):
+        piv = piv.filter(F.col(f"_t{i}").isNotNull())
+
+    @pandas_udf("double")
+    def _freq(streams: pd.Series) -> pd.Series:
+        return streams.map(lambda pls: lucene_sloppy_freq(list(pls), slop))
+
+    arrs = F.array(*[F.col(f"_t{i}") for i in range(len(terms))])
+    hits = piv.withColumn("tf", _freq(arrs)).filter(F.col("tf") > 0)
+
+    stats = {
+        r.term: r.df
+        for r in index.term_stats().filter(F.col("term").isin(terms)).collect()
+    }
+    import math
+
+    n = index.max_doc
+    idf_sum = sum(
+        math.log(1.0 + (n - stats.get(t, 0) + 0.5) / (stats.get(t, 0) + 0.5))
+        for t in terms
+    )
+    score = (
+        F.lit(idf_sum) * 2.2 * F.col("tf")
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl_approx") / F.lit(index.avgdl)))
+    )
+    return hits.select("docid", F.round(score, round_dp).alias("score"))
+
+
+def _sloppy_dispatch(
+    index: IndexTables, q: PhraseQuery, round_dp: int
+) -> DataFrame:
+    """Sloppy-phrase dispatch: EXACT greedy SloppyPhraseScorer semantics
+    (sloppy_phrase_lucene_topk) for phrases without repeated terms — the
+    reference behavior; the anchor-based analytic reformulation
+    (_sloppy_phrase_topk) only for repeated-term phrases, where the greedy
+    kernel would need the hasRpts machinery."""
+    if len(set(q.terms)) == len(q.terms):
+        return sloppy_phrase_lucene_topk(index, q, round_dp)
+    return _sloppy_phrase_topk(index, q, round_dp)
 
 
 def _span_near_spans(
@@ -616,7 +741,7 @@ def search(
         )
     elif isinstance(query, PhraseQuery):
         if query.slop > 0:
-            out = _sloppy_phrase_topk(index, query, round_dp)
+            out = _sloppy_dispatch(index, query, round_dp)
         else:
             out = _phrase_topk(index, query, round_dp)
     elif isinstance(query, BooleanQuery):
@@ -664,7 +789,7 @@ def search_parsed(
         """Full (docid, score) set for one sub-query, unrounded."""
         if isinstance(q, PhraseQuery):
             if q.slop > 0:
-                p = _sloppy_phrase_topk(index, q, round_dp=10)
+                p = _sloppy_dispatch(index, q, round_dp=10)
             else:
                 p = _phrase_topk(index, q, round_dp=10)
             if q.boost != 1.0:

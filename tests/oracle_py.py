@@ -154,3 +154,67 @@ def sloppy_phrase_topk(oracle: OracleIndex, terms: list[str], slop: int, k: int 
             out.append((d, s))
     out.sort(key=lambda x: (-x[1], x[0]))
     return out[:k]
+
+
+def lucene_sloppy_freq_reference(pos_lists, slop):
+    """Independently-written port of SloppyPhraseScorer.phraseFreq (no heap:
+    plain argmin rescans; ties by stream index like PhraseQueue.lessThan's
+    position-then-offset ordering).  Differential partner for
+    bm25.lucene_sloppy_freq."""
+    k = len(pos_lists)
+    cur = [int(pl[0]) for pl in pos_lists]
+    nxt = [1] * k
+    end = max(cur)
+    inq = set(range(k))
+    pp = min(inq, key=lambda i: (cur[i], i))
+    inq.discard(pp)
+    match_length = end - cur[pp]
+    freq = 0.0
+    while nxt[pp] < len(pos_lists[pp]):
+        cur[pp] = int(pos_lists[pp][nxt[pp]])
+        nxt[pp] += 1
+        end = max(end, cur[pp])
+        next_pos = min(cur[i] for i in inq)
+        if cur[pp] > next_pos:
+            if match_length <= slop:
+                freq += 1.0 / (1 + match_length)
+            inq.add(pp)
+            pp = min(inq, key=lambda i: (cur[i], i))
+            inq.discard(pp)
+            match_length = end - cur[pp]
+        else:
+            match_length = min(match_length, end - cur[pp])
+    if match_length <= slop:
+        freq += 1.0 / (1 + match_length)
+    return freq
+
+
+def lucene_sloppy_topk(oracle: OracleIndex, terms: list[str], slop: int, k: int = 10):
+    """Corpus-level oracle for the exact greedy semantics: tokenizes each doc
+    in pure Python, builds adjusted position streams, runs the reference
+    freq loop."""
+    from lucene_solr_spark.analysis.analyzer import analyze_text_positions
+
+    idf_sum = sum(oracle.idf(t) for t in terms)
+    out = []
+    for d, text in oracle._texts:
+        index = defaultdict(list)
+        for p, t in analyze_text_positions(text):
+            index[t].append(p)
+        streams = []
+        ok = True
+        for i, t in enumerate(terms):
+            ps = [p - i for p in index.get(t, ())]
+            if not ps:
+                ok = False
+                break
+            streams.append(sorted(ps))
+        if not ok:
+            continue
+        tf = lucene_sloppy_freq_reference(streams, slop)
+        if tf > 0:
+            dl = oracle.dl_approx[d]
+            s = idf_sum * 2.2 * tf / (tf + 1.2 * (0.25 + 0.75 * dl / oracle.avgdl))
+            out.append((d, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]

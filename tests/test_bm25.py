@@ -422,8 +422,73 @@ def test_early_terminating_topk_on_index_sorted_docs(spark, index):
     (("data", "stream"), 2),
 ])
 def test_sloppy_phrase_matches_bruteforce_oracle(index, oracle, terms, slop):
+    from lucene_solr_spark.search.bm25 import _sloppy_phrase_topk
     from tests.oracle_py import sloppy_phrase_topk
 
-    got = search(index, PhraseQuery(tuple(terms), slop=slop), k=10)
+    got = (
+        _sloppy_phrase_topk(index, PhraseQuery(tuple(terms), slop=slop), 4)
+        .orderBy(F.col("score").desc(), F.col("docid").asc()).limit(10)
+    )
     want = sloppy_phrase_topk(oracle, list(terms), slop, k=10)
     _compare(got, want, 10)
+
+
+# ---------------------------------------------------------------------------
+# exact (greedy) sloppy phrase — SloppyPhraseScorer.phraseFreq parity
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _position_streams(draw):
+    k = draw(st.integers(min_value=2, max_value=4))
+    streams = []
+    for _ in range(k):
+        n = draw(st.integers(min_value=1, max_value=8))
+        gaps = draw(st.lists(st.integers(min_value=0, max_value=6),
+                             min_size=n, max_size=n))
+        pos, acc = [], draw(st.integers(min_value=-3, max_value=10))
+        for g in gaps:
+            acc += g
+            if not pos or acc > pos[-1]:
+                pos.append(acc)
+            acc += 1
+        streams.append(pos)
+    return streams
+
+
+@given(_position_streams(), st.integers(min_value=0, max_value=4))
+@settings(max_examples=300, deadline=None)
+def test_lucene_sloppy_freq_matches_independent_reference(streams, slop):
+    from lucene_solr_spark.search.bm25 import lucene_sloppy_freq
+    from tests.oracle_py import lucene_sloppy_freq_reference
+
+    assert lucene_sloppy_freq(streams, slop) == pytest.approx(
+        lucene_sloppy_freq_reference(streams, slop)
+    )
+
+
+@pytest.mark.parametrize("terms,slop", [
+    (("table", "scan"), 1),
+    (("table", "scan"), 3),
+    (("data", "stream", "window"), 2),
+])
+def test_sloppy_lucene_topk_matches_corpus_oracle(index, oracle, terms, slop):
+    from lucene_solr_spark.search.bm25 import sloppy_phrase_lucene_topk
+    from tests.oracle_py import lucene_sloppy_topk
+
+    got = (
+        sloppy_phrase_lucene_topk(index, PhraseQuery(tuple(terms), slop=slop))
+        .orderBy(F.col("score").desc(), F.col("docid").asc()).limit(10)
+    )
+    want = lucene_sloppy_topk(oracle, list(terms), slop, k=10)
+    _compare(got, want, 10)
+
+
+def test_sloppy_lucene_rejects_repeats(index):
+    from lucene_solr_spark.search.bm25 import sloppy_phrase_lucene_topk
+
+    with pytest.raises(ValueError):
+        sloppy_phrase_lucene_topk(index, PhraseQuery(("table", "table"), slop=2))
