@@ -59,6 +59,8 @@ TOKEN_PATTERN = (
     "|[ぁ-ゟ]"      # Hiragana U+3041-U+309F: one char per token
     "|[゠-ヿ]+"     # Katakana U+30A0-U+30FF: runs
     "|[가-힣]+"     # Hangul syllables U+AC00-U+D7A3: runs
+    "|[ก-๛]+"      # Thai U+0E01-U+0E5B: <SOUTHEAST_ASIAN> runs
+    "|[ກ-ໝ]+"      # Lao U+0E81-U+0EDD: <SOUTHEAST_ASIAN> runs
     "|(?:[A-Za-z]+(?:['.’][A-Za-z]+)*"
     "|[0-9]+(?:[.,'][0-9]+)*"
     "|[0-9A-Za-z_])+"

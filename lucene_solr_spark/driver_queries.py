@@ -1670,6 +1670,40 @@ ORDER BY score DESC, pm.docid ASC LIMIT 10""",
         return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(10)
 
     @_q(
+        "span_near_or_clause",
+        f"""{PRELUDE},
+anch AS (
+  SELECT p0.docid, p0.pos AS p, min(p1.pos) - p0.pos - 1 AS ml
+  FROM tok p0 JOIN tok p1 ON p1.docid = p0.docid AND p1.pos > p0.pos
+  WHERE p0.term IN ('fast', 'slow') AND p1.term = 'scan'
+  GROUP BY p0.docid, p0.pos
+),
+cnt AS (
+  SELECT docid,
+         sum(CASE WHEN ml = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN ml = 1 THEN 1 ELSE 0 END) AS c1
+  FROM anch WHERE ml <= 1 GROUP BY 1
+),
+pm AS (SELECT docid, 0.0 + c0 * 1.0 + c1 * 0.5 AS tf FROM cnt WHERE c0 + c1 > 0)
+SELECT pm.docid,
+       round(({idf_sql('fast')} + {idf_sql('slow')} + {idf_sql('scan')})
+             * 2.2 * pm.tf / (pm.tf + 1.2 * (0.25 + 0.75 * d.dl_approx / st.avgdl)), 4) AS score
+FROM pm JOIN doc d ON d.docid = pm.docid CROSS JOIN stats st
+ORDER BY score DESC, pm.docid ASC LIMIT 10""",
+    )
+    def span_near_or_clause(spark, sf_dir):
+        """SpanNearQuery with a nested SpanOrQuery clause (SpanNearQuery over
+        SpanOrQuery sub-clauses): ('fast' OR 'slow') then 'scan' within one
+        position; idf sums over every extracted term."""
+        from lucene_solr_spark.search.bm25 import span_near_topk
+
+        idx = get_index(spark, sf_dir)
+        out = span_near_topk(
+            idx, [["fast", "slow"], "scan"], slop=1, in_order=True
+        )
+        return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(10)
+
+    @_q(
         "block_join_parents",
         """SELECT l_orderkey AS o_orderkey,
        round(max(CAST(l_quantity AS DOUBLE)), 4) AS score
@@ -1840,6 +1874,7 @@ _DEFER_LAST = [
     "span_near_query",          # sloppy_phrase (positions machinery) — new op, window full
     "span_or_terms",            # span_near_query (span algebra) — new op, window full
     "span_not_query",           # span_near_query (span algebra) — new op, window full
+    "span_near_or_clause",      # span_near_query (nested span-or clause) — new op, window full
     "block_join_parents",       # join_query (keyed join family) — new op, window full
     "parsed_function_query",    # function_query_recip_freshness (same semantics, string front door)
     "early_term_sort",          # sort_by_field (same result, early-terminating path)

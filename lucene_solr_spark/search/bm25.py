@@ -433,27 +433,37 @@ def _sloppy_dispatch(
     return _sloppy_phrase_topk(index, q, round_dp)
 
 
+def _as_clauses(terms: list) -> list[list[str]]:
+    """Normalize a span-near clause list: each entry is a term or a list of
+    alternative terms (a SpanOrQuery clause inside the SpanNearQuery)."""
+    return [[c] if isinstance(c, str) else list(c) for c in terms]
+
+
 def _span_near_spans(
-    index: IndexTables, terms: list[str], in_order: bool
+    index: IndexTables, terms: list, in_order: bool
 ) -> DataFrame:
-    """Candidate spans for a span-near over term clauses: one row per anchor
+    """Candidate spans for a span-near over clauses: one row per anchor
     (docid, dl_approx, _p0=start, _end, _ml=matchLength), UNFILTERED by slop.
+
+    Each clause is a term or a LIST of alternative terms — the latter is a
+    SpanOrQuery clause (SpanOrQuery.java merges its sub-spans, so 'the next
+    clause position' is the min over any alternative's positions).
 
     Ordered semantics per NearSpansOrdered.java:58-101: for each occurrence
     ``p`` of the first clause, greedily shrink to the MINIMAL ordered chain
-    p < q_1 < ... < q_{k-1} (each q_i the smallest position of term i after
+    p < q_1 < ... < q_{k-1} (each q_i the smallest position of clause i after
     the previous clause); matchLength = (q_last - p) - (k-1) — the slack
     beyond adjacency.  Unordered (NearSpansUnordered.java window semantics)
-    allows either direction: per-term deviation |q_i - p| - 1, minimized per
-    term, matchLength = max over terms — exact for two clauses,
+    allows either direction: per-clause deviation |q_i - p| - 1, minimized
+    per clause, matchLength = max over clauses — exact for two clauses,
     anchor-approximate beyond; ``_end`` is not meaningful (set to _p0)."""
+    clauses = _as_clauses(terms)
     pos = index.positions
-    t0 = terms[0]
-    m = pos.filter(F.col("term") == t0).select(
+    m = pos.filter(F.col("term").isin(clauses[0])).select(
         "docid", "dl_approx", F.col("pos").alias("_prev")
     ).withColumn("_p0", F.col("_prev"))
-    for i, t in enumerate(terms[1:], start=1):
-        pi = pos.filter(F.col("term") == t).select(
+    for i, cl in enumerate(clauses[1:], start=1):
+        pi = pos.filter(F.col("term").isin(cl)).select(
             F.col("docid").alias("_d"), F.col("pos").alias("_q")
         )
         if in_order:
@@ -528,21 +538,28 @@ def _sloppy_span_score(
 
 def span_near_topk(
     index: IndexTables,
-    terms: list[str],
+    terms: list,
     slop: int = 0,
     in_order: bool = True,
     round_dp: int = 4,
 ) -> DataFrame:
     """SpanNearQuery (lucene/core/.../search/spans/SpanNearQuery.java):
-    terms must co-occur within a window of ``slop`` slack positions; scoring
-    is the sloppyFreq sum over matching spans (see _span_near_spans and
-    _sloppy_span_score for the ordered/unordered semantics)."""
+    clauses must co-occur within a window of ``slop`` slack positions;
+    scoring is the sloppyFreq sum over matching spans (see _span_near_spans
+    and _sloppy_span_score for the ordered/unordered semantics).
+
+    Each clause is a term or a list of alternatives (a nested SpanOrQuery —
+    e.g. ``[["fast", "quick"], "scan"]`` for synonym proximity); idf sums
+    over EVERY extracted term (SpanWeight/extractTerms over the clause
+    tree)."""
     if index.positions is None:
         raise ValueError("index built without positions")
     if len(terms) < 2:
         raise ValueError("span_near needs >= 2 clauses")
     spans = _span_near_spans(index, terms, in_order)
-    return _sloppy_span_score(index, spans, terms, int(slop), round_dp)
+    # extractTerms collects into a SET (SpanWeight ctor) — dedupe
+    all_terms = list(dict.fromkeys(t for cl in _as_clauses(terms) for t in cl))
+    return _sloppy_span_score(index, spans, all_terms, int(slop), round_dp)
 
 
 def span_or_topk(

@@ -152,6 +152,8 @@ _CJK_SAMPLES = [
     "한국어 검색 엔진",           # Hangul syllable runs
     "mixed 漢字 and カタカナ2000", # Latin + Han + Katakana + digits
     "ひらがな",                  # Hiragana: one char per token
+    "ภาษาไทย test ไทย",          # Thai <SOUTHEAST_ASIAN> runs + Latin
+    "ພາສາລາວ ແລະ",               # Lao <SOUTHEAST_ASIAN> runs
 ]
 
 
@@ -253,3 +255,6 @@ def test_cjk_token_type_shapes():
     assert analyze_text("한국어 검색") == ["한국어", "검색"]
     # Hiragana one per char
     assert analyze_text("ひらがな") == ["ひ", "ら", "が", "な"]
+    # Thai/Lao: whole-script runs (<SOUTHEAST_ASIAN>)
+    assert analyze_text("ภาษาไทย กับ test") == ["ภาษาไทย", "กับ", "test"]
+    assert analyze_text("ພາສາລາວ") == ["ພາສາລາວ"]

@@ -330,6 +330,30 @@ def test_span_near_three_terms_greedy_chain(spark):
     assert got2 == {0, 1}
 
 
+def test_span_near_with_or_clause(spark):
+    """SpanNearQuery with a nested SpanOrQuery clause: either alternative
+    satisfies the clause position."""
+    from lucene_solr_spark.search.bm25 import span_near_topk
+
+    texts = [
+        "fast scan now",      # fast->scan adjacent
+        "quick scan here",    # quick->scan adjacent
+        "slow scan there",    # neither alternative
+        "fast jump scan",     # one gap
+    ]
+    idx = _tiny_index(spark, texts)
+    got0 = {
+        r.docid
+        for r in span_near_topk(idx, [["fast", "quick"], "scan"], slop=0).collect()
+    }
+    assert got0 == {0, 1}
+    got1 = {
+        r.docid
+        for r in span_near_topk(idx, [["fast", "quick"], "scan"], slop=1).collect()
+    }
+    assert got1 == {0, 1, 3}
+
+
 def test_span_or_total_occurrences(spark):
     """SpanOrQuery: tf = total occurrences of ANY clause term, one idf sum
     over clauses — distinct from boolean OR's per-term score sum."""
