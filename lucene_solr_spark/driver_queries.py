@@ -1430,6 +1430,32 @@ ORDER BY score DESC, docid ASC LIMIT 10"""
 
         return search_parsed_fields(get_mfi(spark, sf_dir), "scan title:merge", k=10)
 
+    @_q("store_field_query", _FIELD_SQL)
+    def store_field_query(spark, sf_dir):
+        """field:term over a PERSISTED multi-field schema (IndexSchema.java
+        analog: fields/<name>/ stores + schema.json manifest): build once,
+        load, run 'scan title:merge' against the loaded per-field
+        postings/norms/stats."""
+        import hashlib as _h
+        import tempfile
+
+        from lucene_solr_spark.index.fields import search_parsed_fields
+        from lucene_solr_spark.store import (
+            build_multifield_store,
+            load_multifield_index,
+        )
+
+        tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+        root = f"{tempfile.gettempdir()}/lss_store_mf_v1_{tag}"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        build_multifield_store(
+            spark, docs, root, key_col="doc_id",
+            field_exprs={"body": "text", "title": F.substring("text", 1, 40)},
+            default_field="body", docid_col="doc_id", num_index_partitions=8,
+        )
+        mfi = load_multifield_index(spark, root)
+        return search_parsed_fields(mfi, "scan title:merge", k=10)
+
     _t0, _t1 = "table", "scan"
     _parts = {
         f: f"coalesce({{c}}, 0.0) * {b!r}" for f, b in (("title", 2.0), ("body", 1.0))
@@ -1882,6 +1908,7 @@ _DEFER_LAST = [
     "store_phrase_query",       # phrase_query + store_persisted_query (persisted positions layer)
     "edismax_query",            # dismax_fields (same qf machinery) + phrase_query (pf boost)
     "sloppy_phrase_lucene",     # sloppy_phrase (rows-only: greedy kernel, no SQL oracle)
+    "store_field_query",        # field_query + store_persisted_query (persisted schema)
 ]
 
 

@@ -409,6 +409,87 @@ def delete_by_key(
     return delete_docids(spark, root, matching)
 
 
+def build_multifield_store(
+    spark: SparkSession,
+    source: DataFrame,
+    root: str,
+    key_col: str,
+    field_exprs: dict,
+    default_field: str,
+    docid_col: str | None = None,
+    num_index_partitions: int = 8,
+    build_positions: bool = True,
+):
+    """Persist a multi-field schema (IndexSchema.java:79-149 — named fields,
+    each with its own postings/norms/stats over a SHARED docid space): one
+    field store per ``fields/<name>/`` directory plus an atomic
+    ``schema.json`` manifest.  Idempotent per field: a field whose snapshot
+    is already committed is skipped on re-run (same resumability contract as
+    the partition-batched pages build)."""
+    from lucene_solr_spark.index.fields import MultiFieldIndex, build_multifield_index
+
+    mfi = build_multifield_index(
+        spark,
+        source,
+        key_col=key_col,
+        field_exprs=field_exprs,
+        default_field=default_field,
+        docid_col=docid_col,
+        num_index_partitions=num_index_partitions,
+        persist=True,
+        build_positions=build_positions,
+    )
+    for fname, idx in mfi.fields.items():
+        froot = os.path.join(root, "fields", fname)
+        store = IndexStore(froot)
+        if store.head() is not None:
+            continue
+        _write_partitioned(idx.docs, store.docs_path)
+        _write_partitioned(
+            build_compressed_segments(idx, persist=False), store.segments_path
+        )
+        if idx.positions is not None:
+            _write_partitioned(compress_positions(idx.positions), store.positions_path)
+        store.commit(
+            Snapshot(
+                snapshot_id=1,
+                parent_id=None,
+                committed_partitions=list(range(num_index_partitions)),
+                num_index_partitions=num_index_partitions,
+                max_doc=idx.max_doc,
+                sum_total_term_freq=idx.sum_total_term_freq,
+            )
+        )
+        for cached in (idx.docs, idx.postings, idx.segments, idx.positions):
+            if cached is not None:
+                cached.unpersist()
+    manifest = {"fields": sorted(field_exprs), "default_field": default_field}
+    tmp = os.path.join(root, "schema.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, "schema.json"))
+    return mfi
+
+
+def load_multifield_index(spark: SparkSession, root: str, apply_deletes: bool = True):
+    """Open a persisted multi-field schema as a MultiFieldIndex (each field
+    loads through load_index — decoded-postings view, positions layer,
+    delete bitmaps all apply per field)."""
+    from lucene_solr_spark.index.fields import MultiFieldIndex
+
+    with open(os.path.join(root, "schema.json")) as f:
+        manifest = json.load(f)
+    fields = {
+        fname: load_index(
+            spark, os.path.join(root, "fields", fname), apply_deletes=apply_deletes
+        )
+        for fname in manifest["fields"]
+    }
+    return MultiFieldIndex(fields, manifest["default_field"])
+
+
 def load_index(
     spark: SparkSession, root: str, apply_deletes: bool = True
 ) -> IndexTables:

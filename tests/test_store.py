@@ -173,3 +173,41 @@ def test_snapshot_commit_is_atomic(tmp_path):
     store.commit(snap2)
     assert store.head().snapshot_id == 2
     assert store.head().parent_id == 1
+
+
+def test_multifield_store_roundtrip(spark, sf_dir, tmp_path):
+    """Persisted multi-field schema: field-routed and dismax queries over the
+    LOADED schema equal the in-memory multi-field build."""
+    from lucene_solr_spark.index.fields import (
+        build_multifield_index,
+        dismax_fields,
+        search_parsed_fields,
+    )
+    from lucene_solr_spark.store import build_multifield_store, load_multifield_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fexprs = {"body": "text", "title": F.substring("text", 1, 40)}
+    mem = build_multifield_index(
+        spark, docs, key_col="doc_id", field_exprs=fexprs,
+        default_field="body", docid_col="doc_id", num_index_partitions=4,
+        build_positions=True,
+    )
+    root = str(tmp_path / "mf")
+    build_multifield_store(
+        spark, docs, root, key_col="doc_id", field_exprs=fexprs,
+        default_field="body", docid_col="doc_id", num_index_partitions=4,
+    )
+    loaded = load_multifield_index(spark, root)
+    assert sorted(loaded.fields) == ["body", "title"]
+    assert loaded.of("title").avgdl == mem.of("title").avgdl
+
+    def rows(mfi, q):
+        return [(r.docid, r.score) for r in search_parsed_fields(mfi, q, k=10).collect()]
+
+    for q in ("scan title:merge", 'title:"table scan"', "scan"):
+        assert rows(loaded, q) == rows(mem, q), q
+    got = [(r.docid, r.score) for r in dismax_fields(
+        loaded, ["table", "scan"], qf={"title": 2.0, "body": 1.0}, tie=0.3).collect()]
+    want = [(r.docid, r.score) for r in dismax_fields(
+        mem, ["table", "scan"], qf={"title": 2.0, "body": 1.0}, tie=0.3).collect()]
+    assert got == want
