@@ -383,17 +383,18 @@ def sloppy_phrase_lucene_topk(
         *[x for i, t in enumerate(terms) for x in (F.lit(t), F.lit(i))]
     )
     adj = pos.withColumn("_adj", F.col("pos") - offset[F.col("term")])
-    lists = adj.groupBy("docid", "dl_approx", "term").agg(
-        F.sort_array(F.collect_list("_adj")).alias("_ps")
-    )
-    piv = lists.groupBy("docid", "dl_approx").agg(
+    # ONE shuffle: conditional collect_list per term (nulls are skipped), so
+    # the per-doc pivot needs no second aggregation
+    piv = adj.groupBy("docid", "dl_approx").agg(
         *[
-            F.max(F.when(F.col("term") == t, F.col("_ps"))).alias(f"_t{i}")
+            F.sort_array(
+                F.collect_list(F.when(F.col("term") == t, F.col("_adj")))
+            ).alias(f"_t{i}")
             for i, t in enumerate(terms)
         ]
     )
     for i in range(len(terms)):
-        piv = piv.filter(F.col(f"_t{i}").isNotNull())
+        piv = piv.filter(F.size(f"_t{i}") > 0)
 
     @pandas_udf("double")
     def _freq(streams: pd.Series) -> pd.Series:

@@ -393,6 +393,74 @@ def _compact_tiered(spark: SparkSession, root: str, max_merge_at_once: int) -> S
     return new_snap
 
 
+def allowed_segment_count(
+    sizes: list[int],
+    segs_per_tier: int = 10,
+    max_merge_at_once: int = 10,
+    floor_docs: int = 1000,
+) -> int:
+    """TieredMergePolicy's allowed-segment budget (TieredMergePolicy.java:
+    281-334): tiers are geometric size bands — segsPerTier segments allowed
+    at the floor level, segsPerTier at maxMergeAtOnce× that size, and so on
+    until the remaining index fits in fewer than segsPerTier segments.
+    Sizes here are doc counts (the sandbox's segment-size proxy; Lucene uses
+    byte sizes with deletes discounted)."""
+    import math
+
+    if not sizes:
+        return 1
+    total = float(sum(sizes))
+    level = float(max(min(sizes), floor_docs))
+    allowed = 0
+    while True:
+        cnt = total / level
+        if cnt < segs_per_tier:
+            allowed += math.ceil(cnt)
+            break
+        allowed += segs_per_tier
+        total -= segs_per_tier * level
+        level *= max_merge_at_once
+    return max(allowed, 1)
+
+
+def maintain_store(
+    spark: SparkSession,
+    root: str,
+    segs_per_tier: int = 10,
+    max_merge_at_once: int = 10,
+    floor_docs: int = 1000,
+) -> Snapshot:
+    """The background-merge driver (ConcurrentMergeScheduler +
+    TieredMergePolicy.findMerges): while the store holds more generations
+    than the tiered budget allows, merge the ``max_merge_at_once`` smallest
+    ones; stops when the generation profile is tiered.  Selection is
+    smallest-N (a simplification of Lucene's skew-scored candidate windows,
+    TieredMergePolicy.java:336-398 score()); each pass is the crash-safe
+    tiered merge in compact_store."""
+    store = IndexStore(root)
+    snap = store.head()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    while True:
+        gens = list(snap.gens or [])
+        if len(gens) <= 1:
+            return snap
+        sizes = [
+            int(r["n"])
+            for r in spark.read.option("basePath", store.docs_path)
+            .parquet(store.docs_path)
+            .filter(F.col("gen").isin(gens))
+            .groupBy("gen")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        if len(gens) <= allowed_segment_count(
+            sizes, segs_per_tier, max_merge_at_once, floor_docs
+        ):
+            return snap
+        snap = _compact_tiered(spark, root, max_merge_at_once)
+
+
 def update_documents(
     spark: SparkSession, root: str, pages_df: DataFrame
 ) -> Snapshot:

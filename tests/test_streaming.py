@@ -241,3 +241,45 @@ def test_streamed_positions_phrase_equals_batch(spark, pages, tmp_path):
     compacted = load_streaming_index(spark, root)
     assert compacted.positions is not None
     assert by_url(compacted) == want
+
+
+def test_allowed_segment_count_tiers():
+    from lucene_solr_spark.streaming import allowed_segment_count
+
+    # 12 equal tiny gens, 3 per tier, merge factor 3: floor tier allows 3,
+    # next tier (3x) allows 3, remainder fits -> budget well under 12
+    assert allowed_segment_count([100] * 12, 3, 3, floor_docs=100) < 12
+    # a tiered profile (3 floor-size + one 9x) is within budget
+    assert allowed_segment_count([100, 100, 100, 900], 3, 3, floor_docs=100) >= 4
+    # single giant segment: always allowed
+    assert allowed_segment_count([10**9], 10, 10) == 1
+
+
+def test_maintain_store_merges_until_tiered(spark, pages, tmp_path):
+    """findMerges driver: repeated smallest-N tiered merges until the
+    generation profile fits the tier budget; results unchanged."""
+    from lucene_solr_spark.search import BooleanQuery, search
+    from lucene_solr_spark.streaming import (
+        StreamingIndexer,
+        load_streaming_index,
+        maintain_store,
+    )
+
+    root = str(tmp_path / "idx_tier")
+    indexer = StreamingIndexer(
+        spark, root, num_index_partitions=4, build_positions=False
+    )
+    doc_id = F.split(F.col("url"), "/doc/")[1].cast("long")
+    for b in range(6):  # six small generations
+        indexer.process_batch(pages.where(doc_id % 6 == b), b)
+    before_idx = load_streaming_index(spark, root)
+    q = BooleanQuery.of(must=["table"])
+    before = [(r.docid, r.score) for r in search(before_idx, q, k=10).collect()]
+
+    snap = maintain_store(spark, root, segs_per_tier=2, max_merge_at_once=3,
+                          floor_docs=10)
+    assert len(snap.gens) < 6
+    sizes_ok = load_streaming_index(spark, root)
+    assert sizes_ok.max_doc == before_idx.max_doc
+    after = [(r.docid, r.score) for r in search(sizes_ok, q, k=10).collect()]
+    assert after == before
