@@ -1239,6 +1239,43 @@ GROUP BY 1 ORDER BY 1""",
             .orderBy("bucket_epoch")
         )
 
+    # DateMathParser.java analog: bounds evaluated ONCE by the pure-Python
+    # parser with a pinned NOW (Solr's NOW= param), then the same integer
+    # epoch-ms literals land in both engines.
+    from lucene_solr_spark.functions import parse_date_math as _pdm
+
+    _DM_NOW = 1706659200000  # 2024-01-31T00:00:00Z, just past the events range
+    _DM_START = _pdm("NOW/DAY-30DAYS", _DM_NOW)
+    _DM_END = _pdm("NOW/DAY", _DM_NOW)
+    _DM_GAP = _pdm("NOW+7DAYS", 0)  # +7DAYS as a duration from epoch 0
+
+    @_q(
+        "facet_range_datemath_events",
+        f"""SELECT CAST({_DM_START} + ((epoch_ms(ts) - {_DM_START}) // {_DM_GAP}) * {_DM_GAP} AS BIGINT) AS bucket_ms,
+       CAST(count(*) AS BIGINT) AS facet_count
+FROM events
+WHERE epoch_ms(ts) >= {_DM_START} AND epoch_ms(ts) < {_DM_END}
+GROUP BY 1 ORDER BY 1""",
+    )
+    def facet_range_datemath_events(spark, sf_dir):
+        """facet.range with DATE-MATH bounds (DateMathParser.java:196-239):
+        start=NOW/DAY-30DAYS, end=NOW/DAY, gap=+7DAYS, NOW pinned."""
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # ts is TIMESTAMP_NTZ; session tz is UTC so the cast is identity.
+        # Integer division on both sides (Spark `div`, DuckDB `//`) — no
+        # float-floor boundary hazard at exact bucket edges.
+        ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+        bucket = F.expr(
+            f"CAST({_DM_START}L + ((unix_millis(cast(ts as timestamp)) - {_DM_START}L)"
+            f" div {_DM_GAP}L) * {_DM_GAP}L AS LONG)"
+        )
+        return (
+            e.where((ts_ms >= _DM_START) & (ts_ms < _DM_END))
+            .groupBy(bucket.alias("bucket_ms"))
+            .agg(F.count(F.lit(1)).alias("facet_count"))
+            .orderBy("bucket_ms")
+        )
+
     @_q(
         "facet_interval_price",
         """SELECT 'low' AS facet_name, CAST(sum(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 20000 THEN 1 ELSE 0 END) AS BIGINT) AS facet_count FROM orders
@@ -1909,6 +1946,7 @@ _DEFER_LAST = [
     "edismax_query",            # dismax_fields (same qf machinery) + phrase_query (pf boost)
     "sloppy_phrase_lucene",     # sloppy_phrase (rows-only: greedy kernel, no SQL oracle)
     "store_field_query",        # field_query + store_persisted_query (persisted schema)
+    "facet_range_datemath_events",  # facet_range_date_events (date-math bounds variant)
 ]
 
 

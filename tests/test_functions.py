@@ -65,3 +65,40 @@ def test_parser_errors():
         parse_function_query("div(1)")  # arity
     with pytest.raises(ValueError):
         parse_function_query("sum(1,2) trailing")
+
+
+# ---------------------------------------------------------------------------
+# date math (DateMathParser.java)
+# ---------------------------------------------------------------------------
+
+def test_date_math_rounding_and_arith():
+    from lucene_solr_spark.functions import parse_date_math
+
+    # 2026-03-15T12:34:56.789Z
+    now = 1773578096789
+    assert parse_date_math("NOW", now) == now
+    assert parse_date_math("NOW/DAY", now) == 1773532800000      # 00:00 UTC
+    assert parse_date_math("NOW/HOUR", now) == 1773576000000
+    assert parse_date_math("NOW/YEAR", now) == 1767225600000     # 2026-01-01
+    assert parse_date_math("NOW/DAY+1DAY", now) - parse_date_math("NOW/DAY", now) == 86_400_000
+    assert parse_date_math("NOW-30DAYS", now) == now - 30 * 86_400_000
+    assert parse_date_math("NOW+2HOURS-90MINUTES", now) == now + 30 * 60_000
+    # ISO anchor
+    assert parse_date_math("2026-01-01T00:00:00Z+1MONTH", 0) == 1769904000000
+    # calendar-aware month clamp: Jan 31 + 1 MONTH -> Feb 28 (2026 not leap)
+    jan31 = 1769818321000  # 2026-01-30T23:32:01Z... use explicit ISO instead
+    assert parse_date_math("2026-01-31T10:00:00Z+1MONTH", 0) == parse_date_math(
+        "2026-02-28T10:00:00Z", 0
+    )
+    # unit aliases and implicit 1
+    assert parse_date_math("NOW+DAY", now) == parse_date_math("NOW+1DAYS", now)
+
+
+def test_date_math_rejects_garbage():
+    import pytest
+
+    from lucene_solr_spark.functions import parse_date_math
+
+    for bad in ("TODAY", "NOW/5DAY", "NOW+DAY junk", "NOW**2"):
+        with pytest.raises(ValueError):
+            parse_date_math(bad, 0)
