@@ -1934,16 +1934,16 @@ _DEFER_LAST = [
     "dismax_query",             # dismax_fields (per-field version)
     "facet_missing_lang",       # facet_field_lang (facet.field op) — polish row
     "facet_range_flags_nchars", # facet_range_date_events — include/other flags
-    "span_near_query",          # sloppy_phrase (positions machinery) — new op, window full
-    "span_or_terms",            # span_near_query (span algebra) — new op, window full
-    "span_not_query",           # span_near_query (span algebra) — new op, window full
-    "span_near_or_clause",      # span_near_query (nested span-or clause) — new op, window full
-    "block_join_parents",       # join_query (keyed join family) — new op, window full
+    "span_or_terms",            # span_near_query (span algebra)
+    "span_not_query",           # span_near_query (span algebra)
+    "span_near_or_clause",      # span_near_query (nested span-or clause)
+    "facet_sort_index_prefix",  # facet_field_lang (sort/prefix param variant) — rotated out for span_near_query
+    "boost_query",              # dismax_fields (boost semantics) + parser boost tests — rotated out for block_join_parents
+    "term_range_query",         # numeric_range_filter (range semantics) + judge rerun — rotated out for edismax_query
     "parsed_function_query",    # function_query_recip_freshness (same semantics, string front door)
     "early_term_sort",          # sort_by_field (same result, early-terminating path)
     "uax29_url_email",          # analyzer-chain variant — tokenizer goldens are primary evidence
     "store_phrase_query",       # phrase_query + store_persisted_query (persisted positions layer)
-    "edismax_query",            # dismax_fields (same qf machinery) + phrase_query (pf boost)
     "sloppy_phrase_lucene",     # sloppy_phrase (rows-only: greedy kernel, no SQL oracle)
     "store_field_query",        # field_query + store_persisted_query (persisted schema)
     "facet_range_datemath_events",  # facet_range_date_events (date-math bounds variant)
