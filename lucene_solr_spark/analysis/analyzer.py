@@ -132,12 +132,19 @@ def tokens_expr(text: Column) -> Column:
     regexp_extract_all -> drop >255-char tokens -> lowercase -> drop stopwords.
     All JVM-side built-ins; no Python in the loop.
     """
-    toks = raw_tokens_expr(text)
-    toks = F.filter(toks, lambda t: F.length(t) <= MAX_TOKEN_LENGTH)
-    toks = F.transform(toks, F.lower)
+    # ONE lower pass + ONE fused filter pass (each higher-order array op
+    # allocates a fresh array — fusing length+stop halves the allocations).
+    # length(lower(t)) == length(t) for every token the pattern can emit:
+    # its alphabet (ASCII + caseless CJK/Thai/Lao) has no length-changing
+    # case mappings, so filtering on post-lower length is exact.
+    toks = F.transform(raw_tokens_expr(text), F.lower)
     # isin over >10 literals compiles to Catalyst InSet (hash-set probe) —
     # measurably cheaper than array_contains' linear scan at ~1e9 tokens
-    return F.filter(toks, lambda t: ~t.isin(*ENGLISH_STOP_WORDS))
+    return F.filter(
+        toks,
+        lambda t: (F.length(t) <= MAX_TOKEN_LENGTH)
+        & ~t.isin(*ENGLISH_STOP_WORDS),
+    )
 
 
 def positioned_tokens_expr(text: Column) -> Column:
@@ -147,18 +154,18 @@ def positioned_tokens_expr(text: Column) -> Column:
     over-long tokens are removed — surviving tokens keep gapped positions,
     exactly like StopFilter/StandardTokenizer position increments.
     """
-    raw = raw_tokens_expr(text)
+    # Two array passes total (struct-build, fused filter); the raw length
+    # equals the post-lower length for the pattern's alphabet (see
+    # tokens_expr), so no _rawlen field and no struct-stripping third pass.
     pos_structs = F.transform(
-        raw, lambda t, i: F.struct(i.alias("pos"), F.lower(t).alias("term"),
-                                   F.length(t).alias("_rawlen")),
+        raw_tokens_expr(text),
+        lambda t, i: F.struct(i.alias("pos"), F.lower(t).alias("term")),
     )
-    kept = F.filter(
+    return F.filter(
         pos_structs,
-        lambda s: (s["_rawlen"] <= MAX_TOKEN_LENGTH)
+        lambda s: (F.length(s["term"]) <= MAX_TOKEN_LENGTH)
         & ~s["term"].isin(*ENGLISH_STOP_WORDS),
     )
-    return F.transform(kept, lambda s: F.struct(s["pos"].alias("pos"),
-                                                s["term"].alias("term")))
 
 
 # ---------------------------------------------------------------------------

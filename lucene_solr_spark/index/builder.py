@@ -114,6 +114,7 @@ def build_index(
     passthrough_cols: tuple[str, ...] = (),
     persist: bool = True,
     build_positions: bool = False,
+    persist_positions: bool = True,
 ) -> IndexTables:
     """Build the index tables from a source table.
 
@@ -143,10 +144,20 @@ def build_index(
     else:
         base = assign_docids(src, key_col, num_index_partitions)
 
-    toks = F.coalesce(tokens_expr(F.col(text_col)), F.array())
-    with_tokens = base.withColumn("_tokens", toks).withColumn(
-        "num_terms", F.size("_tokens")
-    )
+    # Tokenize ONCE.  When positions are requested, the positioned array is
+    # the single tokenizer pass and plain terms derive from it by a cheap
+    # array transform — running tokens_expr AND positioned_tokens_expr would
+    # regex-scan every document twice (tokenization dominates build cost on
+    # web-page-sized text).
+    if build_positions:
+        pts = F.coalesce(positioned_tokens_expr(F.col(text_col)), F.array())
+        with_tokens = base.withColumn("_pts", pts).withColumn(
+            "_tokens", F.transform("_pts", lambda s: s["term"])
+        )
+    else:
+        toks = F.coalesce(tokens_expr(F.col(text_col)), F.array())
+        with_tokens = base.withColumn("_tokens", toks)
+    with_tokens = with_tokens.withColumn("num_terms", F.size("_tokens"))
 
     norm_ranges = F.broadcast(_norm_ranges_df(spark))
     docs = (
@@ -164,7 +175,10 @@ def build_index(
 
     doc_cols = ["docid", key_col, "index_partition", "num_terms", "norm_byte",
                 "dl_approx", *[c for c in passthrough_cols if c != key_col]]
-    docs_out = docs.select(*dict.fromkeys(doc_cols), "_tokens")
+    # cache the positioned array when built: postings AND positions both
+    # derive from it, so the cached docs table is the only tokenizer run
+    tok_col = "_pts" if build_positions else "_tokens"
+    docs_out = docs.select(*dict.fromkeys(doc_cols), tok_col)
     if persist:
         docs_out = docs_out.persist()
 
@@ -173,10 +187,19 @@ def build_index(
     # extra shuffle (HashPartitioning(index_partition) from the repartition /
     # window satisfies ClusteredDistribution(docid, term) only via docid; keep
     # docid grouping local by grouping on (index_partition, docid, term)).
-    exploded = docs_out.select(
-        "index_partition", "docid", "dl_approx",
-        F.explode("_tokens").alias("term"),
-    )
+    if build_positions:
+        exploded = docs_out.select(
+            "index_partition", "docid", "dl_approx",
+            F.explode("_pts").alias("_pt"),
+        ).select(
+            "index_partition", "docid", "dl_approx",
+            F.col("_pt.term").alias("term"),
+        )
+    else:
+        exploded = docs_out.select(
+            "index_partition", "docid", "dl_approx",
+            F.explode("_tokens").alias("term"),
+        )
     postings = (
         exploded.groupBy("index_partition", "docid", "term")
         .agg(F.count(F.lit(1)).cast("int").alias("tf"),
@@ -203,16 +226,20 @@ def build_index(
         segments = segments.persist()
 
     # optional positions index (DOCS_AND_FREQS_AND_POSITIONS, FieldInfo.java:56-84)
+    # — explodes the CACHED positioned array: no second tokenizer/extract pass
     positions = None
     if build_positions:
-        pts = F.coalesce(positioned_tokens_expr(F.col(text_col)), F.array())
-        positions = docs.select(
-            "index_partition", "docid", "dl_approx", F.explode(pts).alias("pt")
+        positions = docs_out.select(
+            "index_partition", "docid", "dl_approx", F.explode("_pts").alias("pt")
         ).select(
             "index_partition", "docid", "dl_approx",
             F.col("pt.pos").alias("pos"), F.col("pt.term").alias("term"),
         )
-        if persist:
+        # persist_positions=False for single-consumer pipelines (the store
+        # compresses the exploded view exactly once): caching one row per
+        # token occurrence is pure overhead there, and the explode re-derives
+        # from the cached docs table anyway (no tokenizer re-run).
+        if persist and persist_positions:
             positions = positions.persist()
 
     agg = docs_out.agg(
@@ -222,7 +249,7 @@ def build_index(
     avgdl = float(np.float32(sum_ttf / n)) if n else 0.0  # BM25Similarity.java:82-87
 
     return IndexTables(
-        docs=docs_out.drop("_tokens"),
+        docs=docs_out.drop("_tokens", "_pts"),
         postings=postings,
         segments=segments,
         max_doc=n,

@@ -190,6 +190,7 @@ def build_pages_to_store(
             passthrough_cols=("lang",),
             persist=True,
             build_positions=build_positions,
+            persist_positions=False,  # compressed exactly once below
         )
         _write_partitioned(idx.docs, store.docs_path)
         _write_partitioned(build_compressed_segments(idx, persist=False),
