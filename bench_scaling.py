@@ -208,7 +208,12 @@ Full JSON: `BENCH_SCALING.json`.
     with open(path) as f:
         content = f.read()
     if marker in content:
-        content = content.split(marker)[0].rstrip() + "\n\n" + section
+        # replace ONLY this section: everything from the marker up to the
+        # next "## " heading (or EOF) — later sections are preserved
+        head, rest = content.split(marker, 1)
+        nxt = rest.find("\n## ")
+        tail = rest[nxt + 1:] if nxt != -1 else ""
+        content = head.rstrip() + "\n\n" + section + ("\n" + tail if tail else "")
     else:
         content = content.rstrip() + "\n\n" + section
     with open(path, "w") as f:

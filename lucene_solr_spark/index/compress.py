@@ -32,7 +32,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lucene_solr_spark.index.builder import IndexTables
-from lucene_solr_spark.index.codec import encode_postings
 from lucene_solr_spark.smallfloat import NORM_TABLE
 
 COMPRESSED_SCHEMA = (
@@ -62,40 +61,85 @@ def _norm_byte_from_dl(dl: np.ndarray) -> np.ndarray:
 
 
 def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Encode one (index_partition, term-bucket) group of postings.
+
+    Vectorized ACROSS terms: the per-term loop version spent ~0.4 ms/term in
+    numpy call overhead (a group holds thousands of low-df terms, so overhead
+    dominated kernel time).  All delta/varbyte/block math here runs over the
+    whole group at once with per-term resets; per-term output rows are byte
+    slices of the group-wide buffers.  Byte-identical to encoding each term
+    with ``encode_postings`` (differential-tested)."""
+    from lucene_solr_spark.index.codec import BLOCK_SIZE, _vb_lengths, vb_encode
+
     part = int(pdf["index_partition"].iloc[0])
     terms = pdf["term"].to_numpy()
     docids = pdf["docid"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     dls = pdf["dl_approx"].to_numpy(dtype=np.float64)
 
-    order = np.lexsort((docids, terms))
-    terms, docids, tfs, dls = terms[order], docids[order], tfs[order], dls[order]
+    # sort on integer term codes, not strings (codes are assigned in
+    # lexicographic term order, so the row order is identical)
+    uniq, codes = np.unique(terms, return_inverse=True)
+    order = np.lexsort((docids, codes))
+    codes, docids, tfs, dls = codes[order], docids[order], tfs[order], dls[order]
     norms = _norm_byte_from_dl(dls)
 
-    uniq, starts = np.unique(terms, return_index=True)
-    bounds = np.append(starts, len(terms))
-    rows = []
-    for i, term in enumerate(uniq):
-        lo, hi = bounds[i], bounds[i + 1]
-        enc = encode_postings(docids[lo:hi], tfs[lo:hi], norms[lo:hi])
-        rows.append(
-            (
-                part, term, int(hi - lo), int(tfs[lo:hi].sum()), int(docids[lo]),
-                enc["doc_gaps_vb"], enc["tfs_vb"], enc["norm_bytes"],
-                enc["block_last_docid"].tolist(),
-                enc["block_max_tf"].tolist(),
-                enc["block_min_dlb"].tolist(),
-                enc["block_doc_off"].tolist(),
-                enc["block_tf_off"].tolist(),
-            )
-        )
+    starts = np.flatnonzero(np.diff(codes, prepend=-1))
+    n = len(codes)
+    bounds = np.append(starts, n)
+    counts = np.diff(bounds)
+
+    # docid deltas with a reset at each term start
+    gaps = docids.copy()
+    gaps[1:] -= docids[:-1]
+    gaps[starts] = docids[starts]
+    inner = np.ones(n, dtype=bool)
+    inner[starts] = False
+    if np.any(gaps[inner] <= 0):
+        raise ValueError("doc_ids must be strictly increasing per term")
+
+    gap_u = gaps.astype(np.uint64)
+    tf_u = tfs.astype(np.uint64)
+    gap_buf = vb_encode(gap_u)
+    tf_buf = vb_encode(tf_u)
+    gap_ends0 = np.concatenate(([0], np.cumsum(_vb_lengths(gap_u))))
+    tf_ends0 = np.concatenate(([0], np.cumsum(_vb_lengths(tf_u))))
+    norms_buf = norms.tobytes()
+
+    # 128-posting blocks, globally: every term start begins a block, so block
+    # starts are simply the rows whose within-term index is ≡ 0 (mod 128)
+    within = np.arange(n) - np.repeat(starts, counts)
+    b_starts = np.flatnonzero(within % BLOCK_SIZE == 0)
+    b_ends = np.append(b_starts[1:], n) - 1
+    block_last = docids[b_ends]
+    block_max_tf = np.maximum.reduceat(tfs, b_starts).astype(np.int32)
+    block_min_dlb = np.maximum.reduceat(
+        norms.astype(np.int64), b_starts
+    ).astype(np.int32)
+    blocks_per_term = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
+    # byte offset of each block's first value WITHIN its term's blob
+    blk_doc_off = gap_ends0[b_starts] - np.repeat(gap_ends0[starts], blocks_per_term)
+    blk_tf_off = tf_ends0[b_starts] - np.repeat(tf_ends0[starts], blocks_per_term)
+    blk_bounds = np.concatenate(([0], np.cumsum(blocks_per_term)))
+
+    go, to = gap_ends0[bounds], tf_ends0[bounds]
+    nt = len(uniq)
     return pd.DataFrame(
-        rows,
-        columns=[
-            "index_partition", "term", "df_part", "cf_part", "first_docid",
-            "doc_gaps_vb", "tfs_vb", "norm_bytes", "block_last_docid",
-            "block_max_tf", "block_min_dlb", "block_doc_off", "block_tf_off",
-        ],
+        {
+            "index_partition": np.full(nt, part, dtype=np.int32),
+            "term": uniq,
+            "df_part": counts.astype(np.int32),
+            "cf_part": np.add.reduceat(tfs, starts).astype(np.int64),
+            "first_docid": docids[starts],
+            "doc_gaps_vb": [gap_buf[go[i]:go[i + 1]] for i in range(nt)],
+            "tfs_vb": [tf_buf[to[i]:to[i + 1]] for i in range(nt)],
+            "norm_bytes": [norms_buf[bounds[i]:bounds[i + 1]] for i in range(nt)],
+            "block_last_docid": np.split(block_last, blk_bounds[1:-1]),
+            "block_max_tf": np.split(block_max_tf, blk_bounds[1:-1]),
+            "block_min_dlb": np.split(block_min_dlb, blk_bounds[1:-1]),
+            "block_doc_off": np.split(blk_doc_off, blk_bounds[1:-1]),
+            "block_tf_off": np.split(blk_tf_off, blk_bounds[1:-1]),
+        }
     )
 
 
@@ -120,7 +164,13 @@ POSITIONS_SCHEMA = (
 
 
 def _encode_positions_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    from lucene_solr_spark.index.codec import encode_positions
+    """Encode one (index_partition, term-bucket) group of position postings.
+
+    Vectorized across terms like ``_encode_group``: the three varbyte streams
+    (doc gaps, per-doc position counts, position deltas) are computed over
+    the whole group with resets at term/doc boundaries, then sliced per term.
+    Byte-identical to per-term ``encode_positions`` (differential-tested)."""
+    from lucene_solr_spark.index.codec import _vb_lengths, vb_encode
 
     part = int(pdf["index_partition"].iloc[0])
     terms = pdf["term"].to_numpy()
@@ -128,29 +178,68 @@ def _encode_positions_group(pdf: pd.DataFrame) -> pd.DataFrame:
     poss = pdf["pos"].to_numpy(dtype=np.int64)
     dls = pdf["dl_approx"].to_numpy(dtype=np.float64)
 
-    order = np.lexsort((poss, docids, terms))
-    terms, docids, poss, dls = terms[order], docids[order], poss[order], dls[order]
+    # sort on integer term codes, not strings (codes are assigned in
+    # lexicographic term order, so the row order is identical)
+    uniq, codes = np.unique(terms, return_inverse=True)
+    order = np.lexsort((poss, docids, codes))
+    codes, docids, poss, dls = codes[order], docids[order], poss[order], dls[order]
     norms = _norm_byte_from_dl(dls)
 
-    uniq, starts = np.unique(terms, return_index=True)
-    bounds = np.append(starts, len(terms))
-    rows = []
-    for i, term in enumerate(uniq):
-        lo, hi = bounds[i], bounds[i + 1]
-        enc = encode_positions(docids[lo:hi], poss[lo:hi], norms[lo:hi])
-        rows.append(
-            (
-                part, term, int(np.unique(docids[lo:hi]).size), int(docids[lo]),
-                enc["doc_gaps_vb"], enc["pos_counts_vb"], enc["positions_vb"],
-                enc["norm_bytes"],
-            )
-        )
+    starts = np.flatnonzero(np.diff(codes, prepend=-1))
+    n = len(codes)
+    bounds = np.append(starts, n)
+
+    # (term, doc) boundaries over the occurrence stream
+    new_doc = np.ones(n, dtype=bool)
+    new_doc[1:] = (codes[1:] != codes[:-1]) | (docids[1:] != docids[:-1])
+    d_starts = np.flatnonzero(new_doc)
+    per_doc_counts = np.diff(np.append(d_starts, n))
+
+    # per-term unique-doc counts: how many doc-starts fall in each term range
+    docs_per_term = (
+        np.searchsorted(d_starts, bounds[1:]) - np.searchsorted(d_starts, bounds[:-1])
+    )
+    doc_bounds = np.concatenate(([0], np.cumsum(docs_per_term)))
+
+    # docid gaps over unique docs, reset at each term's first doc
+    ud = docids[d_starts]
+    gaps = ud.copy()
+    gaps[1:] -= ud[:-1]
+    term_first_doc = doc_bounds[:-1]
+    gaps[term_first_doc] = ud[term_first_doc]
+
+    # position deltas, reset at each (term, doc) start
+    deltas = poss.copy()
+    deltas[1:] -= poss[:-1]
+    deltas[d_starts] = poss[d_starts]
+    if np.any(deltas < 0):
+        raise ValueError("positions must be ascending within each doc")
+
+    gap_u = gaps.astype(np.uint64)
+    cnt_u = per_doc_counts.astype(np.uint64)
+    del_u = deltas.astype(np.uint64)
+    gap_buf, cnt_buf, del_buf = vb_encode(gap_u), vb_encode(cnt_u), vb_encode(del_u)
+    gap_ends0 = np.concatenate(([0], np.cumsum(_vb_lengths(gap_u))))
+    cnt_ends0 = np.concatenate(([0], np.cumsum(_vb_lengths(cnt_u))))
+    del_ends0 = np.concatenate(([0], np.cumsum(_vb_lengths(del_u))))
+    norms_buf = norms[d_starts].tobytes()
+
+    go, co = gap_ends0[doc_bounds], cnt_ends0[doc_bounds]
+    do = del_ends0[bounds]
+    nt = len(uniq)
     return pd.DataFrame(
-        rows,
-        columns=[
-            "index_partition", "term", "df_part", "first_docid",
-            "doc_gaps_vb", "pos_counts_vb", "positions_vb", "norm_bytes",
-        ],
+        {
+            "index_partition": np.full(nt, part, dtype=np.int32),
+            "term": uniq,
+            "df_part": docs_per_term.astype(np.int32),
+            "first_docid": docids[starts],
+            "doc_gaps_vb": [gap_buf[go[i]:go[i + 1]] for i in range(nt)],
+            "pos_counts_vb": [cnt_buf[co[i]:co[i + 1]] for i in range(nt)],
+            "positions_vb": [del_buf[do[i]:do[i + 1]] for i in range(nt)],
+            "norm_bytes": [
+                norms_buf[doc_bounds[i]:doc_bounds[i + 1]] for i in range(nt)
+            ],
+        }
     )
 
 

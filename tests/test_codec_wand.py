@@ -296,3 +296,83 @@ def test_decode_block_fallback_without_offsets():
     legacy = {k: v for k, v in enc.items() if not k.startswith("block_doc_off") and k != "block_tf_off"}
     d, t, nb = decode_block(legacy, 1)
     np.testing.assert_array_equal(d, doc_ids[BLOCK_SIZE : 2 * BLOCK_SIZE])
+
+
+def test_group_encoders_match_per_term_reference():
+    """The vectorized group kernels (compress._encode_group /
+    _encode_positions_group) must be byte-identical to encoding each term
+    separately with codec.encode_postings / encode_positions — randomized
+    differential over zipf-shaped groups."""
+    import pandas as pd
+
+    from lucene_solr_spark.index.codec import encode_positions, encode_postings
+    from lucene_solr_spark.index.compress import (
+        _encode_group,
+        _encode_positions_group,
+        _norm_byte_from_dl,
+    )
+    from lucene_solr_spark.smallfloat import NORM_TABLE
+
+    rng = np.random.default_rng(23)
+    for _ in range(10):
+        nterms = int(rng.integers(1, 50))
+        dfs = np.clip(rng.zipf(1.4, nterms), 1, 600)
+        terms = np.repeat([f"t{i:03d}" for i in range(nterms)], dfs)
+        pdf = pd.DataFrame(
+            {
+                "index_partition": 3,
+                "term": terms,
+                "docid": rng.integers(0, 1 << 30, len(terms)),
+                "tf": rng.integers(1, 30, len(terms)),
+                "dl_approx": NORM_TABLE[
+                    rng.integers(1, 255, len(terms))
+                ].astype(np.float64),
+            }
+        ).drop_duplicates(["term", "docid"])
+
+        got = _encode_group(pdf.copy())
+        t = pdf["term"].to_numpy()
+        d = pdf["docid"].to_numpy(np.int64)
+        tf = pdf["tf"].to_numpy(np.int64)
+        nb = _norm_byte_from_dl(pdf["dl_approx"].to_numpy(np.float64))
+        order = np.lexsort((d, t))
+        t, d, tf, nb = t[order], d[order], tf[order], nb[order]
+        uniq, starts = np.unique(t, return_index=True)
+        bounds = np.append(starts, len(t))
+        assert list(got["term"]) == list(uniq)
+        for i, row in got.reset_index(drop=True).iterrows():
+            lo, hi = bounds[i], bounds[i + 1]
+            ref = encode_postings(d[lo:hi], tf[lo:hi], nb[lo:hi])
+            assert bytes(row["doc_gaps_vb"]) == ref["doc_gaps_vb"]
+            assert bytes(row["tfs_vb"]) == ref["tfs_vb"]
+            assert bytes(row["norm_bytes"]) == ref["norm_bytes"]
+            assert int(row["df_part"]) == hi - lo
+            assert int(row["cf_part"]) == int(tf[lo:hi].sum())
+            assert int(row["first_docid"]) == int(d[lo])
+            for key in ("block_last_docid", "block_max_tf", "block_min_dlb",
+                        "block_doc_off", "block_tf_off"):
+                assert list(row[key]) == list(ref[key]), key
+
+        occ = pdf.loc[pdf.index.repeat(pdf["tf"].to_numpy())].copy()
+        occ["pos"] = rng.integers(0, 2000, len(occ))
+        occ = occ.drop_duplicates(["term", "docid", "pos"])
+        occ = occ[["index_partition", "term", "docid", "pos", "dl_approx"]]
+        gotp = _encode_positions_group(occ.copy())
+        t = occ["term"].to_numpy()
+        d = occ["docid"].to_numpy(np.int64)
+        p = occ["pos"].to_numpy(np.int64)
+        nb = _norm_byte_from_dl(occ["dl_approx"].to_numpy(np.float64))
+        order = np.lexsort((p, d, t))
+        t, d, p, nb = t[order], d[order], p[order], nb[order]
+        uniq, starts = np.unique(t, return_index=True)
+        bounds = np.append(starts, len(t))
+        assert list(gotp["term"]) == list(uniq)
+        for i, row in gotp.reset_index(drop=True).iterrows():
+            lo, hi = bounds[i], bounds[i + 1]
+            ref = encode_positions(d[lo:hi], p[lo:hi], nb[lo:hi])
+            assert bytes(row["doc_gaps_vb"]) == ref["doc_gaps_vb"]
+            assert bytes(row["pos_counts_vb"]) == ref["pos_counts_vb"]
+            assert bytes(row["positions_vb"]) == ref["positions_vb"]
+            assert bytes(row["norm_bytes"]) == ref["norm_bytes"]
+            assert int(row["df_part"]) == int(np.unique(d[lo:hi]).size)
+            assert int(row["first_docid"]) == int(d[lo])
