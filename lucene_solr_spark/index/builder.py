@@ -68,9 +68,20 @@ class IndexTables:
     sum_total_term_freq: int
     avgdl: float  # float32-rounded, as a Python float
     positions: DataFrame | None = None  # (docid, term, pos, dl_approx) if built
+    # the exact DataFrame objects build_index persisted.  ``docs`` is a
+    # projection OVER the persisted frame (the cache keeps the tokenized
+    # array column; the public table drops it), and DataFrame.unpersist is a
+    # no-op on derived plans — callers must release through THESE handles or
+    # the tokenized cache (the largest object in a build) leaks per build.
+    cached: tuple = ()
 
     def term_stats(self) -> DataFrame:
         return self.segments.select("term", "df", "cf")
+
+    def unpersist(self) -> None:
+        """Release every cache this build holds (see ``cached``)."""
+        for df in self.cached:
+            df.unpersist()
 
 
 def _norm_ranges_df(spark: SparkSession, max_dl: int = 1 << 40) -> DataFrame:
@@ -248,6 +259,12 @@ def build_index(
     n, sum_ttf = int(agg["n"]), int(agg["s"])
     avgdl = float(np.float32(sum_ttf / n)) if n else 0.0  # BM25Similarity.java:82-87
 
+    cached = []
+    if persist:
+        cached = [docs_out, postings, segments]
+        if build_positions and persist_positions and positions is not None:
+            cached.append(positions)
+
     return IndexTables(
         docs=docs_out.drop("_tokens", "_pts"),
         postings=postings,
@@ -256,6 +273,7 @@ def build_index(
         sum_total_term_freq=sum_ttf,
         avgdl=avgdl,
         positions=positions,
+        cached=tuple(cached),
     )
 
 

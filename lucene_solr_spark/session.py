@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # columnar-cache batches default to 10k ROWS regardless of row width;
+        # the builder caches a per-doc tokenized array (~KBs/row on web pages),
+        # and unrolling 10k such rows per task concurrently OOMs the executor.
+        # 1024 bounds unroll memory by width, costing nothing on narrow tables.
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "1024")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # shuffle/spill on tmpfs when available: the sandbox's virtual disk
         # throttles concurrent writers and was the scaling bottleneck; on a

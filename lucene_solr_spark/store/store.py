@@ -241,9 +241,9 @@ def build_pages_to_store(
             + idx.sum_total_term_freq,
         )
         store.commit(snap)
-        for cached in (idx.docs, idx.postings, idx.segments, idx.positions):
-            if cached is not None:
-                cached.unpersist()
+        idx.unpersist()  # releases the persisted frames themselves (the docs
+        # cache keeps the tokenized array column; unpersisting the projected
+        # view would be a no-op and leak it across batches)
         batches_done += 1
         if fail_after_batches is not None and batches_done >= fail_after_batches:
             assigned.unpersist()
@@ -461,9 +461,7 @@ def build_multifield_store(
                 sum_total_term_freq=idx.sum_total_term_freq,
             )
         )
-        for cached in (idx.docs, idx.postings, idx.segments, idx.positions):
-            if cached is not None:
-                cached.unpersist()
+        idx.unpersist()
     manifest = {"fields": sorted(field_exprs), "default_field": default_field}
     tmp = os.path.join(root, "schema.json.tmp")
     with open(tmp, "w") as f:
