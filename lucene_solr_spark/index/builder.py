@@ -68,6 +68,10 @@ class IndexTables:
     sum_total_term_freq: int
     avgdl: float  # float32-rounded, as a Python float
     positions: DataFrame | None = None  # (docid, term, pos, dl_approx) if built
+    # pre-aggregated positions: one row per (index_partition, docid, term)
+    # with tf + sorted position array — what the positions codec shuffles
+    # (~df rows, not ~cf occurrences); ``positions`` is an exploded view of it
+    positions_grouped: DataFrame | None = None
     # the exact DataFrame objects build_index persisted.  ``docs`` is a
     # projection OVER the persisted frame (the cache keeps the tokenized
     # array column; the public table drops it), and DataFrame.unpersist is a
@@ -198,26 +202,45 @@ def build_index(
     # extra shuffle (HashPartitioning(index_partition) from the repartition /
     # window satisfies ClusteredDistribution(docid, term) only via docid; keep
     # docid grouping local by grouping on (index_partition, docid, term)).
+    positions_grouped = None
     if build_positions:
-        exploded = docs_out.select(
-            "index_partition", "docid", "dl_approx",
-            F.explode("_pts").alias("_pt"),
-        ).select(
-            "index_partition", "docid", "dl_approx",
-            F.col("_pt.term").alias("term"),
+        # ONE partition-local aggregation feeds postings AND positions: per
+        # (partition, docid, term) collect tf plus the sorted position list.
+        # Downstream, the positions codec shuffles these ~df pre-aggregated
+        # rows instead of ~cf raw occurrence rows (~10x less shuffle volume on
+        # web text) — the same map-side-combine discipline the postings path
+        # always had, now applied to the .pos stream.
+        occ = docs_out.select(
+            "index_partition", "docid", "dl_approx", F.explode("_pts").alias("_pt")
+        )
+        positions_grouped = (
+            occ.groupBy("index_partition", "docid", F.col("_pt.term").alias("term"))
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("tf"),
+                F.array_sort(F.collect_list("_pt.pos")).alias("poss"),
+                F.first("dl_approx").alias("dl_approx"),
+            )
+        )
+        if persist:
+            positions_grouped = positions_grouped.persist()
+        # tf is materialized in the grouped frame, so this projection never
+        # touches the position arrays (columnar cache prunes to the five
+        # scalar columns)
+        postings = positions_grouped.select(
+            "index_partition", "docid", "term", "tf", "dl_approx"
         )
     else:
         exploded = docs_out.select(
             "index_partition", "docid", "dl_approx",
             F.explode("_tokens").alias("term"),
         )
-    postings = (
-        exploded.groupBy("index_partition", "docid", "term")
-        .agg(F.count(F.lit(1)).cast("int").alias("tf"),
-             F.first("dl_approx").alias("dl_approx"))
-    )
-    if persist:
-        postings = postings.persist()
+        postings = (
+            exploded.groupBy("index_partition", "docid", "term")
+            .agg(F.count(F.lit(1)).cast("int").alias("tf"),
+                 F.first("dl_approx").alias("dl_approx"))
+        )
+        if persist:
+            postings = postings.persist()
 
     # ---- term dictionary + per-term stats -----------------------------------
     # One bounded-width row per term: (term, df, cf) — a plain two-phase
@@ -237,21 +260,16 @@ def build_index(
         segments = segments.persist()
 
     # optional positions index (DOCS_AND_FREQS_AND_POSITIONS, FieldInfo.java:56-84)
-    # — explodes the CACHED positioned array: no second tokenizer/extract pass
+    # — the per-occurrence view the phrase/span query kernels consume, derived
+    # lazily from the cached grouped frame (no tokenizer re-run, never
+    # separately cached; ``persist_positions`` is retained for API
+    # compatibility but the grouped frame is the single cache now)
     positions = None
     if build_positions:
-        positions = docs_out.select(
-            "index_partition", "docid", "dl_approx", F.explode("_pts").alias("pt")
-        ).select(
-            "index_partition", "docid", "dl_approx",
-            F.col("pt.pos").alias("pos"), F.col("pt.term").alias("term"),
-        )
-        # persist_positions=False for single-consumer pipelines (the store
-        # compresses the exploded view exactly once): caching one row per
-        # token occurrence is pure overhead there, and the explode re-derives
-        # from the cached docs table anyway (no tokenizer re-run).
-        if persist and persist_positions:
-            positions = positions.persist()
+        positions = positions_grouped.select(
+            "index_partition", "docid", "dl_approx", "term",
+            F.explode("poss").alias("pos"),
+        ).select("index_partition", "docid", "dl_approx", "pos", "term")
 
     agg = docs_out.agg(
         F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("num_terms"), F.lit(0)).alias("s")
@@ -261,9 +279,8 @@ def build_index(
 
     cached = []
     if persist:
-        cached = [docs_out, postings, segments]
-        if build_positions and persist_positions and positions is not None:
-            cached.append(positions)
+        cached = [docs_out, segments]
+        cached.append(positions_grouped if build_positions else postings)
 
     return IndexTables(
         docs=docs_out.drop("_tokens", "_pts"),
@@ -273,6 +290,7 @@ def build_index(
         sum_total_term_freq=sum_ttf,
         avgdl=avgdl,
         positions=positions,
+        positions_grouped=positions_grouped,
         cached=tuple(cached),
     )
 

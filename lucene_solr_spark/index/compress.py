@@ -164,7 +164,9 @@ POSITIONS_SCHEMA = (
 
 
 def _encode_positions_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Encode one (index_partition, term-bucket) group of position postings.
+    """Encode one (index_partition, term-bucket) group of pre-aggregated
+    position rows: one input row per (term, docid) carrying the sorted
+    position array.
 
     Vectorized across terms like ``_encode_group``: the three varbyte streams
     (doc gaps, per-doc position counts, position deltas) are computed over
@@ -175,43 +177,47 @@ def _encode_positions_group(pdf: pd.DataFrame) -> pd.DataFrame:
     part = int(pdf["index_partition"].iloc[0])
     terms = pdf["term"].to_numpy()
     docids = pdf["docid"].to_numpy(dtype=np.int64)
-    poss = pdf["pos"].to_numpy(dtype=np.int64)
     dls = pdf["dl_approx"].to_numpy(dtype=np.float64)
+    lists = pdf["poss"].to_numpy()
 
-    # sort on integer term codes, not strings (codes are assigned in
-    # lexicographic term order, so the row order is identical)
+    # sort rows on integer term codes, not strings (codes are assigned in
+    # lexicographic term order, so the row order is identical); docid breaks
+    # ties — rows are unique (term, doc) pairs
     uniq, codes = np.unique(terms, return_inverse=True)
-    order = np.lexsort((poss, docids, codes))
-    codes, docids, poss, dls = codes[order], docids[order], poss[order], dls[order]
+    order = np.lexsort((docids, codes))
+    codes, docids, dls, lists = codes[order], docids[order], dls[order], lists[order]
     norms = _norm_byte_from_dl(dls)
 
-    starts = np.flatnonzero(np.diff(codes, prepend=-1))
-    n = len(codes)
-    bounds = np.append(starts, n)
+    nrows = len(codes)
+    t_starts = np.flatnonzero(np.diff(codes, prepend=-1))
+    row_bounds = np.append(t_starts, nrows)  # term boundaries in row space
+    docs_per_term = np.diff(row_bounds)
 
-    # (term, doc) boundaries over the occurrence stream
-    new_doc = np.ones(n, dtype=bool)
-    new_doc[1:] = (codes[1:] != codes[:-1]) | (docids[1:] != docids[:-1])
-    d_starts = np.flatnonzero(new_doc)
-    per_doc_counts = np.diff(np.append(d_starts, n))
+    # docid gaps (one row per unique (term, doc)), reset at each term's start
+    gaps = docids.copy()
+    gaps[1:] -= docids[:-1]
+    gaps[t_starts] = docids[t_starts]
+    inner = np.ones(nrows, dtype=bool)
+    inner[t_starts] = False
+    if np.any(gaps[inner] <= 0):
+        raise ValueError("doc_ids must be strictly increasing per term")
 
-    # per-term unique-doc counts: how many doc-starts fall in each term range
-    docs_per_term = (
-        np.searchsorted(d_starts, bounds[1:]) - np.searchsorted(d_starts, bounds[:-1])
+    # flatten position arrays in sorted row order -> the occurrence stream
+    per_doc_counts = np.fromiter(
+        (len(a) for a in lists), dtype=np.int64, count=nrows
     )
-    doc_bounds = np.concatenate(([0], np.cumsum(docs_per_term)))
-
-    # docid gaps over unique docs, reset at each term's first doc
-    ud = docids[d_starts]
-    gaps = ud.copy()
-    gaps[1:] -= ud[:-1]
-    term_first_doc = doc_bounds[:-1]
-    gaps[term_first_doc] = ud[term_first_doc]
+    flat = (
+        np.concatenate(list(lists)).astype(np.int64)
+        if nrows
+        else np.empty(0, dtype=np.int64)
+    )
+    occ_bounds = np.concatenate(([0], np.cumsum(per_doc_counts)))
+    d_starts = occ_bounds[:-1]  # each (term, doc)'s first occurrence
 
     # position deltas, reset at each (term, doc) start
-    deltas = poss.copy()
-    deltas[1:] -= poss[:-1]
-    deltas[d_starts] = poss[d_starts]
+    deltas = flat.copy()
+    deltas[1:] -= flat[:-1]
+    deltas[d_starts] = flat[d_starts]
     if np.any(deltas < 0):
         raise ValueError("positions must be ascending within each doc")
 
@@ -222,36 +228,55 @@ def _encode_positions_group(pdf: pd.DataFrame) -> pd.DataFrame:
     gap_ends0 = np.concatenate(([0], np.cumsum(_vb_lengths(gap_u))))
     cnt_ends0 = np.concatenate(([0], np.cumsum(_vb_lengths(cnt_u))))
     del_ends0 = np.concatenate(([0], np.cumsum(_vb_lengths(del_u))))
-    norms_buf = norms[d_starts].tobytes()
+    norms_buf = norms.tobytes()
 
-    go, co = gap_ends0[doc_bounds], cnt_ends0[doc_bounds]
-    do = del_ends0[bounds]
+    go, co = gap_ends0[row_bounds], cnt_ends0[row_bounds]
+    do = del_ends0[occ_bounds[row_bounds]]
     nt = len(uniq)
     return pd.DataFrame(
         {
             "index_partition": np.full(nt, part, dtype=np.int32),
             "term": uniq,
             "df_part": docs_per_term.astype(np.int32),
-            "first_docid": docids[starts],
+            "first_docid": docids[t_starts],
             "doc_gaps_vb": [gap_buf[go[i]:go[i + 1]] for i in range(nt)],
             "pos_counts_vb": [cnt_buf[co[i]:co[i + 1]] for i in range(nt)],
             "positions_vb": [del_buf[do[i]:do[i + 1]] for i in range(nt)],
             "norm_bytes": [
-                norms_buf[doc_bounds[i]:doc_bounds[i + 1]] for i in range(nt)
+                norms_buf[row_bounds[i]:row_bounds[i + 1]] for i in range(nt)
             ],
         }
     )
 
 
 def compress_positions(positions: DataFrame, term_buckets: int = 64) -> DataFrame:
-    """Encode a positions-shaped DataFrame
-    (index_partition, term, docid, pos, dl_approx) into position segment rows
-    — the persisted DOCS_AND_FREQS_AND_POSITIONS layer (Lucene41 .pos
-    analog).  Same salted-shuffle shape as compress_postings."""
-    p = positions.select("index_partition", "term", "docid", "pos", "dl_approx")
+    """Encode a positions layer into position segment rows — the persisted
+    DOCS_AND_FREQS_AND_POSITIONS layer (Lucene41 .pos analog).  Same
+    salted-shuffle shape as compress_postings.
+
+    Accepts either the builder's pre-aggregated frame
+    (index_partition, term, docid, poss:array<int>, dl_approx) — preferred:
+    the wide shuffle then ships one row per (term, doc) (~df rows) instead of
+    one per occurrence (~cf rows), a ~10x volume cut on web text — or the
+    per-occurrence view (…, pos, dl_approx), which is first aggregated to
+    the same shape (partition-local when the input is hash-partitioned by
+    index_partition, as the build layout is)."""
+    if "poss" in positions.columns:
+        grouped = positions.select(
+            "index_partition", "term", "docid", "poss", "dl_approx"
+        )
+    else:
+        grouped = (
+            positions.select("index_partition", "term", "docid", "pos", "dl_approx")
+            .groupBy("index_partition", "term", "docid")
+            .agg(
+                F.array_sort(F.collect_list("pos")).alias("poss"),
+                F.first("dl_approx").alias("dl_approx"),
+            )
+        )
     bucket = F.pmod(F.xxhash64("term"), F.lit(term_buckets))
     return (
-        p.groupBy("index_partition", bucket.alias("_bucket"))
+        grouped.groupBy("index_partition", bucket.alias("_bucket"))
         .applyInPandas(lambda pdf: _encode_positions_group(pdf), POSITIONS_SCHEMA)
     )
 

@@ -196,9 +196,11 @@ def build_pages_to_store(
         _write_partitioned(build_compressed_segments(idx, persist=False),
                            store.segments_path)
         if build_positions and idx.positions is not None:
-            # persisted DOCS_AND_FREQS_AND_POSITIONS layer (Lucene41 .pos)
+            # persisted DOCS_AND_FREQS_AND_POSITIONS layer (Lucene41 .pos);
+            # the pre-aggregated frame keeps the codec shuffle at ~df rows
             _write_partitioned(
-                compress_positions(idx.positions), store.positions_path
+                compress_positions(idx.positions_grouped or idx.positions),
+                store.positions_path,
             )
         wall = time.perf_counter() - t0
 
@@ -450,7 +452,10 @@ def build_multifield_store(
             build_compressed_segments(idx, persist=False), store.segments_path
         )
         if idx.positions is not None:
-            _write_partitioned(compress_positions(idx.positions), store.positions_path)
+            _write_partitioned(
+                compress_positions(idx.positions_grouped or idx.positions),
+                store.positions_path,
+            )
         store.commit(
             Snapshot(
                 snapshot_id=1,

@@ -123,9 +123,11 @@ class StreamingIndexer:
         if idx.positions is not None:
             from lucene_solr_spark.index.compress import compress_positions
 
-            compress_positions(idx.positions).write.mode("overwrite").partitionBy(
-                "index_partition"
-            ).parquet(os.path.join(self.store.positions_path, f"gen={gen}"))
+            compress_positions(
+                idx.positions_grouped or idx.positions
+            ).write.mode("overwrite").partitionBy("index_partition").parquet(
+                os.path.join(self.store.positions_path, f"gen={gen}")
+            )
         wall = time.perf_counter() - t0
 
         per_part = {

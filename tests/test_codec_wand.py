@@ -357,7 +357,18 @@ def test_group_encoders_match_per_term_reference():
         occ["pos"] = rng.integers(0, 2000, len(occ))
         occ = occ.drop_duplicates(["term", "docid", "pos"])
         occ = occ[["index_partition", "term", "docid", "pos", "dl_approx"]]
-        gotp = _encode_positions_group(occ.copy())
+        # the kernel now takes the pre-aggregated shape (one row per
+        # (term, doc) with a sorted position array), as compress_positions
+        # builds it
+        grp = (
+            occ.sort_values(["term", "docid", "pos"])
+            .groupby(["index_partition", "term", "docid"], as_index=False)
+            .agg(
+                poss=("pos", list),
+                dl_approx=("dl_approx", "first"),
+            )
+        )
+        gotp = _encode_positions_group(grp)
         t = occ["term"].to_numpy()
         d = occ["docid"].to_numpy(np.int64)
         p = occ["pos"].to_numpy(np.int64)
