@@ -159,77 +159,106 @@ def build_index(
     else:
         base = assign_docids(src, key_col, num_index_partitions)
 
-    # Tokenize ONCE.  When positions are requested, the positioned array is
-    # the single tokenizer pass and plain terms derive from it by a cheap
-    # array transform — running tokens_expr AND positioned_tokens_expr would
-    # regex-scan every document twice (tokenization dominates build cost on
-    # web-page-sized text).
-    if build_positions:
-        pts = F.coalesce(positioned_tokens_expr(F.col(text_col)), F.array())
-        with_tokens = base.withColumn("_pts", pts).withColumn(
-            "_tokens", F.transform("_pts", lambda s: s["term"])
-        )
-    else:
-        toks = F.coalesce(tokens_expr(F.col(text_col)), F.array())
-        with_tokens = base.withColumn("_tokens", toks)
-    with_tokens = with_tokens.withColumn("num_terms", F.size("_tokens"))
-
-    norm_ranges = F.broadcast(_norm_ranges_df(spark))
-    docs = (
-        with_tokens.join(
-            norm_ranges,
-            (F.col("num_terms") >= F.col("dl_lo")) & (F.col("num_terms") <= F.col("dl_hi")),
-            "left",
-        )
-        # num_terms == 0 -> norm byte 255 (Lucene encodes 1/sqrt(0)=inf -> 255);
-        # dl_approx for byte 255 is astronomically large; such docs never match.
-        .withColumn("norm_byte", F.coalesce(F.col("norm_byte"), F.lit(255)))
-        .withColumn("dl_approx", F.coalesce(F.col("dl_approx"), F.lit(float("inf"))))
-        .drop("dl_lo", "dl_hi")
-    )
-
     doc_cols = ["docid", key_col, "index_partition", "num_terms", "norm_byte",
                 "dl_approx", *[c for c in passthrough_cols if c != key_col]]
-    # cache the positioned array when built: postings AND positions both
-    # derive from it, so the cached docs table is the only tokenizer run
-    tok_col = "_pts" if build_positions else "_tokens"
-    docs_out = docs.select(*dict.fromkeys(doc_cols), tok_col)
-    if persist:
-        docs_out = docs_out.persist()
+    norm_ranges = F.broadcast(_norm_ranges_df(spark))
+    positions_grouped = None
+
+    if build_positions:
+        # Tokenize ONCE, pipelined straight into the inversion aggregate —
+        # no token-array cache at all.  Caching the positioned-token arrays
+        # was measured to ANTI-scale (a full-corpus columnar cache write of
+        # the token stream saturates memory bandwidth; it cost more at 4
+        # executors than at 1).  Instead the single tokenizer pass feeds one
+        # partition-local aggregation per (partition, docid, term) producing
+        # tf + the sorted position list; everything else derives from that
+        # grouped frame:
+        #   - postings  = scalar projection (tf materialized at agg time)
+        #   - positions = lazy explode of the arrays
+        #   - num_terms = window sum(tf) per doc, partition-local
+        #   - docs      = slim join of base against per-doc lengths
+        # Downstream, the positions codec shuffles ~df pre-aggregated rows
+        # instead of ~cf raw occurrences (~10x less volume on web text) —
+        # the map-side-combine discipline the postings path always had.
+        pts = F.coalesce(positioned_tokens_expr(F.col(text_col)), F.array())
+        occ = base.select(
+            "index_partition", "docid", F.explode(pts).alias("_pt")
+        )
+        w = Window.partitionBy("index_partition", "docid")
+        positions_grouped = (
+            occ.groupBy("index_partition", "docid", F.col("_pt.term").alias("term"))
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("tf"),
+                F.array_sort(F.collect_list("_pt.pos")).alias("poss"),
+            )
+            .withColumn("num_terms", F.sum("tf").over(w).cast("int"))
+            .join(
+                norm_ranges,
+                (F.col("num_terms") >= F.col("dl_lo"))
+                & (F.col("num_terms") <= F.col("dl_hi")),
+                "left",
+            )
+            .drop("dl_lo", "dl_hi")
+        )
+        if persist:
+            positions_grouped = positions_grouped.persist()
+        # tf/dl are materialized scalars in the grouped frame, so these
+        # projections never touch the position arrays (columnar cache prunes)
+        postings = positions_grouped.select(
+            "index_partition", "docid", "term", "tf", "dl_approx"
+        )
+        doc_lens = positions_grouped.groupBy("index_partition", "docid").agg(
+            F.first("num_terms").alias("num_terms"),
+            F.first("norm_byte").alias("norm_byte"),
+            F.first("dl_approx").alias("dl_approx"),
+        )
+        docs_out = (
+            base.join(doc_lens, ["index_partition", "docid"], "left")
+            # zero-token docs never reach the explode: norm byte 255 (Lucene
+            # encodes 1/sqrt(0)=inf -> 255), astronomically large dl_approx —
+            # such docs never match.
+            .withColumn("num_terms", F.coalesce(F.col("num_terms"), F.lit(0)))
+            .withColumn("norm_byte", F.coalesce(F.col("norm_byte"), F.lit(255)))
+            .withColumn(
+                "dl_approx", F.coalesce(F.col("dl_approx"), F.lit(float("inf")))
+            )
+            .select(*dict.fromkeys(doc_cols))
+        )
+        if persist:
+            docs_out = docs_out.persist()
+    else:
+        toks = F.coalesce(tokens_expr(F.col(text_col)), F.array())
+        with_tokens = base.withColumn("_tokens", toks).withColumn(
+            "num_terms", F.size("_tokens")
+        )
+        docs = (
+            with_tokens.join(
+                norm_ranges,
+                (F.col("num_terms") >= F.col("dl_lo"))
+                & (F.col("num_terms") <= F.col("dl_hi")),
+                "left",
+            )
+            # num_terms == 0 -> norm byte 255 (Lucene encodes 1/sqrt(0)=inf ->
+            # 255); dl_approx for byte 255 is astronomically large; such docs
+            # never match.
+            .withColumn("norm_byte", F.coalesce(F.col("norm_byte"), F.lit(255)))
+            .withColumn(
+                "dl_approx", F.coalesce(F.col("dl_approx"), F.lit(float("inf")))
+            )
+            .drop("dl_lo", "dl_hi")
+        )
+        # cache the token array: docs stats and the inversion both read it,
+        # so the cached docs table is the only tokenizer run
+        docs_out = docs.select(*dict.fromkeys(doc_cols), "_tokens")
+        if persist:
+            docs_out = docs_out.persist()
 
     # ---- inversion: one row per (docid, term) with tf ----------------------
     # Rows are clustered by index_partition ⊇ docid, so the groupBy needs no
     # extra shuffle (HashPartitioning(index_partition) from the repartition /
     # window satisfies ClusteredDistribution(docid, term) only via docid; keep
     # docid grouping local by grouping on (index_partition, docid, term)).
-    positions_grouped = None
-    if build_positions:
-        # ONE partition-local aggregation feeds postings AND positions: per
-        # (partition, docid, term) collect tf plus the sorted position list.
-        # Downstream, the positions codec shuffles these ~df pre-aggregated
-        # rows instead of ~cf raw occurrence rows (~10x less shuffle volume on
-        # web text) — the same map-side-combine discipline the postings path
-        # always had, now applied to the .pos stream.
-        occ = docs_out.select(
-            "index_partition", "docid", "dl_approx", F.explode("_pts").alias("_pt")
-        )
-        positions_grouped = (
-            occ.groupBy("index_partition", "docid", F.col("_pt.term").alias("term"))
-            .agg(
-                F.count(F.lit(1)).cast("int").alias("tf"),
-                F.array_sort(F.collect_list("_pt.pos")).alias("poss"),
-                F.first("dl_approx").alias("dl_approx"),
-            )
-        )
-        if persist:
-            positions_grouped = positions_grouped.persist()
-        # tf is materialized in the grouped frame, so this projection never
-        # touches the position arrays (columnar cache prunes to the five
-        # scalar columns)
-        postings = positions_grouped.select(
-            "index_partition", "docid", "term", "tf", "dl_approx"
-        )
-    else:
+    if not build_positions:
         exploded = docs_out.select(
             "index_partition", "docid", "dl_approx",
             F.explode("_tokens").alias("term"),
