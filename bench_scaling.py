@@ -124,7 +124,15 @@ def run_single(cpus: int, trials: int = TRIALS) -> dict:
         f"bench-scaling-{cpus}",
         master=f"local-cluster[{cpus},1,{exec_mem_mb + 1024}]",
         shuffle_partitions=cpus,
-        extra_conf={"spark.executor.memory": f"{exec_mem_mb}m"},
+        extra_conf={
+            "spark.executor.memory": f"{exec_mem_mb}m",
+            # Size each executor JVM's internal thread pools (GC workers, JIT
+            # compiler threads) to its 1 core instead of the host's 32 —
+            # exactly what a containerized executor gets from its cgroup on a
+            # real cluster.  Without this, N executors spawn ~25N background
+            # threads and their contention alone cost ~35% at N=4 (measured).
+            "spark.executor.extraJavaOptions": "-XX:ActiveProcessorCount=1",
+        },
     )
     pages = replicated_pages(spark, SF_DIR, REPLICATE, TEXT_REPEAT).persist()
     n_docs = pages.count()  # materialize input before any timed section
