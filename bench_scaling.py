@@ -123,7 +123,12 @@ def run_single(cpus: int, trials: int = TRIALS) -> dict:
     spark = get_spark(
         f"bench-scaling-{cpus}",
         master=f"local-cluster[{cpus},1,{exec_mem_mb + 1024}]",
-        shuffle_partitions=cpus,
+        # shuffle partitions are a DATA-sized constant (the store's index
+        # partition count), not retuned per cluster size — the same job
+        # config runs at both levels, as it would in production.  Post-shuffle
+        # stages then split into INDEX_PARTITIONS tasks whose waves balance
+        # across however many executors exist.
+        shuffle_partitions=INDEX_PARTITIONS,
         extra_conf={
             "spark.executor.memory": f"{exec_mem_mb}m",
             # Size each executor JVM's internal thread pools (GC workers, JIT

@@ -63,6 +63,13 @@ def get_spark(
                 "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
             ),
         )
+        # task-side output commit (v2): the driver otherwise renames every
+        # task file sequentially at job end — pure serial time that grows
+        # with partition count and dominates small-batch writes on a big
+        # cluster.  Atomicity of the STORE is provided one level up by its
+        # snapshot commit (a write is invisible until the snapshot json
+        # lands), so v2's weaker job-level atomicity costs nothing here.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

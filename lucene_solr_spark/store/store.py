@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 import numpy as np
@@ -192,16 +193,27 @@ def build_pages_to_store(
             build_positions=build_positions,
             persist_positions=False,  # compressed exactly once below
         )
-        _write_partitioned(idx.docs, store.docs_path)
-        _write_partitioned(build_compressed_segments(idx, persist=False),
-                           store.segments_path)
+        # The three layer writes are independent jobs over already-materialized
+        # caches (build_index's stats agg forced docs + the grouped frame), so
+        # submit them concurrently: each job's driver-side tail (commit,
+        # file promotion) overlaps the others' executor compute instead of
+        # leaving the cluster idle — on a real cluster these are three
+        # non-overlapping output tables of the same snapshot.
+        writes = [(idx.docs, store.docs_path),
+                  (build_compressed_segments(idx, persist=False),
+                   store.segments_path)]
         if build_positions and idx.positions is not None:
             # persisted DOCS_AND_FREQS_AND_POSITIONS layer (Lucene41 .pos);
             # the pre-aggregated frame keeps the codec shuffle at ~df rows
-            _write_partitioned(
-                compress_positions(idx.positions_grouped or idx.positions),
-                store.positions_path,
+            writes.append(
+                (compress_positions(idx.positions_grouped or idx.positions),
+                 store.positions_path)
             )
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            futs = [pool.submit(_write_partitioned, df, path)
+                    for df, path in writes]
+            for f in futs:
+                f.result()
         wall = time.perf_counter() - t0
 
         sid = (snap.snapshot_id + 1) if snap else 1
