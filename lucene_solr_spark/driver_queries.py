@@ -1899,6 +1899,79 @@ def early_term_sort(spark, sf_dir):
 
 
 # ===========================================================================
+# Highlighting / spellcheck / suggest (beyond-§2 bonus rows; SURVEY §2.13
+# items promoted to implemented — Highlighter.java, DirectSpellChecker.java,
+# AnalyzingSuggester.java analogs)
+# ===========================================================================
+
+_HIGHLIGHT_SQL = (
+    PRELUDE
+    + ",\ntopk AS (\n"
+    + bool_sql(must=("table",), as_cte="topk")
+    + "\n)\n"
+    + "SELECT t.docid, t.score,\n"
+    + "  regexp_replace(substr(d.text, greatest(strpos(lower(d.text), 'table')"
+    + " - 30, 1), 120), '(?i)(table)', '<em>\\1</em>', 'g') AS snippet\n"
+    + "FROM topk t JOIN docsrc d ON d.docid = t.docid\n"
+    + "ORDER BY t.score DESC, t.docid ASC"
+)
+
+
+@_q("highlight_topk", _HIGHLIGHT_SQL)
+def highlight_topk_q(spark, sf_dir):
+    """Classic-Highlighter snippets (SimpleFragmenter/SimpleHTMLFormatter)
+    for the top-10 'table' hits — k-row broadcast join against stored text,
+    pure-Catalyst string expressions."""
+    from lucene_solr_spark.search.highlight import highlight_topk
+
+    idx = get_index(spark, sf_dir)
+    stored = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("docid"), "text")
+    )
+    return highlight_topk(idx, stored, "table", k=10, frag_size=120, context=30)
+
+
+_SPELLCHECK_SQL = PRELUDE + """
+SELECT term AS suggestion,
+       CAST(levenshtein(term, 'bath') AS INT) AS distance,
+       CAST(df AS BIGINT) AS df
+FROM tstat
+WHERE term <> 'bath'
+  AND abs(length(term) - 4) <= 2
+  AND levenshtein(term, 'bath') <= 2
+ORDER BY distance ASC, df DESC, suggestion ASC
+LIMIT 5"""
+
+
+@_q("spellcheck_term", _SPELLCHECK_SQL)
+def spellcheck_term(spark, sf_dir):
+    """DirectSpellChecker analog: dictionary terms within 2 edits of the
+    misspelling 'bath' (batch d=1; data/hash d=2), ranked
+    (distance, df desc, term)."""
+    from lucene_solr_spark.search.suggest import spellcheck
+
+    return spellcheck(get_index(spark, sf_dir), "bath", max_edits=2, k=5)
+
+
+_SUGGEST_SQL = PRELUDE + """
+SELECT term AS suggestion, CAST(cf AS BIGINT) AS weight
+FROM tstat
+WHERE term LIKE 's%'
+ORDER BY weight DESC, suggestion ASC
+LIMIT 10"""
+
+
+@_q("suggest_prefix", _SUGGEST_SQL)
+def suggest_prefix_q(spark, sf_dir):
+    """Weight-ordered prefix suggester (AnalyzingSuggester analog) over the
+    term dictionary, weight = collection frequency."""
+    from lucene_solr_spark.search.suggest import suggest_prefix
+
+    return suggest_prefix(get_index(spark, sf_dir), "s", k=10)
+
+
+# ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
 # pytest and manual rerun) but outside the driver window.  Near-duplicate
@@ -1947,6 +2020,11 @@ _DEFER_LAST = [
     "sloppy_phrase_lucene",     # sloppy_phrase (rows-only: greedy kernel, no SQL oracle)
     "store_field_query",        # field_query + store_persisted_query (persisted schema)
     "facet_range_datemath_events",  # facet_range_date_events (date-math bounds variant)
+    # Beyond-§2 bonus rows (§2.13 promoted): every §2/§8.2 operator already
+    # holds a distinct graded row, so these sit past the window by design.
+    "highlight_topk",           # term_query (scoring) + stored-fields join; snippet is post-processing
+    "spellcheck_term",          # terms_component (dictionary scan) + fuzzy_query (edit-distance machinery)
+    "suggest_prefix",           # terms_component (prefix-ordered dictionary scan, cf weight)
 ]
 
 

@@ -1,0 +1,82 @@
+"""Highlighting: query-term snippets over stored text for top-k results.
+
+The reference's classic Highlighter (``lucene/highlighter/src/java/org/
+apache/lucene/search/highlight/Highlighter.java:54-110``) re-analyzes the
+stored field, scores fragments by the query terms they contain
+(``QueryTermScorer``), cuts a fixed-size fragment (``SimpleFragmenter.java:
+30-62``: fragmentSize chars, default 100) and wraps matches with
+``SimpleHTMLFormatter.java:31-47`` (``<em>``/``</em>``).
+
+Re-expressed Spark-first as a pure-Catalyst post-processing stage over the
+top-k join with stored fields — the analog of fetching stored fields for one
+page of hits, NOT a corpus scan:
+
+* fragment anchor = first case-insensitive occurrence of the term in the
+  stored text (``QueryTermScorer`` starts at the first scoring token),
+  pulled back ``context`` chars so the match sits inside the fragment;
+* fragment = fixed ``frag_size`` chars from that anchor (SimpleFragmenter
+  semantics — fragment bounds may split words, exactly as the reference's
+  fixed-size fragmenter does);
+* every in-fragment occurrence is wrapped pre/post (SimpleHTMLFormatter).
+
+Scale shape: top-k (docid, score) is a tiny frame; the stored-field join is
+a broadcast-able k-row join against the pages/documents table, and the
+string work is whole-stage-codegen expressions (instr/substr/
+regexp_replace) — zero Python, zero extra shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.builder import IndexTables
+from lucene_solr_spark.search.bm25 import search
+
+
+def highlight_fragment(
+    text_col: F.Column,
+    term: str,
+    frag_size: int = 120,
+    context: int = 30,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> F.Column:
+    """Snippet expression over a stored-text column (pure Catalyst)."""
+    q = term.lower()
+    pos = F.instr(F.lower(text_col), q)
+    start = F.greatest(pos - F.lit(context), F.lit(1))
+    frag = text_col.substr(start, F.lit(frag_size))
+    return F.regexp_replace(
+        frag, "(?i)(" + re.escape(q) + ")", pre + "$1" + post
+    )
+
+
+def highlight_topk(
+    index: IndexTables,
+    stored: DataFrame,
+    term: str,
+    k: int = 10,
+    frag_size: int = 120,
+    context: int = 30,
+) -> DataFrame:
+    """Top-k search for ``term`` + snippet -> (docid, score, snippet).
+
+    ``stored`` must carry (docid, text) — the stored-fields source (the
+    pages/documents table itself; see SURVEY §1.1 stored-fields row).
+    """
+    top = search(index, term, k=k)
+    snip = highlight_fragment(
+        F.col("text"), term, frag_size=frag_size, context=context
+    )
+    # broadcast the k-row hit list into the stored-fields scan: the docid
+    # filter reaches the Parquet scan via the broadcast join, so this reads
+    # one page of hits, never the corpus
+    return (
+        stored.select("docid", "text")
+        .join(F.broadcast(top), "docid")
+        .select("docid", "score", snip.alias("snippet"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+    )

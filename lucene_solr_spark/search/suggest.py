@@ -1,0 +1,82 @@
+"""Spellcheck + suggester analogs over the live term dictionary.
+
+DirectSpellChecker (reference:
+``lucene/suggest/src/java/org/apache/lucene/search/spell/DirectSpellChecker.java:40-129``)
+draws candidate corrections from the index's own term dictionary within
+``maxEdits`` of the query term (LevenshteinAutomata intersect) and ranks them
+by similarity then docFreq (``SuggestWordFrequencyComparator.java:28-40``).
+Re-expressed Spark-first: the dictionary IS the ``term_stats()`` frame, the
+automaton intersect becomes a length-window prefilter (|len(t) - len(q)| <=
+maxEdits — the same bound the automaton enforces) plus a JVM-side
+``levenshtein`` filter, and ranking is (distance asc, df desc, term asc).
+No driver materialization: the whole lookup is one Catalyst plan over the
+dictionary, and at 100 TB the dictionary is orders of magnitude smaller than
+postings (distinct terms only), so a columnar scan with the length window
+pushed down is the right shape — exactly why Lucene keeps the FST in RAM.
+
+The suggester mirrors the weight-ordered prefix lookup of AnalyzingSuggester
+(``lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/
+AnalyzingSuggester.java:77-96``: "the weight associated with an input ...
+top N by weight"): prefix filter over the dictionary, ranked by collection
+frequency as the weight, term-asc tie-break.  A ``LIKE 'p%'`` prefix
+predicate pushes down to Parquet min/max stats on a term-sorted dictionary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.builder import IndexTables
+
+
+def spellcheck(
+    index: IndexTables,
+    term: str,
+    max_edits: int = 2,
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-k corrections -> (suggestion, distance, df).
+
+    Ordering: distance asc (closer first), df desc (popular first), then
+    suggestion asc — DirectSpellChecker's comparator chain with the term
+    itself excluded (``DirectSpellChecker.java:425-431`` skips the exact
+    match unless the term is absent from the dictionary).
+    """
+    q = term.lower()
+    return (
+        index.term_stats()
+        .filter(F.col("term") != q)
+        .filter(F.abs(F.length("term") - F.lit(len(q))) <= max_edits)
+        .filter(F.col("df") >= min_df)
+        .withColumn("distance", F.levenshtein(F.col("term"), F.lit(q)))
+        .filter(F.col("distance") <= max_edits)
+        .select(
+            F.col("term").alias("suggestion"),
+            F.col("distance").cast("int").alias("distance"),
+            F.col("df").cast("long").alias("df"),
+        )
+        .orderBy(
+            F.col("distance").asc(),
+            F.col("df").desc(),
+            F.col("suggestion").asc(),
+        )
+        .limit(k)
+    )
+
+
+def suggest_prefix(index: IndexTables, prefix: str, k: int = 10) -> DataFrame:
+    """Top-k completions -> (suggestion, weight): dictionary terms starting
+    with ``prefix``, ranked by collection frequency (the suggester weight),
+    term-asc tie-break."""
+    return (
+        index.term_stats()
+        .filter(F.col("term").startswith(prefix.lower()))
+        .select(
+            F.col("term").alias("suggestion"),
+            F.col("cf").cast("long").alias("weight"),
+        )
+        .orderBy(F.col("weight").desc(), F.col("suggestion").asc())
+        .limit(k)
+    )

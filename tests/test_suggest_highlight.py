@@ -1,0 +1,100 @@
+"""Spellcheck / suggester / highlighter semantics over a tiny corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.builder import build_index
+from lucene_solr_spark.search.highlight import highlight_fragment, highlight_topk
+from lucene_solr_spark.search.suggest import spellcheck, suggest_prefix
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "The merge phase sorts runs. MERGE again merges sorted runs."),
+        (1, "A marge typo and a merge plus mergers here."),
+        (2, "sort scan stream spark small"),
+        (3, "unrelated content entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(
+        spark, docs, key_col="doc_id", docid_col="doc_id",
+        num_index_partitions=2, persist=False,
+    )
+    return idx, docs.select(F.col("doc_id").alias("docid"), "text")
+
+
+def test_spellcheck_ranks_distance_then_df(corpus):
+    idx, _ = corpus
+    out = spellcheck(idx, "merg", max_edits=2, k=10).collect()
+    sugg = [r.suggestion for r in out]
+    # d=1: merge (df 2 outranks all d=2); d=2 ties (df 1) break term-asc
+    assert sugg == ["merge", "here", "marge", "merges"]
+    assert [r.distance for r in out] == [1, 2, 2, 2]
+    # mergers is d=3 -- outside max_edits; the query term itself never appears
+    assert "mergers" not in sugg and "merg" not in sugg
+
+
+def test_spellcheck_excludes_exact_and_respects_max_edits(corpus):
+    idx, _ = corpus
+    out = spellcheck(idx, "merge", max_edits=1, k=10).collect()
+    sugg = [r.suggestion for r in out]
+    assert "merge" not in sugg
+    assert "marge" in sugg  # d=1
+    assert "mergers" not in sugg  # d=2 > max_edits
+
+
+def test_suggest_prefix_weight_order(corpus):
+    idx, _ = corpus
+    out = suggest_prefix(idx, "s", k=10).collect()
+    # all five s-terms appear once each (weight ties) -> term-asc order
+    assert [r.suggestion for r in out] == [
+        "scan", "small", "sort", "sorted", "sorts", "spark", "stream",
+    ]
+    assert all(r.weight == 1 for r in out)
+
+
+def test_suggest_prefix_narrow(corpus):
+    idx, _ = corpus
+    out = suggest_prefix(idx, "sort", k=10).collect()
+    assert [r.suggestion for r in out] == ["sort", "sorted", "sorts"]
+
+
+def test_highlight_wraps_all_in_fragment_occurrences(corpus):
+    idx, stored = corpus
+    out = highlight_topk(idx, stored, "merge", k=5, frag_size=200, context=10)
+    rows = {r.docid: r.snippet for r in out.collect()}
+    assert set(rows) == {0, 1}
+    # doc 0: fragment holds 'merge', 'MERGE' (case-insensitive wrap), but
+    # NOT 'merges'/'mergers' (the (?i)(merge) group wraps the exact token
+    # text inside longer words too -- SimpleHTMLFormatter does the same for
+    # substring matches of the scored token)
+    assert "<em>merge</em> phase" in rows[0]
+    assert "<em>MERGE</em> again" in rows[0]
+    assert "<em>merge</em>s sorted" in rows[0]
+    assert "a <em>merge</em> plus" in rows[1]
+    # marge (d=1 neighbor) is NOT highlighted -- not the query term
+    assert "<em>marge</em>" not in rows[1]
+
+
+def test_highlight_fragment_window(spark, corpus):
+    idx, stored = corpus
+    # tight fragment: starts `context` chars before the first match and
+    # spans frag_size chars
+    out = highlight_topk(idx, stored, "merge", k=5, frag_size=20, context=4)
+    row = {r.docid: r.snippet for r in out.collect()}[0]
+    raw = "The merge phase sorts runs. MERGE again merges sorted runs."
+    first = raw.lower().index("merge")  # 0-based 4
+    expect = raw[first - 4 : first - 4 + 20].replace("merge", "<em>merge</em>")
+    assert row == expect
+
+
+def test_highlight_fragment_expression(spark):
+    df = spark.createDataFrame([("Alpha beta ALPHA alphabet",)], "text string")
+    snip = df.select(
+        highlight_fragment(F.col("text"), "alpha", frag_size=100, context=0)
+        .alias("s")
+    ).collect()[0].s
+    assert snip == "<em>Alpha</em> beta <em>ALPHA</em> <em>alpha</em>bet"
