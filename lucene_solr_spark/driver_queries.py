@@ -1971,6 +1971,47 @@ def suggest_prefix_q(spark, sf_dir):
     return suggest_prefix(get_index(spark, sf_dir), "s", k=10)
 
 
+_ELEVATE_SQL = (
+    PRELUDE
+    + ",\ntopk AS (\n"
+    + bool_sql(must=("table",), k=13, as_cte="topk")
+    + "\n),\n"
+    + """elev(docid, ord) AS (VALUES (3, 1), (7, 2)),
+base AS (
+  SELECT docid, score FROM topk
+  WHERE docid NOT IN (3, 7, 0)
+  ORDER BY score DESC, docid ASC
+  LIMIT 8
+),
+stacked AS (
+  SELECT e.docid, TRUE AS elevated, coalesce(t.score, 0.0) AS score, e.ord
+  FROM elev e LEFT JOIN topk t ON t.docid = e.docid
+  UNION ALL
+  SELECT docid, FALSE AS elevated, score, NULL AS ord FROM base
+)
+SELECT CAST(row_number() OVER (
+         ORDER BY elevated DESC, ord ASC NULLS LAST, score DESC, docid ASC
+       ) AS INT) AS position,
+       docid, elevated, score
+FROM stacked
+ORDER BY position
+LIMIT 10"""
+)
+
+
+@_q("query_elevation", _ELEVATE_SQL)
+def query_elevation(spark, sf_dir):
+    """QueryElevationComponent analog: docids 3, 7 pinned to positions 1-2
+    (organic score if inside the retrieved window, else 0.0), docid 0
+    excluded, rest organic."""
+    from lucene_solr_spark.search.elevate import elevate_topk
+
+    return elevate_topk(
+        get_index(spark, sf_dir), "table",
+        elevated_ids=[3, 7], excluded_ids=[0], k=10,
+    )
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -2025,6 +2066,7 @@ _DEFER_LAST = [
     "highlight_topk",           # term_query (scoring) + stored-fields join; snippet is post-processing
     "spellcheck_term",          # terms_component (dictionary scan) + fuzzy_query (edit-distance machinery)
     "suggest_prefix",           # terms_component (prefix-ordered dictionary scan, cf weight)
+    "query_elevation",          # term_query (organic page) + editorial pin stacking
 ]
 
 

@@ -91,6 +91,34 @@ def test_highlight_fragment_window(spark, corpus):
     assert row == expect
 
 
+def test_query_elevation_pins_excludes_and_carries_scores(corpus):
+    from lucene_solr_spark.search.elevate import elevate_topk
+
+    idx, _ = corpus
+    # organic 'merge' ranking is [0, 1]; elevate 3 (non-matching) and 1
+    # (matching, keeps organic score); exclude 0
+    out = elevate_topk(
+        idx, "merge", elevated_ids=[3, 1], excluded_ids=[0], k=5
+    ).collect()
+    assert [(r.position, r.docid, r.elevated) for r in out] == [
+        (1, 3, True), (2, 1, True),
+    ]
+    assert out[0].score == 0.0  # doc 3 never matches 'merge'
+    assert out[1].score > 0.0  # doc 1's organic score is carried
+
+
+def test_query_elevation_rest_is_organic(corpus):
+    from lucene_solr_spark.search.bm25 import search
+    from lucene_solr_spark.search.elevate import elevate_topk
+
+    idx, _ = corpus
+    organic = [r.docid for r in search(idx, "merge", k=5).collect()]
+    out = elevate_topk(idx, "merge", elevated_ids=[2], k=5).collect()
+    rest = [r.docid for r in out if not r.elevated]
+    assert out[0].docid == 2 and out[0].position == 1
+    assert rest == [d for d in organic if d != 2]
+
+
 def test_highlight_fragment_expression(spark):
     df = spark.createDataFrame([("Alpha beta ALPHA alphabet",)], "text string")
     snip = df.select(
