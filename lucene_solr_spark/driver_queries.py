@@ -2012,6 +2012,54 @@ def query_elevation(spark, sf_dir):
     )
 
 
+_SPAN_NESTED_SQL = f"""{PRELUDE},
+inner_s AS (
+  SELECT p0.docid, p0.pos AS istart, min(p1.pos) + 1 AS iend
+  FROM tok p0 JOIN tok p1 ON p1.docid = p0.docid AND p1.pos >= p0.pos + 1
+  WHERE p0.term = 'table' AND p1.term = 'scan'
+  GROUP BY p0.docid, p0.pos
+  HAVING min(p1.pos) - p0.pos - 1 <= 1
+),
+outer_c AS (
+  SELECT a.docid, a.pos AS astart, i.istart, i.iend,
+         row_number() OVER (PARTITION BY a.docid, a.pos
+                            ORDER BY i.istart, i.iend) AS rn
+  FROM tok a JOIN inner_s i ON i.docid = a.docid AND i.istart >= a.pos + 1
+  WHERE a.term = 'filter'
+),
+sp AS (SELECT docid, istart - astart - 1 AS ml FROM outer_c WHERE rn = 1),
+cnt AS (
+  SELECT docid,
+         sum(CASE WHEN ml = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN ml = 1 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN ml = 2 THEN 1 ELSE 0 END) AS c2
+  FROM sp WHERE ml <= 2 GROUP BY 1
+),
+pm AS (SELECT docid, 0.0 + c0 * 1.0 + c1 * 0.5 + c2 * {1.0 / 3.0!r} AS tf
+       FROM cnt WHERE c0 + c1 + c2 > 0)
+SELECT pm.docid,
+       round(({idf_sql('filter')} + {idf_sql('table')} + {idf_sql('scan')})
+             * 2.2 * pm.tf / (pm.tf + 1.2 * (0.25 + 0.75 * d.dl_approx / st.avgdl)), 4) AS score
+FROM pm JOIN doc d ON d.docid = pm.docid CROSS JOIN stats st
+ORDER BY score DESC, pm.docid ASC LIMIT 10"""
+
+
+@_q("span_near_nested", _SPAN_NESTED_SQL)
+def span_near_nested(spark, sf_dir):
+    """Span-near of span-near (nested ordered span tree,
+    NearSpansOrdered.java over SpanNearQuery clauses): 'filter' followed
+    within slop=2 by the inner span ('table' then 'scan' within slop=1);
+    forward-greedy shortest-match chain, sloppyFreq scoring, idf over the
+    tree's extracted terms."""
+    from lucene_solr_spark.search.bm25 import span_near_nested_topk
+
+    idx = get_index(spark, sf_dir)
+    out = span_near_nested_topk(
+        idx, ["filter", ("near", ["table", "scan"], 1)], slop=2
+    )
+    return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(10)
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -2067,6 +2115,7 @@ _DEFER_LAST = [
     "spellcheck_term",          # terms_component (dictionary scan) + fuzzy_query (edit-distance machinery)
     "suggest_prefix",           # terms_component (prefix-ordered dictionary scan, cf weight)
     "query_elevation",          # term_query (organic page) + editorial pin stacking
+    "span_near_nested",         # span_near_query (nested-tree generalization)
 ]
 
 

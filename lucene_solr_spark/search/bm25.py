@@ -563,6 +563,122 @@ def span_near_topk(
     return _sloppy_span_score(index, spans, all_terms, int(slop), round_dp)
 
 
+def _span_tree_spans(index: IndexTables, clause) -> DataFrame:
+    """Spans frame (docid, dl_approx, _start, _end) — ``_end`` EXCLUSIVE,
+    matching Spans.end() (``NearSpansOrdered.java:241-255`` asserts
+    start < end) — for one node of a span-clause tree:
+
+    * ``str`` — SpanTermQuery: span [p, p+1)
+    * ``list[str]`` — SpanOrQuery over terms: union of the term spans
+    * ``("near", [clauses...], slop)`` — a NESTED ordered SpanNearQuery:
+      its chain spans, already filtered by the inner slop
+    """
+    pos = index.positions
+    if isinstance(clause, str):
+        clause = [clause]
+    if isinstance(clause, list):
+        return pos.filter(F.col("term").isin(clause)).select(
+            "docid", "dl_approx",
+            F.col("pos").alias("_start"),
+            (F.col("pos") + 1).alias("_end"),
+        )
+    if isinstance(clause, tuple) and clause[0] == "near":
+        _, subs, sub_slop = clause
+        spans = _span_chain_ordered(index, subs)
+        return spans.filter(F.col("_ml") <= int(sub_slop)).select(
+            "docid", "dl_approx", "_start", "_end"
+        )
+    raise TypeError(f"span clause: {clause!r}")
+
+
+def _span_chain_ordered(index: IndexTables, clauses: list) -> DataFrame:
+    """Ordered chain over span-clause trees -> one row per anchor
+    (docid, dl_approx, _start, _end, _ml), UNFILTERED by the outer slop.
+
+    Ordering is docSpansOrderedNonOverlap (``NearSpansOrdered.java:251-255``:
+    prev.end <= next.start); ``_ml`` accumulates the non-overlap gaps
+    exactly as shrinkToAfterShortestMatch's matchSlop
+    (``NearSpansOrdered.java:333-336``: only positive start-after-end gaps
+    add slop).  The chain is anchored forward on each first-clause span and
+    greedily takes the (start, end)-minimal next span — the same
+    forward-greedy shortest-match convention as _span_near_spans (the
+    reference shrinks backward from the last clause; both are greedy
+    shortest-match disciplines, ours is the documented engine semantic,
+    differential-tested against a brute-force oracle).
+
+    Shape: per-clause joins are position-list joins co-partitioned on docid;
+    each greedy step is a groupBy over anchor identity — no cross-anchor
+    state, so the chain scales with positions volume like the phrase kernel.
+    """
+    frames = [_span_tree_spans(index, c) for c in clauses]
+    m = frames[0].select(
+        "docid", "dl_approx", "_start", "_end",
+        F.col("_end").alias("_a_e"),
+        F.lit(0).alias("_ml"),
+    )
+    for fr in frames[1:]:
+        nxt = fr.select(
+            F.col("docid").alias("_d"),
+            F.col("_start").alias("_qs"),
+            F.col("_end").alias("_qe"),
+        )
+        joined = m.join(
+            nxt, (m["docid"] == F.col("_d")) & (F.col("_qs") >= m["_end"])
+        )
+        m = (
+            joined.groupBy(
+                "docid", "dl_approx", "_start", "_a_e", "_end", "_ml"
+            )
+            .agg(F.min(F.struct(F.col("_qs"), F.col("_qe"))).alias("_nx"))
+            .withColumn("_ml", F.col("_ml") + (F.col("_nx._qs") - F.col("_end")))
+            .withColumn("_end", F.col("_nx._qe"))
+            .drop("_nx")
+        )
+    return m.drop("_a_e")
+
+
+def _span_tree_terms(clauses: list) -> list[str]:
+    """extractTerms over a span-clause tree (SpanWeight collects into a
+    set): every term mentioned, deduped in first-seen order."""
+    out: list[str] = []
+    for c in clauses:
+        if isinstance(c, str):
+            out.append(c)
+        elif isinstance(c, list):
+            out.extend(c)
+        elif isinstance(c, tuple) and c[0] == "near":
+            out.extend(_span_tree_terms(c[1]))
+        else:
+            raise TypeError(f"span clause: {c!r}")
+    return list(dict.fromkeys(out))
+
+
+def span_near_nested_topk(
+    index: IndexTables,
+    clauses: list,
+    slop: int = 0,
+    round_dp: int = 4,
+) -> DataFrame:
+    """SpanNearQuery over a NESTED ordered span tree — span-near of
+    span-near (``SpanNearQuery.java`` accepts arbitrary SpanQuery clauses;
+    ``NearSpansOrdered.java`` iterates their span extents).  Clauses are
+    term | list-of-terms (span-or) | ("near", [clauses...], inner_slop)
+    tuples, e.g. ``["filter", ("near", ["table", "scan"], 1)]``.
+
+    Only ordered nesting is supported (unordered nested spans would need
+    extent tracking the anchor-form unordered kernel does not keep — same
+    boundary as span_not's include clause).  Scoring is the sloppyFreq sum
+    with idf over extractTerms of the WHOLE tree."""
+    if index.positions is None:
+        raise ValueError("index built without positions")
+    if len(clauses) < 2:
+        raise ValueError("span_near needs >= 2 clauses")
+    spans = _span_chain_ordered(index, clauses)
+    return _sloppy_span_score(
+        index, spans, _span_tree_terms(clauses), int(slop), round_dp
+    )
+
+
 def span_or_topk(
     index: IndexTables, terms: list[str], round_dp: int = 4
 ) -> DataFrame:
