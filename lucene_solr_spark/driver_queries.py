@@ -422,11 +422,15 @@ qterms AS (
   ORDER BY f.tf * ln(1.0 + (st.n - s.df + 0.5) / (s.df + 0.5)) DESC, f.term ASC
   LIMIT 3
 )
-SELECT f.docid, round(sum({score_cols_sql()}), 4) AS score
-{scored_from()}
-WHERE f.term IN (SELECT term FROM qterms) AND f.docid <> 0
-GROUP BY f.docid
-ORDER BY score DESC, f.docid ASC LIMIT 10"""
+SELECT docid,
+       round(list_reduce(list(s ORDER BY term), (a, b) -> a + b), 4) AS score
+FROM (
+  SELECT f.docid, f.term, {score_cols_sql()} AS s
+  {scored_from()}
+  WHERE f.term IN (SELECT term FROM qterms) AND f.docid <> 0
+)
+GROUP BY docid
+ORDER BY score DESC, docid ASC LIMIT 10"""
 
 
 @_q("more_like_this", _MLT_SQL)

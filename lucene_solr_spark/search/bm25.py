@@ -150,7 +150,7 @@ def _expand_terms(
 
 
 def _boolean_topk(
-    index: IndexTables, q: BooleanQuery, k: int, round_dp: int, after=None
+    index: IndexTables, q: BooleanQuery, k: int, round_dp: int
 ) -> DataFrame:
     must = [t.term for t in q.must]
     should = [t.term for t in q.should]
@@ -212,20 +212,31 @@ def _phrase_topk(index: IndexTables, q: PhraseQuery, round_dp: int) -> DataFrame
             (m["docid"] == pi["_d"]) & (F.col("p0") == F.col("p0_i")),
         ).drop("_d", "p0_i")
     hits = m.groupBy("docid", "dl_approx").agg(F.count(F.lit(1)).alias("tf"))
+    return _idf_sum_bm25_topk(index, hits, list(q.terms), round_dp)
 
-    # phrase df over matching docs; idf sum over constituent terms
-    stats = {
-        r.term: r.df
-        for r in index.term_stats()
-        .filter(F.col("term").isin(list(q.terms)))
-        .collect()
-    }
+
+def _idf_sum_bm25_topk(
+    index: IndexTables,
+    hits: DataFrame,
+    terms: list[str],
+    round_dp: int,
+) -> DataFrame:
+    """Shared phrase/span scoring tail: BM25 over a (docid, dl_approx, tf)
+    hits frame with ONE similarity whose idf sums over the constituent
+    ``terms`` (BM25Similarity idfExplain over TermStatistics[]; SpanWeight
+    builds the same single-similarity over extractTerms).  The score
+    expression text is determinism-critical — every phrase/span scorer and
+    their SQL oracles must evaluate the identical float64 operation order."""
     import math
 
+    stats = {
+        r.term: r.df
+        for r in index.term_stats().filter(F.col("term").isin(list(terms))).collect()
+    }
     n = index.max_doc
     idf_sum = sum(
         math.log(1.0 + (n - stats.get(t, 0) + 0.5) / (stats.get(t, 0) + 0.5))
-        for t in q.terms
+        for t in terms
     )
     score = (
         F.lit(idf_sum) * 2.2 * F.col("tf")
@@ -288,25 +299,7 @@ def _sloppy_phrase_topk(index: IndexTables, q: PhraseQuery, round_dp: int) -> Da
     for mv in range(slop + 1):  # fixed-order float64 assembly
         tf = tf + F.col(f"_c{mv}") * F.lit(1.0 / (1 + mv))
     hits = counts.withColumn("tf", tf).filter(F.col("tf") > 0)
-
-    stats = {
-        r.term: r.df
-        for r in index.term_stats()
-        .filter(F.col("term").isin(list(q.terms)))
-        .collect()
-    }
-    import math
-
-    n = index.max_doc
-    idf_sum = sum(
-        math.log(1.0 + (n - stats.get(t, 0) + 0.5) / (stats.get(t, 0) + 0.5))
-        for t in q.terms
-    )
-    score = (
-        F.lit(idf_sum) * 2.2 * F.col("tf")
-        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl_approx") / F.lit(index.avgdl)))
-    )
-    return hits.select("docid", F.round(score, round_dp).alias("score"))
+    return _idf_sum_bm25_topk(index, hits, list(q.terms), round_dp)
 
 
 def lucene_sloppy_freq(pos_lists: list, slop: int) -> float:
@@ -402,23 +395,7 @@ def sloppy_phrase_lucene_topk(
 
     arrs = F.array(*[F.col(f"_t{i}") for i in range(len(terms))])
     hits = piv.withColumn("tf", _freq(arrs)).filter(F.col("tf") > 0)
-
-    stats = {
-        r.term: r.df
-        for r in index.term_stats().filter(F.col("term").isin(terms)).collect()
-    }
-    import math
-
-    n = index.max_doc
-    idf_sum = sum(
-        math.log(1.0 + (n - stats.get(t, 0) + 0.5) / (stats.get(t, 0) + 0.5))
-        for t in terms
-    )
-    score = (
-        F.lit(idf_sum) * 2.2 * F.col("tf")
-        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl_approx") / F.lit(index.avgdl)))
-    )
-    return hits.select("docid", F.round(score, round_dp).alias("score"))
+    return _idf_sum_bm25_topk(index, hits, terms, round_dp)
 
 
 def _sloppy_dispatch(
@@ -518,23 +495,7 @@ def _sloppy_span_score(
     for mv in range(slop + 1):
         tf = tf + F.col(f"_c{mv}") * F.lit(1.0 / (1 + mv))
     hits = counts.withColumn("tf", tf).filter(F.col("tf") > 0)
-
-    stats = {
-        r.term: r.df
-        for r in index.term_stats().filter(F.col("term").isin(list(terms))).collect()
-    }
-    import math
-
-    n = index.max_doc
-    idf_sum = sum(
-        math.log(1.0 + (n - stats.get(t, 0) + 0.5) / (stats.get(t, 0) + 0.5))
-        for t in terms
-    )
-    score = (
-        F.lit(idf_sum) * 2.2 * F.col("tf")
-        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl_approx") / F.lit(index.avgdl)))
-    )
-    return hits.select("docid", F.round(score, round_dp).alias("score"))
+    return _idf_sum_bm25_topk(index, hits, list(terms), round_dp)
 
 
 def span_near_topk(
@@ -693,24 +654,12 @@ def span_or_topk(
     if not terms:
         raise ValueError("span_or needs >= 1 clause")
     p = index.postings.filter(F.col("term").isin(list(terms)))
-    hits = p.groupBy("docid", "dl_approx").agg(F.sum("tf").alias("tf"))
-
-    stats = {
-        r.term: r.df
-        for r in index.term_stats().filter(F.col("term").isin(list(terms))).collect()
-    }
-    import math
-
-    n = index.max_doc
-    idf_sum = sum(
-        math.log(1.0 + (n - stats.get(t, 0) + 0.5) / (stats.get(t, 0) + 0.5))
-        for t in terms
+    # tf here is an INTEGER sum (per-term tf counts), so the aggregate is
+    # order-exact — no fixed-order float concern
+    hits = p.groupBy("docid", "dl_approx").agg(
+        F.sum("tf").cast("double").alias("tf")
     )
-    score = (
-        F.lit(idf_sum) * 2.2 * F.col("tf")
-        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl_approx") / F.lit(index.avgdl)))
-    )
-    return hits.select("docid", F.round(score, round_dp).alias("score"))
+    return _idf_sum_bm25_topk(index, hits, list(terms), round_dp)
 
 
 def span_not_topk(
@@ -770,15 +719,23 @@ def to_parent_block_join(
     ``scored_children`` is any (.., <parent_col>, score) DataFrame — e.g. a
     child-table query's output; Lucene's doc-block adjacency becomes a plain
     keyed aggregation (the parent key IS the block identity here)."""
-    agg = {
-        "max": F.max("score"),
-        "total": F.sum("score"),
-        "avg": F.avg("score"),
+    # 'total'/'avg' fold the child scores in VALUE-sorted order rather than
+    # a float SUM/AVG aggregate: sorted addends are a canonical order (tied
+    # doubles commute exactly), so the rounded score is run- and
+    # engine-deterministic per the module contract
+    g = scored_children.groupBy(parent_col).agg(
+        F.max("score").alias("_mx"),
+        F.array_sort(F.collect_list("score")).alias("_ss"),
+    )
+    total = F.aggregate("_ss", F.lit(0.0), lambda a, x: a + x)
+    expr = {
+        "max": F.col("_mx"),
+        "total": total,
+        "avg": total / F.size("_ss"),
         "none": F.lit(1.0),
     }[score_mode]
     return (
-        scored_children.groupBy(parent_col)
-        .agg(F.round(agg, round_dp).alias("score"))
+        g.select(parent_col, F.round(expr, round_dp).alias("score"))
         .orderBy(F.col("score").desc(), F.col(parent_col).asc())
     )
 
@@ -911,8 +868,11 @@ def search_parsed(
 
     parsed = parse_query(query_string, default_op=default_op)
     if not isinstance(parsed, CompositeQuery):
+        # empty and must_not-only queries are MatchNoDocs (BooleanWeight
+        # needs >= 1 positive clause) — same rule as the composite path and
+        # fields.search_parsed_fields
         if isinstance(parsed, BooleanQuery) and not (
-            parsed.must or parsed.should or parsed.must_not
+            parsed.must or parsed.should
         ):
             return index.postings.sparkSession.createDataFrame(
                 [], "docid long, score double"
@@ -1073,10 +1033,21 @@ def more_like_this(
     if not terms:
         return index.postings.sparkSession.createDataFrame([], "docid long, score double")
     scored = term_scores(index, terms)
+    # fixed-order addition (module contract): fold the per-term scores in
+    # term-asc order instead of a float SUM aggregate, whose accumulation
+    # order is nondeterministic and can flip round(score, dp) at a rounding
+    # boundary between runs/engines
     out = (
         scored.filter(F.col("docid") != docid)
         .groupBy("docid")
-        .agg(F.round(F.sum("score"), round_dp).alias("score"))
+        .agg(F.array_sort(F.collect_list(F.struct("term", "score"))).alias("_ts"))
+        .select(
+            "docid",
+            F.round(
+                F.aggregate("_ts", F.lit(0.0), lambda a, x: a + x["score"]),
+                round_dp,
+            ).alias("score"),
+        )
     )
     return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
 

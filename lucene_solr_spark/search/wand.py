@@ -125,6 +125,24 @@ class _TermCursor:
         return self.idf22 * self.block_max[self.blk] * self.boost
 
 
+def _excl_window_docids(c: _TermCursor, lo: int, hi: int) -> list[np.ndarray]:
+    """All docids of an exclusion cursor within [lo, hi] — may span several
+    blocks, because the scoring window is sized by the SCORING cursors'
+    blocks only."""
+    out: list[np.ndarray] = []
+    pos = lo
+    while pos <= hi and c.advance(pos):
+        d, _, _ = c._block(c.blk)
+        i0, i1 = np.searchsorted(d, [pos, hi + 1])
+        if i0 < i1:
+            out.append(d[i0:i1])
+        blk_end = int(c.block_last[c.blk])
+        if blk_end >= hi:
+            break
+        pos = blk_end + 1
+    return out
+
+
 def _partition_topk(
     pdf: pd.DataFrame,
     term_order: list[str],
@@ -134,8 +152,15 @@ def _partition_topk(
     k: int,
     avgdl: float,
     round_dp: int,
+    excl_terms: list[str] = (),
 ) -> pd.DataFrame:
-    """Block-max WAND over one index partition; returns its top-k rows."""
+    """Block-max WAND over one index partition; returns its top-k rows.
+
+    ``excl_terms`` (MUST_NOT) are excluded INSIDE the candidate loop — the
+    ReqExclScorer discipline (ReqExclScorer.java:56-92 advances the exclusion
+    iterator alongside the required one) — so excluded docs never occupy
+    heap slots and cannot displace qualifying docs from the partition's
+    top-k."""
     rows = {r["term"]: r for _, r in pdf.iterrows()}
     cursors: list[_TermCursor] = []
     for t in term_order:
@@ -146,6 +171,11 @@ def _partition_topk(
             return pd.DataFrame({"docid": [], "score": []}).astype(
                 {"docid": "int64", "score": "float64"}
             )
+    excl_cursors = [
+        _TermCursor(rows[t], 0.0, 1.0, False, avgdl)
+        for t in excl_terms
+        if t in rows
+    ]
     must = [c for c in cursors if c.is_must]
     should = [c for c in cursors if not c.is_must]
     if not cursors or (n_must == 0 and len(should) < max(mm, 1)):
@@ -209,6 +239,14 @@ def _partition_topk(
             ok &= should_hits >= mm
         if not must:
             ok &= should_hits > 0
+        if excl_cursors:
+            excl_parts = [
+                arr
+                for c in excl_cursors
+                for arr in _excl_window_docids(c, cur, window_end)
+            ]
+            if excl_parts:
+                ok &= ~np.isin(all_docs, np.concatenate(excl_parts))
         # Round BEFORE heap insertion: the Catalyst path orders by
         # round(score, dp) with docid-asc tie-break, so heap eviction at the
         # kth boundary must compare rounded scores too — two raw scores in
@@ -276,12 +314,21 @@ def wand_search(
     n_must = len(must)
     mm = query.minimum_should_match
 
+    excl_terms = list(dict.fromkeys(t.term for t in query.must_not))
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         return _partition_topk(
-            pdf, term_order, term_meta, n_must, mm, k, avgdl, round_dp
+            pdf, term_order, term_meta, n_must, mm, k, avgdl, round_dp,
+            excl_terms,
         )
 
-    seg = get_compressed(index).filter(F.col("term").isin(term_order))
+    # MUST_NOT terms' postings ride the same per-partition groups (a doc's
+    # postings for every term live in its own partition/gen), so exclusion
+    # happens inside the kernel BEFORE heap insertion — excluded docs must
+    # not displace qualifying docs from a partition's top-k.
+    seg = get_compressed(index).filter(
+        F.col("term").isin(term_order + excl_terms)
+    )
     # Streaming stores carry a generation column (one flush = one segment
     # generation, Lucene's DWPT-flush analog); docid ranges are disjoint
     # across generations, so running the kernel per (partition, gen) and
@@ -290,13 +337,4 @@ def wand_search(
     out = seg.groupBy(*group_cols).applyInPandas(
         kernel, "docid long, score double"
     )
-    if query.must_not:
-        excl = (
-            index.postings.filter(
-                F.col("term").isin([t.term for t in query.must_not])
-            )
-            .select("docid")
-            .distinct()
-        )
-        out = out.join(excl, "docid", "left_anti")
     return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)

@@ -441,44 +441,59 @@ def build_multifield_store(
     ``schema.json`` manifest.  Idempotent per field: a field whose snapshot
     is already committed is skipped on re-run (same resumability contract as
     the partition-batched pages build)."""
-    from lucene_solr_spark.index.fields import MultiFieldIndex, build_multifield_index
+    from lucene_solr_spark.index.fields import build_multifield_index
 
-    mfi = build_multifield_index(
-        spark,
-        source,
-        key_col=key_col,
-        field_exprs=field_exprs,
-        default_field=default_field,
-        docid_col=docid_col,
-        num_index_partitions=num_index_partitions,
-        persist=True,
-        build_positions=build_positions,
-    )
-    for fname, idx in mfi.fields.items():
-        froot = os.path.join(root, "fields", fname)
-        store = IndexStore(froot)
-        if store.head() is not None:
-            continue
-        _write_partitioned(idx.docs, store.docs_path)
-        _write_partitioned(
-            build_compressed_segments(idx, persist=False), store.segments_path
+    # Resume check FIRST: a committed field is never re-built (the eager
+    # per-field build_index pass is the expensive part), and only pending
+    # fields' caches are ever created — so a fully-committed store is a
+    # metadata-only no-op with nothing to leak.
+    pending = {
+        fname: expr
+        for fname, expr in field_exprs.items()
+        if IndexStore(os.path.join(root, "fields", fname)).head() is None
+    }
+    if pending:
+        mfi = build_multifield_index(
+            spark,
+            source,
+            key_col=key_col,
+            field_exprs=pending,
+            # temp default for the in-memory build only; the manifest below
+            # records the caller's real default_field
+            default_field=next(iter(pending)),
+            docid_col=docid_col,
+            num_index_partitions=num_index_partitions,
+            persist=True,
+            build_positions=build_positions,
         )
-        if idx.positions is not None:
-            _write_partitioned(
-                compress_positions(idx.positions_grouped or idx.positions),
-                store.positions_path,
-            )
-        store.commit(
-            Snapshot(
-                snapshot_id=1,
-                parent_id=None,
-                committed_partitions=list(range(num_index_partitions)),
-                num_index_partitions=num_index_partitions,
-                max_doc=idx.max_doc,
-                sum_total_term_freq=idx.sum_total_term_freq,
-            )
-        )
-        idx.unpersist()
+        for fname, idx in mfi.fields.items():
+            try:
+                froot = os.path.join(root, "fields", fname)
+                store = IndexStore(froot)
+                _write_partitioned(idx.docs, store.docs_path)
+                _write_partitioned(
+                    build_compressed_segments(idx, persist=False),
+                    store.segments_path,
+                )
+                if idx.positions is not None:
+                    _write_partitioned(
+                        compress_positions(
+                            idx.positions_grouped or idx.positions
+                        ),
+                        store.positions_path,
+                    )
+                store.commit(
+                    Snapshot(
+                        snapshot_id=1,
+                        parent_id=None,
+                        committed_partitions=list(range(num_index_partitions)),
+                        num_index_partitions=num_index_partitions,
+                        max_doc=idx.max_doc,
+                        sum_total_term_freq=idx.sum_total_term_freq,
+                    )
+                )
+            finally:
+                idx.unpersist()
     manifest = {"fields": sorted(field_exprs), "default_field": default_field}
     tmp = os.path.join(root, "schema.json.tmp")
     with open(tmp, "w") as f:
@@ -486,7 +501,6 @@ def build_multifield_store(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(root, "schema.json"))
-    return mfi
 
 
 def load_multifield_index(spark: SparkSession, root: str, apply_deletes: bool = True):

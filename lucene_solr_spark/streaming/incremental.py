@@ -80,7 +80,15 @@ class StreamingIndexer:
         bases = {int(k): int(v) for k, v in (snap.doc_bases or {}).items()} if snap else {}
 
         pid = (portable_url_hash(F.col("url")) % self.P).cast("int")
-        w = Window.partitionBy("index_partition").orderBy("url")
+        # the local-ordinal sort key must be TOTAL: with a bare orderBy(url),
+        # a re-crawled url appearing twice in one micro-batch gets its
+        # row_number tie broken arbitrarily, and any recomputation of this
+        # frame (uncached action, cache eviction) could swap the two docids
+        # between the docs/segments/positions writes — content-hash tiebreak
+        # makes every recomputation assign identically
+        w = Window.partitionBy("index_partition").orderBy(
+            "url", F.md5(F.col("html")), "lang"
+        )
         base_expr = F.lit(0)
         for p, b in bases.items():
             base_expr = F.when(F.col("index_partition") == p, F.lit(b)).otherwise(base_expr)
@@ -98,6 +106,10 @@ class StreamingIndexer:
             .withColumn("extracted", extract_text_expr(F.col("html")))
             .select("docid", "url", "extracted", "lang", "index_partition")
         )
+        # persist=True: the micro-batch feeds 3 writes + a stats collect —
+        # without the build cache each action would re-run the tokenizer
+        # pass (the batch path's 'read 3-4 times' rationale applies per
+        # batch here); released in the finally below
         idx = build_index(
             spark,
             assigned,
@@ -106,9 +118,18 @@ class StreamingIndexer:
             docid_col="docid",
             num_index_partitions=self.P,
             passthrough_cols=("lang",),
-            persist=False,
+            persist=True,
             build_positions=self.build_positions,
         )
+        try:
+            return self._write_generation(idx, batch_id, snap, bases)
+        finally:
+            idx.unpersist()
+
+    def _write_generation(
+        self, idx, batch_id: int, snap: Snapshot | None, bases: dict
+    ) -> Snapshot | None:
+        spark = self.spark
         if idx.max_doc == 0:
             return snap
 
@@ -439,6 +460,9 @@ def maintain_store(
     smallest-N (a simplification of Lucene's skew-scored candidate windows,
     TieredMergePolicy.java:336-398 score()); each pass is the crash-safe
     tiered merge in compact_store."""
+    if max_merge_at_once < 2:
+        # _compact_tiered is a no-op below 2 — the loop would spin forever
+        raise ValueError(f"max_merge_at_once must be >= 2, got {max_merge_at_once}")
     store = IndexStore(root)
     snap = store.head()
     if snap is None:

@@ -209,6 +209,32 @@ def test_wand_matches_catalyst(index, name, spec):
         assert got == expected, f"{name} k={k}: {got} != {expected}"
 
 
+def test_wand_must_not_does_not_displace(spark):
+    """Excluded docs must not occupy per-partition heap slots: every top
+    scorer for 'alpha' also matches the excluded term, so post-hoc anti-join
+    of the partition top-k (the old implementation) would drop the whole
+    page instead of returning the next-best clean docs."""
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search import BooleanQuery, search
+    from lucene_solr_spark.search.wand import wand_search
+
+    rows = [
+        (i, "alpha alpha alpha bad") for i in range(10)  # high tf + excluded
+    ] + [
+        (i, "alpha filler words here padding") for i in range(10, 20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(
+        spark, docs, key_col="doc_id", docid_col="doc_id",
+        num_index_partitions=2, persist=False,
+    )
+    q = BooleanQuery.of(must=["alpha"], must_not=["bad"])
+    for k in (3, 5, 10):
+        expected = [(r.docid, r.score) for r in search(idx, q, k=k).collect()]
+        got = [(r.docid, r.score) for r in wand_search(idx, q, k=k).collect()]
+        assert got == expected and len(got) == min(k, 10)
+
+
 def test_wand_with_boost(index):
     from lucene_solr_spark.search import BooleanQuery, TermQuery, search
     from lucene_solr_spark.search.wand import wand_search
