@@ -38,7 +38,8 @@ restricted to the corpus alphabet):
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import Column
@@ -214,6 +215,11 @@ def analyze_series(texts: pd.Series) -> pd.Series:
     return texts.map(analyze_text)
 
 
+@lru_cache(maxsize=32)
+def _compiled_pattern(pattern: str) -> re.Pattern:
+    return re.compile(pattern)
+
+
 @dataclass(frozen=True)
 class StandardAnalyzer:
     """Pluggable analyzer descriptor (TokenFilterFactory-registry analog,
@@ -224,7 +230,6 @@ class StandardAnalyzer:
     stopwords: tuple[str, ...] = ENGLISH_STOP_WORDS
     max_token_length: int = MAX_TOKEN_LENGTH
     lowercase: bool = True
-    _compiled: re.Pattern = field(init=False, repr=False, compare=False, default=None)
 
     def tokens_col(self, text: Column) -> Column:
         toks = F.regexp_extract_all(text, F.lit(self.pattern), 0)
@@ -238,7 +243,7 @@ class StandardAnalyzer:
     def analyze(self, text: str | None) -> list[str]:
         if not text:
             return []
-        rx = re.compile(self.pattern)
+        rx = _compiled_pattern(self.pattern)
         stop = frozenset(self.stopwords)
         out = []
         for t in rx.findall(text):

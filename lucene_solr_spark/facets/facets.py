@@ -46,7 +46,8 @@ def facet_field(
     docs with a NULL field value — as a final row with NULL facet_term,
     after the limited term list (SimpleFacets.java:516 missing handling)."""
     col = F.explode(field) if multivalued else F.col(field)
-    base = results.select(col.alias("facet_term"))
+    base_all = results.select(col.alias("facet_term"))
+    base = base_all
     if prefix:
         base = base.where(F.col("facet_term").startswith(prefix))
     counts = (
@@ -63,8 +64,15 @@ def facet_field(
     if offset:
         out = out.offset(offset)
     if missing:
-        miss = base.where(F.col("facet_term").isNull()).agg(
-            F.lit(None).cast("string").alias("facet_term"),
+        # facet.missing counts NULL-valued docs REGARDLESS of facet.prefix
+        # (SimpleFacets.java:516 — the missing count is computed before
+        # prefix filtering; startswith(NULL) would also silently drop every
+        # NULL row), and the NULL literal takes the field's own type so the
+        # union never coerces the term column
+        miss = base_all.where(F.col("facet_term").isNull()).agg(
+            F.lit(None)
+            .cast(base_all.schema["facet_term"].dataType)
+            .alias("facet_term"),
             F.count(F.lit(1)).alias("facet_count"),
         )
         out = out.unionAll(miss)
@@ -97,7 +105,6 @@ def facet_range(
     start: float,
     end: float,
     gap: float,
-    include_outer: bool = False,
 ) -> DataFrame:
     """facet.range: fixed-gap buckets [start+i*gap, start+(i+1)*gap).
     Returns (bucket_start, facet_count), index-ordered."""
@@ -148,7 +155,14 @@ def facet_range_extended(
         bucket_i = F.floor((c - F.lit(start)) / F.lit(gap))
     if not hardend:
         bucket_i = F.least(bucket_i, F.lit(n_buckets - 1))
-    bucket = (bucket_i * F.lit(gap) + F.lit(start)).cast("long").cast("string")
+    bucket_val = bucket_i * F.lit(gap) + F.lit(start)
+    # integral start/gap render as integers; fractional grids keep the
+    # double rendering (a blanket long-cast would merge bucket starts 0.0
+    # and 0.5 into one '0' bucket)
+    if float(gap).is_integer() and float(start).is_integer():
+        bucket = bucket_val.cast("long").cast("string")
+    else:
+        bucket = bucket_val.cast("double").cast("string")
     out = (
         in_range.select(bucket.alias("bucket"))
         .groupBy("bucket")

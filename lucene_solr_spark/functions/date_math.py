@@ -91,8 +91,7 @@ def parse_date_math(expr: str, now_epoch_ms: int) -> int:
         dt0 = datetime.strptime(iso, fmt).replace(tzinfo=timezone.utc)
         anchor_ms, rest = int(dt0.timestamp() * 1000), expr[m.end():]
 
-    dt = datetime.fromtimestamp(anchor_ms / 1000.0, tz=timezone.utc)
-    # re-anchor exactly (fromtimestamp float wobble): rebuild from int ms
+    # anchor exactly from int ms (a float fromtimestamp would wobble)
     dt = datetime.fromtimestamp(anchor_ms // 1000, tz=timezone.utc).replace(
         microsecond=(anchor_ms % 1000) * 1000
     )

@@ -180,8 +180,12 @@ class _Parser:
 
 
 def _to_ms(c: Column) -> Column:
-    """Timestamp column -> epoch milliseconds (ms() operates on date fields)."""
-    return (F.unix_timestamp(c) * 1000).cast("long")
+    """Timestamp column -> epoch milliseconds (ms() operates on date fields).
+
+    unix_millis keeps sub-second precision (unix_timestamp truncates to
+    whole seconds); the timestamp cast lifts TIMESTAMP_NTZ inputs (identity
+    under the session's UTC timezone) since unix_millis rejects NTZ."""
+    return F.unix_millis(c.cast("timestamp"))
 
 
 def parse_function_query(text: str, now_epoch_ms: int | None = None) -> Column:

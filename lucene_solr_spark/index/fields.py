@@ -127,6 +127,26 @@ def _clause_frames(
     return frames, [f"_c{ci}" for ci in range(len(clauses))]
 
 
+def _dedup_field_clauses(
+    mfi: MultiFieldIndex, must: tuple, should: tuple
+) -> tuple[list[TermQuery], list[bool]]:
+    """Dedup clauses on (field, term) with bm25._boolean_topk's rules: one
+    scoring contribution per distinct term (required if ANY occurrence is
+    MUST; last occurrence's boost wins, matching the bm25 boosts dict)."""
+    order: list[tuple[str, str]] = []
+    info: dict[tuple[str, str], list] = {}
+    n_must = len(must)
+    for i, t in enumerate((*must, *should)):
+        key = (t.field or mfi.default_field, t.term)
+        if key not in info:
+            order.append(key)
+            info[key] = [t, i < n_must]
+        else:
+            info[key][0] = t
+            info[key][1] = info[key][1] or (i < n_must)
+    return [info[k][0] for k in order], [info[k][1] for k in order]
+
+
 def search_fields(
     mfi: MultiFieldIndex,
     q: BooleanQuery,
@@ -134,12 +154,12 @@ def search_fields(
     round_dp: int = 4,
 ) -> DataFrame:
     """Field-aware boolean top-k: TermQuery clauses may carry ``field`` tags;
-    scoring/filter semantics are bm25._boolean_topk's (fixed-order addition,
-    MUST/mm/MUST_NOT on the composed set, round-then-order, docid ties)."""
-    clauses = [*q.must, *q.should]
-    if not clauses:
+    scoring/filter semantics are bm25._boolean_topk's (per-(field,term)
+    dedup, fixed-order addition, MUST/mm/MUST_NOT on the composed set,
+    round-then-order, docid ties)."""
+    if not (q.must or q.should):
         raise ValueError("BooleanQuery needs at least one scoring clause")
-    n_must = len(q.must)
+    clauses, required = _dedup_field_clauses(mfi, q.must, q.should)
     frames, cols = _clause_frames(mfi, clauses)
     acc = frames[0]
     for fr in frames[1:]:
@@ -153,11 +173,12 @@ def search_fields(
         score = score + c
     out = acc.withColumn("score", score)
 
-    for ci in range(n_must):
-        out = out.filter(F.col(cols[ci]).isNotNull())
-    should_cols = cols[n_must:]
+    for ci, req in enumerate(required):
+        if req:
+            out = out.filter(F.col(cols[ci]).isNotNull())
+    should_cols = [cols[ci] for ci, req in enumerate(required) if not req]
     mm = q.minimum_should_match
-    if n_must == 0:
+    if not any(required):
         mm = max(mm, 1)
     if should_cols and mm > 0:
         matched = sum((F.col(c).isNotNull()).cast("int") for c in should_cols)
@@ -405,15 +426,14 @@ def search_parsed_fields(
         raise TypeError(type(q))
 
     b = parsed.boolean
-    clauses = [*b.must, *b.should]
-    n_must = len(b.must)
+    clauses, required = _dedup_field_clauses(mfi, b.must, b.should)
     frames: list[DataFrame] = []
     contribs: list[tuple[str, bool, float]] = []  # (col, required, boost)
     if clauses:
         cl_frames, cols = _clause_frames(mfi, clauses)
         frames.extend(cl_frames)
         for ci, t in enumerate(clauses):
-            contribs.append((cols[ci], ci < n_must, t.boost))
+            contribs.append((cols[ci], required[ci], t.boost))
     specials = [(q, True) for q in parsed.must_specials] + [
         (q, False) for q in parsed.should_specials
     ]

@@ -35,27 +35,25 @@ def elevate_topk(
 ) -> DataFrame:
     """Top-k page with elevation -> (position, docid, elevated, score).
 
-    Elevated docs occupy positions 1..len(elevated) in configured order with
-    their organic score when they match the query else 0.0 (the component
-    reports elevated non-matches without a score); the rest of the page is
-    the organic ranking minus elevated/excluded ids.
+    Elevated docs occupy positions 1..len(elevated) in configured order,
+    carrying their organic score when they rank inside the retrieved
+    k+len(elevated)+len(excluded) window and 0.0 otherwise (the component
+    reports elevated entries outside the collected page without a score);
+    the rest of the page is the organic ranking minus elevated/excluded ids.
     """
     spark = index.docs.sparkSession
     drop = [int(d) for d in (*elevated_ids, *excluded_ids)]
+    organic = search(index, query, k=k + len(drop))
     base = (
-        search(index, query, k=k + len(drop))
-        .filter(~F.col("docid").isin(drop))
+        organic.filter(~F.col("docid").isin(drop))
         .limit(max(k - len(elevated_ids), 0))
     )
     elev = spark.createDataFrame(
         [(int(d), i + 1) for i, d in enumerate(elevated_ids)],
         "docid long, _ord int",
     )
-    organic = search(index, query, k=k + len(drop)).withColumnRenamed(
-        "score", "_oscore"
-    )
     elev_scored = (
-        elev.join(organic, "docid", "left")
+        elev.join(organic.withColumnRenamed("score", "_oscore"), "docid", "left")
         .select(
             "docid",
             F.lit(True).alias("elevated"),

@@ -67,6 +67,10 @@ def highlight_topk(
     ``stored`` must carry (docid, text) — the stored-fields source (the
     pages/documents table itself; see SURVEY §1.1 stored-fields row).
     """
+    # fold case like the query analyzer would — the term dictionary only
+    # holds lowercased terms, so a capitalized user term must not turn the
+    # MUST clause into a miss while the fragmenter still matches
+    term = term.lower()
     top = search(index, term, k=k)
     snip = highlight_fragment(
         F.col("text"), term, frag_size=frag_size, context=context

@@ -39,9 +39,9 @@ from lucene_solr_spark.search.query import (
 _TOKEN_RE = re.compile(
     r"""
     \s*(?:
-        (?P<phrase>(?:(?P<phf>[A-Za-z_][A-Za-z0-9_]*):)?
+        (?P<phrase>(?P<psign>[+-])?(?:(?P<phf>[A-Za-z_][A-Za-z0-9_]*):)?
                    "(?P<ph>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?)
-      | (?P<range>(?:(?P<rgf>[A-Za-z_][A-Za-z0-9_]*):)?
+      | (?P<range>(?P<rsign>[+-])?(?:(?P<rgf>[A-Za-z_][A-Za-z0-9_]*):)?
                   \[\s*(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\s*\])
       | (?P<and>AND\b)
       | (?P<or>OR\b)
@@ -50,6 +50,15 @@ _TOKEN_RE = re.compile(
     )""",
     re.VERBOSE,
 )
+
+
+def _sign_bucket(sign: str | None, bucket: str | None) -> str | None:
+    """A +/- prefix overrides the pending-NOT bucket, same as on terms."""
+    if sign == "-":
+        return "not"
+    if sign == "+":
+        return "must"
+    return bucket
 
 _BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
 _FUZZY_RE = re.compile(r"~(\d?)$")
@@ -84,6 +93,7 @@ def parse_query(q: str, default_op: str = "OR"):
         pending_not = False
 
         if mt.group("phrase") is not None:
+            bucket = _sign_bucket(mt.group("psign"), bucket)
             terms = analyze_text(mt.group("ph"))
             if terms:
                 slop = int(mt.group("slop") or 0)
@@ -103,6 +113,7 @@ def parse_query(q: str, default_op: str = "OR"):
             continue
 
         if mt.group("range") is not None:
+            bucket = _sign_bucket(mt.group("rsign"), bucket)
             lo, hi = mt.group("lo").lower(), mt.group("hi").lower()
             rq = RangeQuery(
                 None if lo == "*" else lo,

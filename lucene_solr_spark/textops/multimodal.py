@@ -82,6 +82,11 @@ def decode_media(
         for pdf in batches:
             rows = []
             for key, payload in zip(pdf[key_col], pdf[binary_col]):
+                # NULL binary cells arrive as None — a crawl row without a
+                # payload must not fail the task; skip it (decode emits
+                # nothing for undecodable rows)
+                if payload is None:
+                    continue
                 data = bytes(payload)
                 w, h, fmt, feats = _fake_decode(data)
                 rows.append((key, len(data), w, h, fmt, feats))
@@ -109,6 +114,8 @@ def sample_frames(
         for pdf in batches:
             rows = []
             for key, payload in zip(pdf[key_col], pdf[binary_col]):
+                if payload is None:  # no payload -> no frames, not a crash
+                    continue
                 data = bytes(payload)
                 for i in range(n_frames):
                     sha = hashlib.md5(data + f"|frame{i}".encode()).hexdigest()

@@ -208,3 +208,26 @@ def test_edismax_mm_and_phrase_boost(spark, mfi):
     assert set(plain) == set(boosted)  # pf never admits new docs
     assert boosted[0] > plain[0] and boosted[3] > plain[3]
     assert boosted[2] == plain[2]  # no adjacent phrase in doc 2
+
+
+def test_repeated_term_scores_once(mfi):
+    # 'alpha alpha' must rank identically to 'alpha' (bm25._boolean_topk
+    # dedups terms; the multi-field path must not double-add)
+    one = [(r.docid, r.score) for r in search_parsed_fields(mfi, "alpha").collect()]
+    two = [(r.docid, r.score) for r in search_parsed_fields(mfi, "alpha alpha").collect()]
+    assert one == two and len(one) > 0
+
+
+def test_repeated_term_must_wins_over_should(mfi):
+    q = BooleanQuery(
+        must=(TermQuery("alpha"),),
+        should=(TermQuery("alpha"), TermQuery("beta")),
+    )
+    got = [(r.docid, r.score) for r in search_fields(mfi, q, k=10).collect()]
+    want = [
+        (r.docid, r.score)
+        for r in search_fields(
+            mfi, BooleanQuery(must=(TermQuery("alpha"),), should=(TermQuery("beta"),)), k=10
+        ).collect()
+    ]
+    assert got == want

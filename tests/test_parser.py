@@ -246,3 +246,35 @@ def test_parsed_boost_on_phrase_and_prefix():
         PhraseQuery(("table", "scan"), boost=3.0),
         PrefixQuery("sc", boost=2.0),
     )
+
+
+def test_signed_phrase_and_range_buckets():
+    # -"..." prohibits, +"..." requires (the classic grammar's modifier
+    # applies to any clause type, QueryParserBase.java:486-520)
+    q = parse_query('table -"bad words"')
+    assert q.not_specials == (PhraseQuery(("bad", "words")),)
+    assert q.should_specials == ()
+
+    q = parse_query('table +"exact phrase"')
+    assert q.must_specials == (PhraseQuery(("exact", "phrase")),)
+
+    q = parse_query("table -[aa TO bb]")
+    assert q.not_specials == (RangeQuery("aa", "bb"),)
+
+    q = parse_query('-title:"alpha beta" table')
+    assert q.not_specials == (PhraseQuery(("alpha", "beta"), field="title"),)
+
+
+def test_search_parsed_must_not_only_is_match_no_docs(index):
+    from lucene_solr_spark.search.bm25 import search_parsed
+
+    assert search_parsed(index, "-table").count() == 0
+    assert search_parsed(index, "NOT table").count() == 0
+
+
+def test_search_parsed_prohibited_phrase_excludes(index):
+    from lucene_solr_spark.search.bm25 import search_parsed
+
+    with_phrase = {r.docid for r in search_parsed(index, '"table scan"', k=1000).collect()}
+    out = {r.docid for r in search_parsed(index, 'table -"table scan"', k=1000).collect()}
+    assert with_phrase and not (out & with_phrase)

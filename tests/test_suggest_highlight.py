@@ -126,3 +126,13 @@ def test_highlight_fragment_expression(spark):
         .alias("s")
     ).collect()[0].s
     assert snip == "<em>Alpha</em> beta <em>ALPHA</em> <em>alpha</em>bet"
+
+
+def test_highlight_capitalized_query_term(corpus):
+    idx, stored = corpus
+    # a capitalized user term must fold to the dictionary's lowercase form
+    upper = {r.docid: r.snippet for r in
+             highlight_topk(idx, stored, "MERGE", k=5, frag_size=200).collect()}
+    lower = {r.docid: r.snippet for r in
+             highlight_topk(idx, stored, "merge", k=5, frag_size=200).collect()}
+    assert upper == lower and len(upper) > 0
