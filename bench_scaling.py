@@ -66,8 +66,12 @@ REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "16"))
 TEXT_REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_TEXT_REPEAT", "16"))
 INDEX_PARTITIONS = 32  # constant across runs: identical output index shape
 LEVELS = tuple(
+    # exactly two levels (lo, hi) — fail HERE, not after the hour of timed
+    # builds that precedes the final `lo, hi = LEVELS` unpack
     int(x) for x in os.environ.get("SPARK_GRAFT_BENCH_LEVELS", "1,4").split(",")
 )
+if len(LEVELS) != 2:
+    raise SystemExit(f"SPARK_GRAFT_BENCH_LEVELS needs exactly 2 levels, got {LEVELS}")
 ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
 

@@ -584,14 +584,17 @@ def facet_terms_highcard(spark, sf_dir):
     "facet_query_multi",
     f"""{PRELUDE},
 {matches_cte(('table',))},
-r AS (SELECT d.* FROM documents d JOIN matches m ON m.docid = d.doc_id)
-SELECT 'short' AS facet_name, CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS facet_count FROM r
-UNION ALL
-SELECT 'mid', CAST(sum(CASE WHEN n_chars >= 200 AND n_chars < 350 THEN 1 ELSE 0 END) AS BIGINT) FROM r
-UNION ALL
-SELECT 'long', CAST(sum(CASE WHEN n_chars >= 350 THEN 1 ELSE 0 END) AS BIGINT) FROM r
-UNION ALL
-SELECT 'english', CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) FROM r""",
+r AS (SELECT d.* FROM documents d JOIN matches m ON m.docid = d.doc_id),
+u AS (
+  SELECT 1 AS i, 'short' AS facet_name, CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS facet_count FROM r
+  UNION ALL
+  SELECT 2, 'mid', CAST(sum(CASE WHEN n_chars >= 200 AND n_chars < 350 THEN 1 ELSE 0 END) AS BIGINT) FROM r
+  UNION ALL
+  SELECT 3, 'long', CAST(sum(CASE WHEN n_chars >= 350 THEN 1 ELSE 0 END) AS BIGINT) FROM r
+  UNION ALL
+  SELECT 4, 'english', CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) FROM r
+)
+SELECT facet_name, facet_count FROM u ORDER BY i""",
 )
 def facet_query_multi(spark, sf_dir):
     idx = get_index(spark, sf_dir)
@@ -626,10 +629,13 @@ def facet_range_nchars(spark, sf_dir):
     "interval_facets_nchars",
     f"""{PRELUDE},
 {matches_cte(('table',))},
-r AS (SELECT d.* FROM documents d JOIN matches m ON m.docid = d.doc_id)
-SELECT 'tiny' AS facet_name, CAST(sum(CASE WHEN n_chars >= 0 AND n_chars <= 150 THEN 1 ELSE 0 END) AS BIGINT) AS facet_count FROM r
-UNION ALL SELECT 'small', CAST(sum(CASE WHEN n_chars >= 151 AND n_chars <= 300 THEN 1 ELSE 0 END) AS BIGINT) FROM r
-UNION ALL SELECT 'big', CAST(sum(CASE WHEN n_chars >= 301 THEN 1 ELSE 0 END) AS BIGINT) FROM r""",
+r AS (SELECT d.* FROM documents d JOIN matches m ON m.docid = d.doc_id),
+u AS (
+  SELECT 1 AS i, 'tiny' AS facet_name, CAST(sum(CASE WHEN n_chars >= 0 AND n_chars <= 150 THEN 1 ELSE 0 END) AS BIGINT) AS facet_count FROM r
+  UNION ALL SELECT 2, 'small', CAST(sum(CASE WHEN n_chars >= 151 AND n_chars <= 300 THEN 1 ELSE 0 END) AS BIGINT) FROM r
+  UNION ALL SELECT 3, 'big', CAST(sum(CASE WHEN n_chars >= 301 THEN 1 ELSE 0 END) AS BIGINT) FROM r
+)
+SELECT facet_name, facet_count FROM u ORDER BY i""",
 )
 def interval_facets_nchars(spark, sf_dir):
     idx = get_index(spark, sf_dir)
@@ -1010,7 +1016,12 @@ FROM doclen WHERE docid IN {_RTG_IDS} ORDER BY url"""
 
         tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
         root = f"{tempfile.gettempdir()}/lss_store_rtg_v1_{tag}"
-        if IndexStore(root).head() is None:
+        # always run both batches: process_batch's max_batch_id watermark
+        # makes committed batches cheap no-ops, and an interrupted earlier
+        # run (batch 0 committed, batch 1 lost) is repaired instead of a
+        # half-built store being treated as complete
+        head = IndexStore(root).head()
+        if head is None or (head.max_batch_id or 0) < 1:
             pages = pages_from_documents(spark, sf_dir)
             doc_id = F.split(F.col("url"), "/doc/")[1].cast("long")
             indexer = StreamingIndexer(spark, root, num_index_partitions=4)
@@ -1186,8 +1197,12 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
 
         pages = pages_from_documents(spark, sf_dir)
         doc_id = F.split(F.col("url"), "/doc/")[1].cast("long")
-        return media_metadata(pages.where(doc_id < 50)).select(
-            "url", "n_bytes", "sha"
+        # explicit doc-id order to match the oracle's ORDER BY doc_id —
+        # mapInPandas/scan order is not contractual
+        return (
+            media_metadata(pages.where(doc_id < 50))
+            .select("url", "n_bytes", "sha")
+            .orderBy(F.split(F.col("url"), "/doc/")[1].cast("long"))
         )
 
     @_q("multimodal_decode", T.decode_media_sql(max_docid=50))
@@ -1197,8 +1212,10 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
 
         pages = pages_from_documents(spark, sf_dir)
         doc_id = F.split(F.col("url"), "/doc/")[1].cast("long")
-        return decode_media(pages.where(doc_id < 50)).select(
-            "url", "n_bytes", "width", "height", "format"
+        return (
+            decode_media(pages.where(doc_id < 50))
+            .select("url", "n_bytes", "width", "height", "format")
+            .orderBy(F.split(F.col("url"), "/doc/")[1].cast("long"))
         )
 
     @_q("multimodal_frames", T.sample_frames_sql(n_frames=2, max_docid=20))
@@ -1282,9 +1299,12 @@ GROUP BY 1 ORDER BY 1""",
 
     @_q(
         "facet_interval_price",
-        """SELECT 'low' AS facet_name, CAST(sum(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 20000 THEN 1 ELSE 0 END) AS BIGINT) AS facet_count FROM orders
-UNION ALL SELECT 'mid', CAST(sum(CASE WHEN o_totalprice > 20000 AND o_totalprice <= 100000 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
-UNION ALL SELECT 'high', CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) FROM orders""",
+        """WITH u AS (
+  SELECT 1 AS i, 'low' AS facet_name, CAST(sum(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 20000 THEN 1 ELSE 0 END) AS BIGINT) AS facet_count FROM orders
+  UNION ALL SELECT 2, 'mid', CAST(sum(CASE WHEN o_totalprice > 20000 AND o_totalprice <= 100000 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+  UNION ALL SELECT 3, 'high', CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+)
+SELECT facet_name, facet_count FROM u ORDER BY i""",
     )
     def facet_interval_price(spark, sf_dir):
         """IntervalFacets (IntervalFacets.java:221-249) over a numeric
@@ -1590,11 +1610,14 @@ def _register_facet_polish_queries():
         f"""{PRELUDE},
 {matches_cte(('table',))},
 r AS (SELECT nullif(d.lang, 'de') AS lang2
-      FROM documents d JOIN matches m ON m.docid = d.doc_id)
-SELECT lang2 AS facet_term, CAST(count(*) AS BIGINT) AS facet_count
-FROM r WHERE lang2 IS NOT NULL GROUP BY 1
-UNION ALL
-SELECT NULL, CAST(sum(CASE WHEN lang2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM r""",
+      FROM documents d JOIN matches m ON m.docid = d.doc_id),
+u AS (
+  SELECT lang2 AS facet_term, CAST(count(*) AS BIGINT) AS facet_count
+  FROM r WHERE lang2 IS NOT NULL GROUP BY 1
+  UNION ALL
+  SELECT NULL, CAST(sum(CASE WHEN lang2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM r
+)
+SELECT facet_term, facet_count FROM u ORDER BY facet_term ASC NULLS LAST""",
     )
     def facet_missing_lang(spark, sf_dir):
         """facet.missing=true (SimpleFacets.java:516): the NULL-value bucket
@@ -1606,7 +1629,12 @@ SELECT NULL, CAST(sum(CASE WHEN lang2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM
         r = idx.docs.join(_docset(idx, ["table"]), "docid").withColumn(
             "lang2", F.nullif(F.col("lang"), F.lit("de"))
         )
-        return facet_field(r, "lang2", limit=50, sort="index", missing=True)
+        # explicit total order for the hash compare: index order with the
+        # missing (NULL) bucket last — the same order facet_field emits,
+        # made explicit because union output order is not contractual
+        return facet_field(r, "lang2", limit=50, sort="index", missing=True).orderBy(
+            F.col("facet_term").asc_nulls_last()
+        )
 
     @_q(
         "facet_range_flags_nchars",

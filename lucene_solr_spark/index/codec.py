@@ -244,7 +244,9 @@ def decode_postings(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 def _has_offsets(row) -> bool:
     try:
         return row["block_doc_off"] is not None
-    except (KeyError, IndexError):
+    except (KeyError, IndexError, ValueError):
+        # pyspark Row raises ValueError for a missing field name; dicts and
+        # pandas rows raise KeyError — all mean "offset-less older encode"
         return False
 
 

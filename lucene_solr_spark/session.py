@@ -36,7 +36,9 @@ def get_spark(
     )
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
-        shuffle_partitions = int(cpus) if cpus else 32
+        # '*' is a legal all-cores spelling for the master string above —
+        # non-numeric values fall back to the standard 32 default
+        shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
