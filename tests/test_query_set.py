@@ -1,0 +1,116 @@
+"""The fixture query set (FIXTURES.md §2, EnwikiQueryMaker.java:45-71 analog):
+100 deterministic queries — 40 single terms across head/mid/tail df, 30
+two-term AND, 15 two/three-term OR, 10 term+stopword strings, 5 no-match —
+run through the engine and compared RANK-IDENTICALLY (docid order + 4dp
+scores) against the independent pure-Python oracle; a WAND subsample
+re-checks the kernel path on the same set."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucene_solr_spark.index.builder import build_index
+from lucene_solr_spark.search import BooleanQuery, search
+from lucene_solr_spark.search.bm25 import search_parsed
+from lucene_solr_spark.search.wand import wand_search
+from tests.oracle_py import make_oracle
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def index(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return build_index(
+        spark, docs, key_col="doc_id", docid_col="doc_id",
+        num_index_partitions=8, persist=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    return make_oracle([(int(r.doc_id), r.text) for r in rows])
+
+
+def build_query_set(oracle) -> list[tuple[int, str, dict | str]]:
+    """qid -> query spec, deterministic from the corpus df distribution."""
+    vocab = [t for t, _ in sorted(oracle.df.items(), key=lambda x: (-x[1], x[0]))]
+    n = len(vocab)
+    third = max(n // 3, 1)
+    head, mid, tail = vocab[:third], vocab[third : 2 * third], vocab[2 * third :]
+    qs: list[tuple[int, str, dict | str]] = []
+    qid = 1
+    for i in range(40):  # single terms: head/mid/tail round-robin
+        pool = (head, mid, tail)[i % 3]
+        qs.append((qid, "bool", {"must": [pool[i % len(pool)]]}))
+        qid += 1
+    for i in range(30):  # two-term AND
+        qs.append((qid, "bool", {"must": [vocab[i % n], vocab[(i + 7) % n]]}))
+        qid += 1
+    for i in range(15):  # two/three-term OR
+        terms = [vocab[(2 * i) % n], vocab[(2 * i + 5) % n]]
+        if i % 2:
+            terms.append(vocab[(2 * i + 11) % n])
+        qs.append((qid, "bool", {"should": list(dict.fromkeys(terms))}))
+        qid += 1
+    stop = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "was"]
+    for i in range(10):  # term + stopword via the string front door
+        qs.append((qid, "parsed", f"{vocab[(3 * i) % n]} {stop[i]}"))
+        qid += 1
+    for i in range(5):  # guaranteed no-match
+        qs.append((qid, "bool", {"must": [f"zzqx{i}nomatch"]}))
+        qid += 1
+    assert len(qs) == 100
+    return qs
+
+
+def _oracle_topk(oracle, spec) -> list[tuple[int, float]]:
+    """Engine-ordered expectation: round to 4dp BEFORE ordering, docid ties."""
+    if isinstance(spec, str):
+        terms = [t for t in spec.split() if t in oracle.df or "zzqx" in t]
+        raw = oracle.topk(should=terms, k=len(oracle.docids)) if terms else []
+    else:
+        raw = oracle.topk(k=len(oracle.docids), **spec)
+    rounded = [(d, round(s, 4)) for d, s in raw]
+    rounded.sort(key=lambda x: (-x[1], x[0]))
+    return rounded[:K]
+
+
+def _engine_topk(index, kind, spec) -> list[tuple[int, float]]:
+    if kind == "parsed":
+        df = search_parsed(index, spec, k=K)
+    else:
+        df = search(index, BooleanQuery.of(**spec), k=K)
+    return [(int(r.docid), float(r.score)) for r in df.collect()]
+
+
+def test_fixture_query_set_rank_identity(index, oracle):
+    failures = []
+    for qid, kind, spec in build_query_set(oracle):
+        got = _engine_topk(index, kind, spec)
+        want = _oracle_topk(oracle, spec)
+        if got != want:
+            failures.append((qid, spec, got[:3], want[:3]))
+    assert not failures, f"{len(failures)} of 100 diverge: {failures[:5]}"
+
+
+def test_fixture_query_set_wand_subsample(index, oracle):
+    """Every 5th boolean query through the block-max WAND kernel — the
+    second physical path must be rank-identical on the same set."""
+    failures = []
+    for qid, kind, spec in build_query_set(oracle)[::5]:
+        if kind != "bool":
+            continue
+        want = _oracle_topk(oracle, spec)
+        got = [
+            (int(r.docid), float(r.score))
+            for r in wand_search(index, BooleanQuery.of(**spec), k=K).collect()
+        ]
+        if got != want:
+            failures.append((qid, spec, got[:3], want[:3]))
+    assert not failures, f"WAND diverges on {len(failures)}: {failures[:5]}"
