@@ -204,3 +204,58 @@ def test_stats_component_calcdistinct(spark):
     df = spark.createDataFrame([(1,), (2,), (2,), (3,), (3,)], "v long")
     row = stats_component(df, "v", calcdistinct=True).collect()[0]
     assert row.stats_distinct == 3 and row.stats_count == 5
+
+
+def test_facet_field_missing_counts_ignore_prefix(spark):
+    from lucene_solr_spark.facets import facet_field
+
+    df = spark.createDataFrame(
+        [("apple",), ("apricot",), ("banana",), (None,), (None,)],
+        "f string",
+    )
+    rows = facet_field(df, "f", prefix="a", missing=True, sort="index").collect()
+    terms = [(r.facet_term, r.facet_count) for r in rows]
+    # prefix filters the TERM rows; the missing bucket still counts ALL nulls
+    assert terms == [("apple", 1), ("apricot", 1), (None, 2)]
+
+
+def test_facet_range_extended_fractional_gap(spark):
+    from lucene_solr_spark.facets import facet_range_extended
+
+    df = spark.createDataFrame([(0.2,), (0.7,), (0.8,)], "v double")
+    got = {
+        r.bucket: r.facet_count
+        for r in facet_range_extended(df, "v", start=0.0, end=1.0, gap=0.5).collect()
+    }
+    # 0.0 and 0.5 must stay distinct buckets (a long cast would merge them)
+    assert got == {"0.0": 1, "0.5": 2}
+
+
+def test_multimodal_null_payload_rows_skipped(spark):
+    from lucene_solr_spark.textops.multimodal import decode_media, sample_frames
+
+    df = spark.createDataFrame(
+        [("u1", b"payload"), ("u2", None)], "url string, html binary"
+    )
+    assert [r.url for r in decode_media(df).collect()] == ["u1"]
+    frames = sample_frames(df, n_frames=2).collect()
+    assert {r.url for r in frames} == {"u1"} and len(frames) == 2
+
+
+def test_function_query_ms_keeps_millis(spark):
+    from lucene_solr_spark.functions import parse_function_query
+
+    df = spark.sql("SELECT timestamp'2026-01-01 00:00:00.250' AS ts")
+    col = parse_function_query("ms(NOW,ts)", now_epoch_ms=1767225601000)
+    # 2026-01-01T00:00:01Z minus ...00.250 = 750 ms (a seconds-truncating
+    # implementation would report 1000)
+    assert df.select(col.alias("d")).collect()[0].d == 750
+
+
+def test_maintain_store_rejects_nonprogressing_merge_width(spark, tmp_path):
+    import pytest as _pt
+
+    from lucene_solr_spark.streaming import maintain_store
+
+    with _pt.raises(ValueError, match="max_merge_at_once"):
+        maintain_store(spark, str(tmp_path / "nostore"), max_merge_at_once=1)

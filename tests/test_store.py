@@ -211,3 +211,33 @@ def test_multifield_store_roundtrip(spark, sf_dir, tmp_path):
     want = [(r.docid, r.score) for r in dismax_fields(
         mem, ["table", "scan"], qf={"title": 2.0, "body": 1.0}, tie=0.3).collect()]
     assert got == want
+
+
+def test_multifield_store_rerun_is_noop(spark, sf_dir, tmp_path):
+    """A fully-committed multi-field store re-run must not rebuild fields:
+    snapshot ids stay at 1 and results are unchanged."""
+    import json
+    import os
+
+    from lucene_solr_spark.index.fields import search_parsed_fields
+    from lucene_solr_spark.store import (
+        IndexStore,
+        build_multifield_store,
+        load_multifield_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fexprs = {"body": "text", "title": F.substring("text", 1, 40)}
+    root = str(tmp_path / "mf2")
+    for _ in range(2):  # second run resumes over the committed store
+        build_multifield_store(
+            spark, docs, root, key_col="doc_id", field_exprs=fexprs,
+            default_field="body", docid_col="doc_id", num_index_partitions=4,
+        )
+    for fname in fexprs:
+        snap = IndexStore(os.path.join(root, "fields", fname)).head()
+        assert snap is not None and snap.snapshot_id == 1
+    with open(os.path.join(root, "schema.json")) as f:
+        assert json.load(f)["default_field"] == "body"
+    loaded = load_multifield_index(spark, root)
+    assert search_parsed_fields(loaded, "scan title:merge", k=5).count() > 0
