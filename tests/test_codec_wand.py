@@ -413,3 +413,45 @@ def test_group_encoders_match_per_term_reference():
             assert bytes(row["norm_bytes"]) == ref["norm_bytes"]
             assert int(row["df_part"]) == int(np.unique(d[lo:hi]).size)
             assert int(row["first_docid"]) == int(d[lo])
+
+
+def test_wand_randomized_differential(spark):
+    """Seeded random boolean queries (must/should/mm/must_not mixes) over a
+    random corpus: the WAND kernel must equal the Catalyst path exactly —
+    the TestRandomDVFaceting-style cross-implementation sweep applied to
+    the two physical query paths."""
+    import random
+
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search import BooleanQuery, search
+    from lucene_solr_spark.search.wand import wand_search
+
+    rng = random.Random(4242)
+    vocab = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa", "zeta"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(
+        spark, docs, key_col="doc_id", docid_col="doc_id",
+        num_index_partitions=3, persist=True,
+    )
+    failures = []
+    for qi in range(20):
+        pool = rng.sample(vocab, rng.randint(1, 4))
+        n_must = rng.randint(0, len(pool))
+        must, should = pool[:n_must], pool[n_must:]
+        if not must and not should:
+            continue
+        mm = rng.randint(0, len(should)) if should else 0
+        rest = [t for t in vocab if t not in pool]
+        must_not = rng.sample(rest, rng.randint(0, 2))
+        q = BooleanQuery.of(must=must, should=should, mm=mm, must_not=must_not)
+        k = rng.choice([3, 7, 10])
+        want = [(r.docid, r.score) for r in search(idx, q, k=k).collect()]
+        got = [(r.docid, r.score) for r in wand_search(idx, q, k=k).collect()]
+        if got != want:
+            failures.append((qi, must, should, mm, must_not, k, got[:3], want[:3]))
+    idx.unpersist()
+    assert not failures, failures[:3]
