@@ -199,8 +199,17 @@ class StreamingIndexer:
         checkpoint_dir: str,
         max_files_per_trigger: int | None = None,
         available_now: bool = True,
+        commit_within_ms: int | None = None,
     ):
-        """readStream(parquet pages) -> foreachBatch(process_batch)."""
+        """readStream(parquet pages) -> foreachBatch(process_batch).
+
+        The CommitTracker analog (solr/core/.../update/CommitTracker.java:
+        autoCommit maxTime/maxDocs): ``commit_within_ms`` = maxTime — a
+        processing-time trigger bounding how long ingested docs wait before
+        the generation that makes them searchable soft-commits;
+        ``max_files_per_trigger`` bounds batch size (the maxDocs knob at
+        file granularity).  ``available_now`` = drain-and-stop instead of a
+        continuous schedule."""
         reader = (
             self.spark.readStream.schema(PAGES_DDL).format("parquet")
         )
@@ -213,7 +222,9 @@ class StreamingIndexer:
             )
             .option("checkpointLocation", checkpoint_dir)
         )
-        if available_now:
+        if commit_within_ms is not None:
+            writer = writer.trigger(processingTime=f"{int(commit_within_ms)} milliseconds")
+        elif available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 

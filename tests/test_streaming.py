@@ -283,3 +283,35 @@ def test_maintain_store_merges_until_tiered(spark, pages, tmp_path):
     assert sizes_ok.max_doc == before_idx.max_doc
     after = [(r.docid, r.score) for r in search(sizes_ok, q, k=10).collect()]
     assert after == before
+
+
+def test_commit_within_processing_time_trigger(spark, pages, tmp_path):
+    """CommitTracker maxTime analog: a commit_within_ms stream soft-commits
+    on a processing-time schedule and drains the same data."""
+    import time
+
+    from lucene_solr_spark.streaming import StreamingIndexer, load_streaming_index
+
+    src = str(tmp_path / "in")
+    subset = pages.orderBy("url").limit(30)
+    n_docs = subset.count()
+    subset.coalesce(1).write.parquet(src)
+    root = str(tmp_path / "store")
+    indexer = StreamingIndexer(spark, root, num_index_partitions=2)
+    q = indexer.start(
+        src, str(tmp_path / "ckpt"), available_now=False, commit_within_ms=500
+    )
+    try:
+        deadline = time.time() + 120
+        head = None
+        while time.time() < deadline:
+            head = indexer.store.head()
+            if head is not None:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert head is not None, "stream never soft-committed a generation"
+    idx = load_streaming_index(spark, root)
+    assert idx.max_doc == n_docs
