@@ -15,9 +15,11 @@ from lucene_solr_spark.search.bm25 import (
     search,
     term_scores,
 )
+from lucene_solr_spark.search.qparsers import qparser_search
 
 __all__ = [
     "BooleanQuery", "FuzzyQuery", "MatchAllQuery", "PhraseQuery",
     "PrefixQuery", "RangeQuery", "RegexpQuery", "TermQuery", "WildcardQuery",
     "SCORE_TEMPLATE", "score_expr_sql", "search", "term_scores",
+    "qparser_search",
 ]

@@ -1,0 +1,368 @@
+"""QParser plugin registry: Solr local-params dispatch ``{!type k=v ...}body``.
+
+Reference: ``QParserPlugin.standardPlugins`` (solr/core/src/java/org/apache/
+solr/search/QParserPlugin.java:34-62) registers the named parser plugins;
+``QParser.getParser`` (QParser.java:276-308) reads the ``{!...}`` local-params
+prefix (``QueryParsing.parseLocalParams``, QueryParsing.java:120-180) and
+dispatches the remaining body to the selected plugin.  Implemented plugins map
+onto the engine's existing executors — each handler returns the standard
+(docid, score) frame ordered score desc / docid asc, limit k:
+
+=============  ====================================  =============================
+name           reference                             engine execution
+=============  ====================================  =============================
+lucene         LuceneQParserPlugin.java:30-42        classic grammar -> search_parsed
+term           TermQParserPlugin.java:33-52          raw (un-analyzed) term: docvalues
+                                                     column equality for string
+                                                     fields, postings equality for
+                                                     the indexed text field
+terms          TermsQParserPlugin (4.x trunk)        IN-set filter, constant score
+prefix         PrefixQParserPlugin.java:30-42        PrefixQuery constant-score
+                                                     semi-join rewrite
+field          FieldQParserPlugin.java:33-44         analyzed body -> term / exact
+                                                     phrase on the field
+frange         FunctionRangeQParserPlugin.java:38-65 function-query compiler Column
+                                                     + range filter, constant score
+                                                     (ValueSourceRangeFilter)
+complexphrase  ComplexPhraseQParserPlugin.java:40-90 wildcard-in-phrase -> ordered
+                                                     span-near over span-or
+                                                     dictionary expansions
+maxscore       MaxScoreQParser.java:43-77            SHOULD clauses fold as MAX
+                                                     (DisjunctionMaxQuery tie=0)
+                                                     instead of sum
+boost          BoostQParserPlugin.java:42-62         sub-query score x compiled
+                                                     function value (BoostedQuery)
+=============  ====================================  =============================
+
+Scale shape: every handler stays on the engine's distributed paths — constant
+-score filters are semi-joins or docvalues predicates pushed to the scan,
+``frange``/``boost`` compile to JVM Catalyst expressions (no Python UDFs),
+``complexphrase`` expands against the term dictionary under the
+maxClauseCount guard and executes the positions-join span kernel.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.builder import IndexTables
+from lucene_solr_spark.search.query import (
+    BooleanQuery,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+    WildcardQuery,
+)
+
+_LOCAL_RE = re.compile(
+    r"^\s*\{!\s*(?P<type>[A-Za-z_][A-Za-z0-9_]*(?=[\s}]))?\s*(?P<params>[^}]*)\}(?P<body>.*)$",
+    re.DOTALL,
+)
+_PARAM_RE = re.compile(
+    r"""(?P<k>[A-Za-z_][A-Za-z0-9_.]*)\s*=\s*"""
+    r"""(?:'(?P<sq>[^']*)'|"(?P<dq>[^"]*)"|(?P<bare>\S+))"""
+)
+
+
+def parse_local_params(q: str) -> tuple[str, dict[str, str], str]:
+    """Split ``{!type k=v ...}body`` -> (type, params, body).
+
+    QueryParsing.parseLocalParams semantics subset: the first bare token is
+    the parser type (sugar for ``type=...``), ``k=v`` pairs with optional
+    single/double quoting, ``v=...`` overrides the trailing body.  A string
+    with no local-params prefix is the default ``lucene`` type."""
+    m = _LOCAL_RE.match(q)
+    if not m:
+        return "lucene", {}, q
+    params = {
+        pm.group("k"): (
+            pm.group("sq")
+            if pm.group("sq") is not None
+            else pm.group("dq") if pm.group("dq") is not None else pm.group("bare")
+        )
+        for pm in _PARAM_RE.finditer(m.group("params") or "")
+    }
+    qtype = m.group("type") or params.pop("type", None) or "lucene"
+    body = params.pop("v", None)
+    if body is None:
+        body = m.group("body").strip()
+    return qtype, params, body
+
+
+def _topk(out: DataFrame, k: int) -> DataFrame:
+    return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
+def _constant_hits(docids: DataFrame, boost: float) -> DataFrame:
+    return docids.select("docid", F.lit(float(boost)).alias("score"))
+
+
+def _is_docvalues_field(index: IndexTables, f: str | None) -> bool:
+    """A string/numeric docvalues field = any non-internal docs column
+    (TermQParserPlugin on a StrField matches the RAW stored value)."""
+    internal = {"docid", "num_terms", "norm_byte", "dl_approx", "text"}
+    return f is not None and f in index.docs.columns and f not in internal
+
+
+def _term_qparser(index, params, body, k, round_dp):
+    """TermQParserPlugin.java:33-52: a single RAW term — no query-time
+    analysis.  On a docvalues (string) field this is column equality; on the
+    analyzed text field it matches the indexed term exactly."""
+    f = params.get("f")
+    boost = float(params.get("boost", 1.0))
+    if _is_docvalues_field(index, f):
+        hits = index.docs.filter(F.col(f).cast("string") == body).select("docid")
+    else:
+        hits = (
+            index.postings.filter(F.col("term") == body).select("docid").distinct()
+        )
+    return _topk(_constant_hits(hits, boost), k)
+
+
+def _terms_qparser(index, params, body, k, round_dp):
+    """TermsQParserPlugin: a comma-separated raw-value IN set (the
+    ``termsFilter`` method — one set-membership filter, never a scoring
+    boolean)."""
+    f = params.get("f")
+    sep = params.get("separator", ",")
+    vals = [v.strip() for v in body.split(sep) if v.strip()]
+    if not vals:
+        return _empty(index)
+    if _is_docvalues_field(index, f):
+        hits = index.docs.filter(F.col(f).cast("string").isin(vals)).select("docid")
+    else:
+        hits = (
+            index.postings.filter(F.col("term").isin(vals)).select("docid").distinct()
+        )
+    return _topk(_constant_hits(hits, 1.0), k)
+
+
+def _prefix_qparser(index, params, body, k, round_dp):
+    """PrefixQParserPlugin.java:30-42: raw prefix on the indexed terms (or a
+    docvalues column), constant-score rewrite — the semi-join path, never a
+    driver-side expansion."""
+    from lucene_solr_spark.search.bm25 import _matched_docset
+
+    f = params.get("f")
+    if _is_docvalues_field(index, f):
+        hits = index.docs.filter(
+            F.col(f).cast("string").startswith(body)
+        ).select("docid")
+    else:
+        hits = _matched_docset(index, PrefixQuery(body))
+    return _topk(_constant_hits(hits, 1.0), k)
+
+
+def _field_qparser(index, params, body, k, round_dp):
+    """FieldQParserPlugin.java:33-44: analyze the body against the field —
+    one term -> TermQuery, several -> exact PhraseQuery (the FieldType
+    ``getFieldQuery`` path)."""
+    from lucene_solr_spark.analysis.analyzer import analyze_text
+    from lucene_solr_spark.search.bm25 import search
+
+    terms = analyze_text(body)
+    if not terms:
+        return _empty(index)
+    q = (
+        TermQuery(terms[0])
+        if len(terms) == 1
+        else PhraseQuery(tuple(terms), slop=0)
+    )
+    return search(index, q, k=k, round_dp=round_dp)
+
+
+def _frange_qparser(index, params, body, k, round_dp, now_epoch_ms=None):
+    """FunctionRangeQParserPlugin.java:38-65: ValueSourceRangeFilter over the
+    compiled function query, wrapped constant-score
+    (SolrConstantScoreQuery).  ``l``/``u`` bounds with ``incl``/``incu``
+    inclusivity flags (both default true)."""
+    from lucene_solr_spark.functions import parse_function_query
+
+    col = parse_function_query(body, now_epoch_ms=now_epoch_ms)
+    cond = F.lit(True)
+    if "l" in params:
+        lo = float(params["l"])
+        incl = params.get("incl", "true").lower() != "false"
+        cond = cond & (col >= lo if incl else col > lo)
+    if "u" in params:
+        hi = float(params["u"])
+        incu = params.get("incu", "true").lower() != "false"
+        cond = cond & (col <= hi if incu else col < hi)
+    hits = index.docs.filter(cond).select("docid")
+    return _topk(_constant_hits(hits, float(params.get("boost", 1.0))), k)
+
+
+_PHRASE_BODY_RE = re.compile(r'^\s*"(?P<ph>[^"]*)"(?:~(?P<slop>\d+))?\s*$')
+
+
+def _complexphrase_qparser(index, params, body, k, round_dp):
+    """ComplexPhraseQParserPlugin.java:40-90: phrases whose words may be
+    wildcard/prefix/fuzzy sub-queries — rewritten to an ordered SpanNearQuery
+    whose clauses are SpanOr over the dictionary terms each sub-query matches
+    (SpanMultiTermQueryWrapper), slop from the ``"..."~N`` suffix, ``inOrder``
+    local param (default true, matching the plugin).  Expansion runs under the
+    maxClauseCount guard, like the wrapped multi-term rewrite."""
+    from lucene_solr_spark.analysis.analyzer import analyze_text
+    from lucene_solr_spark.search.bm25 import (
+        _expand_terms,
+        search,
+        span_near_topk,
+    )
+
+    m = _PHRASE_BODY_RE.match(body)
+    if not m:
+        # no quotes -> the plugin falls through to ordinary parsing
+        return search(index, body, k=k, round_dp=round_dp)
+    slop = int(m.group("slop") or 0)
+    in_order = params.get("inOrder", "true").lower() != "false"
+    clauses: list = []
+    for word in m.group("ph").split():
+        if "*" in word or "?" in word:
+            w = word.lower()
+            if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
+                expanded = _expand_terms(index, PrefixQuery(w[:-1]))
+            else:
+                expanded = _expand_terms(index, WildcardQuery(w))
+            if not expanded:
+                return _empty(index)  # an unmatchable position
+            clauses.append(expanded)
+        else:
+            terms = analyze_text(word)
+            if terms:
+                clauses.append(terms[0])
+    if not clauses:
+        return _empty(index)
+    if len(clauses) == 1:
+        only = clauses[0]
+        if isinstance(only, str):
+            return search(index, TermQuery(only), k=k, round_dp=round_dp)
+        from lucene_solr_spark.search.bm25 import span_or_topk
+
+        return _topk(span_or_topk(index, only, round_dp=round_dp), k)
+    out = span_near_topk(index, clauses, slop=slop, in_order=in_order, round_dp=round_dp)
+    return _topk(out, k)
+
+
+def _maxscore_qparser(index, params, body, k, round_dp):
+    """MaxScoreQParser.java:43-77: parses like the lucene parser but wraps all
+    SHOULD clauses in a DisjunctionMaxQuery with tie=0 (local param ``tie``
+    overrides) — per-doc score = sum(MUST) + max(SHOULD) + tie*rest."""
+    from lucene_solr_spark.search.bm25 import term_scores
+    from lucene_solr_spark.search.parser import CompositeQuery, parse_query
+
+    tie = float(params.get("tie", 0.0))
+    parsed = parse_query(body)
+    if isinstance(parsed, TermQuery):
+        parsed = BooleanQuery(should=(parsed,))
+    if isinstance(parsed, CompositeQuery) or not isinstance(parsed, BooleanQuery):
+        raise ValueError("maxscore supports plain term boolean queries")
+    must = [t.term for t in parsed.must]
+    should = [t.term for t in parsed.should]
+    terms = list(dict.fromkeys(must + should))
+    if not terms:
+        return _empty(index)
+    scored = term_scores(index, terms)
+    aggs = [
+        F.max(F.when(F.col("term") == t, F.col("score"))).alias(f"_s{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = scored.groupBy("docid").agg(*aggs)
+    score = F.lit(0.0)
+    for t in must:
+        score = score + F.coalesce(F.col(f"_s{terms.index(t)}"), F.lit(0.0))
+    if should:
+        scols = [
+            F.coalesce(F.col(f"_s{terms.index(t)}"), F.lit(0.0)) for t in should
+        ]
+        mx = F.greatest(*scols) if len(scols) > 1 else scols[0]
+        score = score + mx
+        if tie != 0.0:
+            total = scols[0]
+            for c in scols[1:]:
+                total = total + c
+            score = score + F.lit(tie) * (total - mx)
+    out = per_doc.withColumn("score", score)
+    for t in must:
+        out = out.filter(F.col(f"_s{terms.index(t)}").isNotNull())
+    if parsed.must_not:
+        excl = (
+            index.postings.filter(
+                F.col("term").isin([t.term for t in parsed.must_not])
+            )
+            .select("docid")
+            .distinct()
+        )
+        out = out.join(excl, "docid", "left_anti")
+    return _topk(
+        out.select("docid", F.round("score", round_dp).alias("score")), k
+    )
+
+
+def _boost_qparser(index, params, body, k, round_dp, now_epoch_ms=None):
+    """BoostQParserPlugin.java:42-62: BoostedQuery — the wrapped query's score
+    multiplied by the compiled ``b`` function value, re-ranked AFTER the
+    multiply (the function participates in ranking, unlike a static boost)."""
+    from lucene_solr_spark.functions import parse_function_query
+    from lucene_solr_spark.search.bm25 import _boolean_topk
+    from lucene_solr_spark.search.parser import CompositeQuery, parse_query
+
+    if "b" not in params:
+        raise ValueError("boost qparser needs b=<function>")
+    bcol = parse_function_query(params["b"], now_epoch_ms=now_epoch_ms)
+    parsed = parse_query(body)
+    if isinstance(parsed, TermQuery):
+        parsed = BooleanQuery(should=(parsed,))
+    if isinstance(parsed, CompositeQuery) or not isinstance(parsed, BooleanQuery):
+        raise ValueError("boost qparser supports plain term boolean bodies")
+    # UNLIMITED scored set: top-k only after the multiply re-ranks
+    scored = _boolean_topk(index, parsed, k, round_dp)
+    joined = scored.join(index.docs, "docid").select(
+        "docid", F.round(F.col("score") * bcol, round_dp).alias("score")
+    )
+    return _topk(joined, k)
+
+
+def _empty(index: IndexTables) -> DataFrame:
+    return index.postings.sparkSession.createDataFrame(
+        [], "docid long, score double"
+    )
+
+
+def qparser_search(
+    index: IndexTables,
+    q: str,
+    k: int = 10,
+    round_dp: int = 4,
+    now_epoch_ms: int | None = None,
+) -> DataFrame:
+    """The QParser.getParser front door: dispatch a ``{!type ...}body`` query
+    string to its plugin and return the standard (docid, score) top-k."""
+    qtype, params, body = parse_local_params(q)
+    if qtype == "lucene":
+        from lucene_solr_spark.search.bm25 import search_parsed
+
+        return search_parsed(index, body, k=k, round_dp=round_dp)
+    if qtype == "term":
+        return _term_qparser(index, params, body, k, round_dp)
+    if qtype == "terms":
+        return _terms_qparser(index, params, body, k, round_dp)
+    if qtype == "prefix":
+        return _prefix_qparser(index, params, body, k, round_dp)
+    if qtype == "field":
+        return _field_qparser(index, params, body, k, round_dp)
+    if qtype == "frange":
+        return _frange_qparser(
+            index, params, body, k, round_dp, now_epoch_ms=now_epoch_ms
+        )
+    if qtype == "complexphrase":
+        return _complexphrase_qparser(index, params, body, k, round_dp)
+    if qtype == "maxscore":
+        return _maxscore_qparser(index, params, body, k, round_dp)
+    if qtype == "boost":
+        return _boost_qparser(
+            index, params, body, k, round_dp, now_epoch_ms=now_epoch_ms
+        )
+    raise ValueError(f"unknown qparser type: {qtype!r}")

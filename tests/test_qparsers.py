@@ -1,0 +1,180 @@
+"""QParser plugin registry: local-params parsing + each plugin vs the
+engine-native equivalent it must reduce to (QParserPlugin.standardPlugins,
+QParser.java:276-308 dispatch)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.search.qparsers import parse_local_params, qparser_search
+
+
+@pytest.fixture(scope="module")
+def index(spark, sf_dir):
+    from lucene_solr_spark.driver_queries import get_index
+
+    return get_index(spark, sf_dir)
+
+
+def _pairs(df):
+    return [(r.docid, r.score) for r in df.collect()]
+
+
+def test_parse_local_params_forms():
+    assert parse_local_params("plain text") == ("lucene", {}, "plain text")
+    t, p, b = parse_local_params("{!term f=lang}en")
+    assert (t, p, b) == ("term", {"f": "lang"}, "en")
+    t, p, b = parse_local_params("{!frange l=2 u=5 incu=false}div(n_chars,100)")
+    assert t == "frange" and p == {"l": "2", "u": "5", "incu": "false"}
+    t, p, b = parse_local_params("{!terms f=lang separator=';'}en;de")
+    assert p["separator"] == ";" and b == "en;de"
+    # v= local param overrides the body; bare leading token is the type
+    t, p, b = parse_local_params('{!type=term f=lang v="en"}ignored')
+    assert (t, b) == ("term", "en")
+
+
+def test_term_qparser_docvalues_equality(index):
+    out = qparser_search(index, "{!term f=lang}en", k=10)
+    expect = (
+        index.docs.filter(F.col("lang") == "en")
+        .select("docid", F.lit(1.0).alias("score"))
+        .orderBy("docid")
+        .limit(10)
+    )
+    assert _pairs(out) == _pairs(expect)
+
+
+def test_term_qparser_indexed_term_is_raw(index):
+    # raw term match — no analysis: an upper-case body matches nothing
+    # (the index stores lower-cased terms), the lower-cased body matches
+    assert qparser_search(index, "{!term}Table", k=5).count() == 0
+    out = qparser_search(index, "{!term}table", k=5)
+    docids = {r.docid for r in out.collect()}
+    expect = {
+        r.docid
+        for r in index.postings.filter(F.col("term") == "table")
+        .select("docid")
+        .orderBy("docid")
+        .limit(5)
+        .collect()
+    }
+    assert docids == expect
+
+
+def test_terms_qparser_in_set(index):
+    out = qparser_search(index, "{!terms f=lang}en,de", k=1000)
+    expect = index.docs.filter(F.col("lang").isin(["en", "de"])).count()
+    assert out.count() == min(expect, 1000)
+
+
+def test_prefix_qparser_matches_constant_score_rewrite(index):
+    from lucene_solr_spark.search import PrefixQuery, search
+
+    out = qparser_search(index, "{!prefix}tab", k=10)
+    expect = search(index, PrefixQuery("tab"), k=10)
+    assert _pairs(out) == _pairs(expect)
+
+
+def test_field_qparser_is_exact_phrase(index):
+    from lucene_solr_spark.search import PhraseQuery, search
+
+    out = qparser_search(index, "{!field}table scan", k=10)
+    expect = search(index, PhraseQuery(("table", "scan")), k=10)
+    assert _pairs(out) == _pairs(expect)
+
+
+def test_frange_bounds_and_flags(index):
+    incl = qparser_search(index, "{!frange l=2 u=5}div(n_chars,100)", k=10000)
+    excl = qparser_search(
+        index, "{!frange l=2 u=5 incl=false incu=false}div(n_chars,100)", k=10000
+    )
+    col = F.col("n_chars") / F.lit(100)
+    n_incl = index.docs.filter((col >= 2) & (col <= 5)).count()
+    n_excl = index.docs.filter((col > 2) & (col < 5)).count()
+    assert incl.count() == n_incl
+    assert excl.count() == n_excl
+    assert n_excl <= n_incl
+
+
+def test_complexphrase_no_wildcard_equals_exact_phrase(index):
+    from lucene_solr_spark.search import PhraseQuery, search
+
+    out = qparser_search(index, '{!complexphrase}"table scan"', k=10)
+    expect = search(index, PhraseQuery(("table", "scan")), k=10)
+    assert _pairs(out) == _pairs(expect)
+
+
+def test_complexphrase_wildcard_equals_span_expansion(index):
+    from lucene_solr_spark.search import PrefixQuery
+    from lucene_solr_spark.search.bm25 import _expand_terms, span_near_topk
+
+    out = qparser_search(index, '{!complexphrase}"tab* scan"~1', k=10)
+    alts = _expand_terms(index, PrefixQuery("tab"))
+    expect = (
+        span_near_topk(index, [alts, "scan"], slop=1, in_order=True)
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(10)
+    )
+    assert _pairs(out) == _pairs(expect)
+
+
+def test_maxscore_is_max_over_should(index):
+    from lucene_solr_spark.search.bm25 import term_scores
+
+    out = qparser_search(index, "{!maxscore}vector stream", k=10)
+    s = term_scores(index, ["vector", "stream"])
+    expect = (
+        s.groupBy("docid")
+        .agg(F.round(F.max("score"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(10)
+    )
+    assert _pairs(out) == _pairs(expect)
+
+
+def test_maxscore_must_stays_summed(index):
+    # '+table vector' — MUST table scores as sum, SHOULD vector as max-of-one
+    from lucene_solr_spark.search.bm25 import term_scores
+
+    out = qparser_search(index, "{!maxscore}+table vector", k=10)
+    st = term_scores(index, ["table", "vector"])
+    per = st.groupBy("docid").agg(
+        F.max(F.when(F.col("term") == "table", F.col("score"))).alias("a"),
+        F.max(F.when(F.col("term") == "vector", F.col("score"))).alias("b"),
+    )
+    expect = (
+        per.filter(F.col("a").isNotNull())
+        .select(
+            "docid",
+            F.round(
+                F.coalesce(F.col("a"), F.lit(0.0))
+                + F.coalesce(F.col("b"), F.lit(0.0)),
+                4,
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(10)
+    )
+    assert _pairs(out) == _pairs(expect)
+
+
+def test_boost_qparser_reranks_by_function(index):
+    from lucene_solr_spark.search import BooleanQuery
+    from lucene_solr_spark.search.bm25 import _boolean_topk
+
+    out = qparser_search(index, "{!boost b=log(n_chars)}table", k=10)
+    base = _boolean_topk(index, BooleanQuery.of(should=["table"]), 10, 4)
+    expect = (
+        base.join(index.docs, "docid")
+        .select(
+            "docid",
+            F.round(F.col("score") * F.log10(F.col("n_chars")), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(10)
+    )
+    assert _pairs(out) == _pairs(expect)
+
+
+def test_unknown_qparser_raises(index):
+    with pytest.raises(ValueError, match="unknown qparser"):
+        qparser_search(index, "{!surround}3w(a, b)")
