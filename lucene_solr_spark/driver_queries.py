@@ -2213,6 +2213,51 @@ ORDER BY score DESC, pm.docid ASC LIMIT 10""",
 _register_qparser_queries()
 
 
+def _register_termvector_queries():
+    """TermVectorComponent (TermVectorComponent.java:83-400): per-doc term
+    vectors with tv.tf / tv.positions / tv.df / tv.tf_idf — positions emitted
+    as a canonical comma-joined string in the graded pair (the API returns the
+    real int array; tests/test_termvectors.py checks it)."""
+
+    @_q(
+        "term_vectors_doc",
+        f"""{PRELUDE},
+pv AS (
+  SELECT docid, term, list_sort(list(pos)) AS poss
+  FROM tok WHERE docid IN (0, 1) GROUP BY 1, 2
+)
+SELECT t.docid, t.term, CAST(t.tf AS BIGINT) AS tf,
+       array_to_string(pv.poss, ',') AS positions,
+       CAST(s.df AS BIGINT) AS df,
+       round(1.0 * t.tf / s.df, 4) AS tf_idf
+FROM tf t
+JOIN pv ON pv.docid = t.docid AND pv.term = t.term
+JOIN tstat s ON s.term = t.term
+WHERE t.docid IN (0, 1)
+ORDER BY t.docid, t.term""",
+    )
+    def term_vectors_doc(spark, sf_dir):
+        """tv.docIds=0,1 with tf/positions/df/tf_idf all on
+        (TermVectorComponent.java:157-168 param gates)."""
+        from lucene_solr_spark.search.termvectors import term_vectors
+
+        idx = get_index(spark, sf_dir)
+        tv = term_vectors(idx, [0, 1], tf=True, positions=True, df=True, tf_idf=True)
+        return tv.select(
+            "docid",
+            "term",
+            "tf",
+            F.array_join(F.col("positions").cast("array<string>"), ",").alias(
+                "positions"
+            ),
+            "df",
+            F.round("tf_idf", 4).alias("tf_idf"),
+        ).orderBy("docid", "term")
+
+
+_register_termvector_queries()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -2276,6 +2321,7 @@ _DEFER_LAST = [
     "qparser_maxscore",         # dismax_fields (max-fold scoring)
     "qparser_boost",            # function_query_recip_freshness (function boost)
     "qparser_complexphrase",    # span_near_query (span-or expansion kernel)
+    "term_vectors_doc",         # terms_component (dictionary stats) + phrase_query (positions layer)
 ]
 
 
