@@ -2209,6 +2209,38 @@ ORDER BY score DESC, pm.docid ASC LIMIT 10""",
             get_index(spark, sf_dir), '{!complexphrase}"tab* scan"~1', k=10
         )
 
+    @_q(
+        "qparser_surround",
+        f"""{PRELUDE},
+anch AS (
+  SELECT p0.docid, p0.pos AS p, min(abs(p1.pos - p0.pos) - 1) AS ml
+  FROM tok p0 JOIN tok p1 ON p1.docid = p0.docid AND p1.pos <> p0.pos
+  WHERE p0.term = 'merge' AND p1.term = 'vector'
+  GROUP BY 1, 2
+),
+cnt AS (
+  SELECT docid,
+         sum(CASE WHEN ml = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN ml = 1 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN ml = 2 THEN 1 ELSE 0 END) AS c2
+  FROM anch WHERE ml <= 2 GROUP BY 1
+),
+pm AS (SELECT docid, 0.0 + c0 * 1.0 + c1 * 0.5 + c2 * (1.0 / 3.0) AS tf
+       FROM cnt WHERE c0 + c1 + c2 > 0)
+SELECT pm.docid,
+       round(({idf_sql('merge')} + {idf_sql('vector')})
+             * 2.2 * pm.tf / (pm.tf + 1.2 * (0.25 + 0.75 * d.dl_approx / st.avgdl)), 4) AS score
+FROM pm JOIN doc d ON d.docid = pm.docid CROSS JOIN stats st
+ORDER BY score DESC, pm.docid ASC LIMIT 10""",
+    )
+    def qparser_surround(spark, sf_dir):
+        """{!surround}3n(merge, vector) (SurroundQParserPlugin.java:40-75):
+        the N distance op -> unordered SpanNearQuery slop=2
+        (DistanceQuery.java:100: opDistance - 1), exact for two clauses."""
+        return qparser_search(
+            get_index(spark, sf_dir), "{!surround}3n(merge, vector)", k=10
+        )
+
 
 _register_qparser_queries()
 
@@ -2356,6 +2388,7 @@ _DEFER_LAST = [
     "qparser_maxscore",         # dismax_fields (max-fold scoring)
     "qparser_boost",            # function_query_recip_freshness (function boost)
     "qparser_complexphrase",    # span_near_query (span-or expansion kernel)
+    "qparser_surround",         # span_near_query (unordered distance-op front door)
     "term_vectors_doc",         # terms_component (dictionary stats) + phrase_query (positions layer)
     "explain_scores_docs",      # term_query (same scored factors, decomposed)
 ]

@@ -30,6 +30,11 @@ complexphrase  ComplexPhraseQParserPlugin.java:40-90 wildcard-in-phrase -> order
 maxscore       MaxScoreQParser.java:43-77            SHOULD clauses fold as MAX
                                                      (DisjunctionMaxQuery tie=0)
                                                      instead of sum
+surround       SurroundQParserPlugin.java:40-75      Nw()/Nn() distance ops ->
+                                                     span-near slop=N-1 ordered/
+                                                     unordered (DistanceQuery
+                                                     .java:100); trailing-* ops
+                                                     expand to span-or
 boost          BoostQParserPlugin.java:42-62         sub-query score x compiled
                                                      function value (BoostedQuery)
 =============  ====================================  =============================
@@ -325,6 +330,51 @@ def _boost_qparser(index, params, body, k, round_dp, now_epoch_ms=None):
     return _topk(joined, k)
 
 
+_SURROUND_RE = re.compile(
+    r"^\s*(?P<dist>\d*)\s*(?P<op>[wnWN])\s*\(\s*(?P<args>[^)]*)\)\s*$"
+)
+
+
+def _surround_qparser(index, params, body, k, round_dp):
+    """SurroundQParserPlugin.java:40-75 -> the surround prefix grammar
+    (lucene/queryparser/.../surround/): ``Nw(a, b, ...)`` / ``Nn(a, b, ...)``
+    distance operators rewrite to SpanNearQuery(clauses, opDistance - 1,
+    ordered = W) — DistanceQuery.java:100.  Truncated operands (trailing
+    ``*``) become a SpanOr over their dictionary expansion
+    (SpanNearClauseFactory.java:30-36, SrndTruncQuery), under the
+    maxClauseCount guard (BasicQueryFactory's maxBasicQueries analog)."""
+    from lucene_solr_spark.analysis.analyzer import analyze_text
+    from lucene_solr_spark.search.bm25 import _expand_terms, span_near_topk
+
+    m = _SURROUND_RE.match(body)
+    if not m:
+        raise ValueError(
+            f"surround: expected Nw(...)/Nn(...) prefix form, got {body!r}"
+        )
+    dist = int(m.group("dist") or 1)
+    ordered = m.group("op").lower() == "w"
+    clauses: list = []
+    for raw in m.group("args").split(","):
+        w = raw.strip().lower()
+        if not w:
+            continue
+        if w.endswith("*") and "*" not in w[:-1]:
+            expanded = _expand_terms(index, PrefixQuery(w[:-1]))
+            if not expanded:
+                return _empty(index)
+            clauses.append(expanded)
+        else:
+            terms = analyze_text(w)
+            if terms:
+                clauses.append(terms[0])
+    if len(clauses) < 2:
+        raise ValueError("surround distance op needs >= 2 operands")
+    out = span_near_topk(
+        index, clauses, slop=max(dist - 1, 0), in_order=ordered, round_dp=round_dp
+    )
+    return _topk(out, k)
+
+
 def _empty(index: IndexTables) -> DataFrame:
     return index.postings.sparkSession.createDataFrame(
         [], "docid long, score double"
@@ -361,6 +411,8 @@ def qparser_search(
         return _complexphrase_qparser(index, params, body, k, round_dp)
     if qtype == "maxscore":
         return _maxscore_qparser(index, params, body, k, round_dp)
+    if qtype == "surround":
+        return _surround_qparser(index, params, body, k, round_dp)
     if qtype == "boost":
         return _boost_qparser(
             index, params, body, k, round_dp, now_epoch_ms=now_epoch_ms

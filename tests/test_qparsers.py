@@ -175,6 +175,32 @@ def test_boost_qparser_reranks_by_function(index):
     assert _pairs(out) == _pairs(expect)
 
 
+def test_surround_w_is_ordered_span_near(index):
+    from lucene_solr_spark.search.bm25 import span_near_topk
+
+    out = qparser_search(index, "{!surround}2w(table, scan)", k=10)
+    expect = (
+        span_near_topk(index, ["table", "scan"], slop=1, in_order=True)
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(10)
+    )
+    assert _pairs(out) == _pairs(expect)
+
+
+def test_surround_n_is_unordered_and_truncation_expands(index):
+    from lucene_solr_spark.search import PrefixQuery
+    from lucene_solr_spark.search.bm25 import _expand_terms, span_near_topk
+
+    out = qparser_search(index, "{!surround}3n(merge, vec*)", k=10)
+    alts = _expand_terms(index, PrefixQuery("vec"))
+    expect = (
+        span_near_topk(index, ["merge", alts], slop=2, in_order=False)
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(10)
+    )
+    assert _pairs(out) == _pairs(expect)
+
+
 def test_unknown_qparser_raises(index):
     with pytest.raises(ValueError, match="unknown qparser"):
-        qparser_search(index, "{!surround}3w(a, b)")
+        qparser_search(index, "{!switch case=x}y")
