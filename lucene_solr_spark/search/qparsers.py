@@ -37,6 +37,9 @@ surround       SurroundQParserPlugin.java:40-75      Nw()/Nn() distance ops ->
                                                      expand to span-or
 boost          BoostQParserPlugin.java:42-62         sub-query score x compiled
                                                      function value (BoostedQuery)
+join           JoinQParserPlugin.java:61,106-122     from/to field value join:
+                                                     broadcast distinct from-set,
+                                                     semi-join docs on to-field
 =============  ====================================  =============================
 
 Scale shape: every handler stays on the engine's distributed paths — constant
@@ -330,6 +333,80 @@ def _boost_qparser(index, params, body, k, round_dp, now_epoch_ms=None):
     return _topk(joined, k)
 
 
+def _match_docset_for_string(index: IndexTables, body: str) -> DataFrame:
+    """Unscored DocSet for a sub-query string: the filter-only execution a
+    joining/filtering parser needs (SolrIndexSearcher.getDocSet analog).
+    Supports term / boolean / multi-term bodies."""
+    from lucene_solr_spark.search.bm25 import _matched_docset
+    from lucene_solr_spark.search.parser import CompositeQuery, parse_query
+    from lucene_solr_spark.search.query import (
+        FuzzyQuery,
+        RangeQuery,
+        RegexpQuery,
+    )
+
+    parsed = parse_query(body)
+    if isinstance(parsed, TermQuery):
+        parsed = BooleanQuery(should=(parsed,))
+    if isinstance(
+        parsed, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, RangeQuery)
+    ):
+        return _matched_docset(index, parsed)
+    if isinstance(parsed, CompositeQuery) or not isinstance(parsed, BooleanQuery):
+        raise ValueError("join sub-query supports term/boolean/multi-term bodies")
+    p = index.postings
+    out = None
+    if parsed.must:
+        terms = [t.term for t in parsed.must]
+        out = (
+            p.filter(F.col("term").isin(terms))
+            .groupBy("docid")
+            .agg(F.count_distinct("term").alias("_nt"))
+            .filter(F.col("_nt") == len(set(terms)))
+            .select("docid")
+        )
+    elif parsed.should:
+        out = (
+            p.filter(F.col("term").isin([t.term for t in parsed.should]))
+            .select("docid")
+            .distinct()
+        )
+    if out is None:
+        raise ValueError("join sub-query needs >= 1 positive clause")
+    if parsed.must_not:
+        excl = (
+            p.filter(F.col("term").isin([t.term for t in parsed.must_not]))
+            .select("docid")
+            .distinct()
+        )
+        out = out.join(excl, "docid", "left_anti")
+    return out
+
+
+def _join_qparser(index, params, body, k, round_dp):
+    """JoinQParserPlugin.java:61,106-122: ``{!join from=f to=t}subquery`` —
+    docs whose ``to``-field value appears among the ``from``-field values of
+    docs matching the sub-query.  Constant score (the 4.x JoinQParser joins
+    without scores); the distinct from-value set broadcasts, so the docs
+    table is filtered map-side — no shuffle of the big side."""
+    f_from, f_to = params.get("from"), params.get("to")
+    if not f_from or not f_to:
+        raise ValueError("join qparser needs from= and to=")
+    for f in (f_from, f_to):
+        if f not in index.docs.columns:
+            raise ValueError(f"join field not in docs: {f!r}")
+    matched = _match_docset_for_string(index, body)
+    vals = (
+        index.docs.join(matched, "docid")
+        .select(F.col(f_from).alias("_v"))
+        .distinct()
+    )
+    hits = index.docs.join(
+        F.broadcast(vals), index.docs[f_to] == F.col("_v"), "left_semi"
+    ).select("docid")
+    return _topk(_constant_hits(hits, 1.0), k)
+
+
 _SURROUND_RE = re.compile(
     r"^\s*(?P<dist>\d*)\s*(?P<op>[wnWN])\s*\(\s*(?P<args>[^)]*)\)\s*$"
 )
@@ -413,6 +490,8 @@ def qparser_search(
         return _maxscore_qparser(index, params, body, k, round_dp)
     if qtype == "surround":
         return _surround_qparser(index, params, body, k, round_dp)
+    if qtype == "join":
+        return _join_qparser(index, params, body, k, round_dp)
     if qtype == "boost":
         return _boost_qparser(
             index, params, body, k, round_dp, now_epoch_ms=now_epoch_ms

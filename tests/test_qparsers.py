@@ -201,6 +201,28 @@ def test_surround_n_is_unordered_and_truncation_expands(index):
     assert _pairs(out) == _pairs(expect)
 
 
+def test_join_qparser_matches_semi_join(index):
+    out = qparser_search(index, "{!join from=source to=source}vector", k=20)
+    m = (
+        index.postings.filter(F.col("term") == "vector").select("docid").distinct()
+    )
+    srcs = index.docs.join(m, "docid").select("source").distinct()
+    expect = (
+        index.docs.join(F.broadcast(srcs), "source", "left_semi")
+        .select("docid")
+        .orderBy("docid")
+        .limit(20)
+    )
+    assert [r.docid for r in out.collect()] == [r.docid for r in expect.collect()]
+
+
+def test_join_qparser_boolean_body_and_bad_field(index):
+    out = qparser_search(index, "{!join from=source to=source}+table -slow", k=5)
+    assert out.count() > 0
+    with pytest.raises(ValueError, match="join field"):
+        qparser_search(index, "{!join from=nope to=source}vector")
+
+
 def test_unknown_qparser_raises(index):
     with pytest.raises(ValueError, match="unknown qparser"):
         qparser_search(index, "{!switch case=x}y")
