@@ -21,9 +21,10 @@ Semantics notes (matching the reference):
   getDistance semantics).
 - ``exists(f)`` -> NOT NULL; ``def(f,d)`` -> coalesce; ``if(t,a,b)`` ->
   CASE WHEN (BoolFunction family).
-- ``ord``/``rord``/``query($q)``/``scale`` are omitted: ordinal functions are
-  index-internal (obsolete under columnar storage) and scale needs a global
-  pass (documented extension point).
+- ``scale(x,min,max)`` is the DataFrame-level ``with_scale`` helper (it
+  needs a global min/max pass: one tiny aggregate broadcast back, no driver
+  collect).  ``ord``/``rord``/``query($q)`` are omitted: ordinal functions
+  are index-internal (obsolete under columnar storage).
 
 Field references resolve to columns of whatever DataFrame the caller applies
 the Column to; bare identifiers that are not function names are fields.
@@ -198,3 +199,37 @@ def parse_function_query(text: str, now_epoch_ms: int | None = None) -> Column:
     if p.peek() is not None:
         raise ValueError(f"trailing tokens from {p.peek()!r}")
     return out
+
+
+def with_scale(
+    df,
+    source: Column,
+    min_target: float,
+    max_target: float,
+    out: str = "scaled",
+):
+    """``scale(x, minTarget, maxTarget)`` (ScaleFloatFunction.java:74-115):
+    rescale ``source`` over the WHOLE doc set into [minTarget, maxTarget] —
+    value = (val - minSource) * scale + minTarget, where scale = 0 when the
+    source range is degenerate (:109).
+
+    The global min/max that made this an extension point for the column-only
+    compiler is one tiny aggregate broadcast back against the frame — a
+    map-side join, no shuffle of ``df`` and no driver collect."""
+    bounds = df.agg(
+        F.min(source).cast("double").alias("_minv"),
+        F.max(source).cast("double").alias("_maxv"),
+    )
+    scale = F.when(F.col("_maxv") - F.col("_minv") == 0.0, F.lit(0.0)).otherwise(
+        F.lit(float(max_target) - float(min_target))
+        / (F.col("_maxv") - F.col("_minv"))
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            out,
+            (source.cast("double") - F.col("_minv")) * scale
+            + F.lit(float(min_target)),
+        )
+        .drop("_minv", "_maxv")
+    )

@@ -102,3 +102,26 @@ def test_date_math_rejects_garbage():
     for bad in ("TODAY", "NOW/5DAY", "NOW+DAY junk", "NOW**2"):
         with pytest.raises(ValueError):
             parse_date_math(bad, 0)
+
+
+def test_with_scale_range_and_degenerate(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.functions import with_scale
+
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 40)], "id int, v int")
+    out = {r.id: r.scaled for r in with_scale(df, F.col("v"), 0.0, 1.0).collect()}
+    assert out == {1: 0.0, 2: pytest.approx(1 / 3), 3: 1.0}
+    # ScaleFloatFunction.java:109 — degenerate source range scales to 0
+    same = spark.createDataFrame([(1, 7), (2, 7)], "id int, v int")
+    vals = {r.scaled for r in with_scale(same, F.col("v"), 2.0, 5.0).collect()}
+    assert vals == {2.0}
+
+def test_with_scale_targets(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.functions import with_scale
+
+    df = spark.createDataFrame([(1, 0), (2, 50), (3, 100)], "id int, v int")
+    out = {r.id: r.scaled for r in with_scale(df, F.col("v"), 10.0, 20.0).collect()}
+    assert out == {1: 10.0, 2: 15.0, 3: 20.0}
