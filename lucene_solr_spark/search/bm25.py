@@ -1009,11 +1009,17 @@ def dismax(
 def more_like_this(
     index: IndexTables, docid: int, max_query_terms: int = 3, k: int = 10,
     round_dp: int = 4,
+    min_term_freq: int = 1, min_doc_freq: int = 1, max_doc_freq: int | None = None,
 ) -> DataFrame:
     """MoreLikeThis (lucene/queries/.../mlt/MoreLikeThis.java): pick the
     source doc's top terms by tf*idf (ties by term asc), then run them as an
     OR query over everything else. Term selection happens driver-side (the
-    interesting-terms PriorityQueue analog); scoring is a float-sum OR."""
+    interesting-terms PriorityQueue analog); scoring is a float-sum OR.
+
+    ``min_term_freq``/``min_doc_freq``/``max_doc_freq`` are the mlt.mintf /
+    mlt.mindf / mlt.maxdf term-selection gates (MoreLikeThis.java:161-178 —
+    Lucene's own defaults are mintf=2, mindf=5; defaults here are the no-gate
+    values so gating is opt-in)."""
     import math
 
     rows = (
@@ -1023,6 +1029,13 @@ def more_like_this(
         .collect()
     )
     n = index.max_doc
+    rows = [
+        r
+        for r in rows
+        if r.tf >= min_term_freq
+        and r.df >= min_doc_freq
+        and (max_doc_freq is None or r.df <= max_doc_freq)
+    ]
     scored_terms = sorted(
         (
             (-r.tf * math.log(1.0 + (n - r.df + 0.5) / (r.df + 0.5)), r.term)

@@ -516,3 +516,35 @@ def test_sloppy_lucene_rejects_repeats(index):
 
     with pytest.raises(ValueError):
         sloppy_phrase_lucene_topk(index, PhraseQuery(("table", "table"), slop=2))
+
+
+def test_mlt_term_selection_gates(index):
+    """mlt.mintf/mindf/maxdf gates (MoreLikeThis.java:161-178) narrow the
+    interesting-term set; no-gate defaults reproduce the ungated behavior."""
+    from lucene_solr_spark.search.bm25 import more_like_this
+
+    base = [(r.docid, r.score) for r in more_like_this(index, 0, max_query_terms=5).collect()]
+    assert base
+    # max_doc_freq=1 keeps only hapax dictionary terms of doc 0 (likely none)
+    rare_only = more_like_this(index, 0, max_query_terms=5, max_doc_freq=1)
+    stats = {
+        r.term: (r.tf, r.df)
+        for r in index.postings.filter(F.col("docid") == 0)
+        .join(index.term_stats(), "term")
+        .select("term", "tf", "df")
+        .collect()
+    }
+    n_rare = sum(1 for tf, df in stats.values() if df <= 1)
+    if n_rare == 0:
+        assert rare_only.count() == 0
+    # a mindf above every df of doc 0's terms selects nothing
+    too_high = max(df for _, df in stats.values()) + 1
+    assert more_like_this(index, 0, min_doc_freq=too_high).count() == 0
+    # gates at their floor values change nothing
+    ungated = [
+        (r.docid, r.score)
+        for r in more_like_this(
+            index, 0, max_query_terms=5, min_term_freq=1, min_doc_freq=1
+        ).collect()
+    ]
+    assert ungated == base
