@@ -294,6 +294,9 @@ def edismax_fields(
     ps: int = 0,
     k: int = 10,
     round_dp: int = 4,
+    bq: list[tuple[str, str, float]] | None = None,
+    bf: list[str] | None = None,
+    now_epoch_ms: int | None = None,
 ) -> DataFrame:
     """ExtendedDismaxQParser subset (solr/core/src/java/org/apache/solr/
     search/ExtendedDisMaxQParserPlugin.java / ExtendedDismaxQParser):
@@ -306,7 +309,12 @@ def edismax_fields(
     - phrase boost: each ``pf`` field adds an optional phrase query over ALL
       user terms with slop ``ps`` (addShingledPhraseQueries pf/ps); its
       boosted score is ADDED to docs already matching the main query
-      (Occur.SHOULD — it never admits new docs).
+      (Occur.SHOULD — it never admits new docs);
+    - ``bq`` boost queries, as (field, term, boost) triples, and ``bf``
+      boost-function strings (compiled by the function-query registry) are
+      additive SHOULD clauses on the outer query (DisMaxQParser.java:113-150:
+      addBoostQuery / addBoostFunctions) — like pf, they re-rank docs the
+      required main query already matched, never admit new ones.
     """
     from lucene_solr_spark.search.bm25 import (
         _phrase_topk,
@@ -359,6 +367,32 @@ def edismax_fields(
             "_main",
             F.col("_main") + F.coalesce(F.col("_ph"), F.lit(0.0)) * F.lit(boost),
         ).drop("_ph")
+
+    for fname, bterm, boost in bq or []:
+        idx = mfi.of(fname)
+        bqs = term_scores(idx, [bterm]).select(
+            "docid", F.col("score").alias("_bq")
+        )
+        out = out.join(bqs, "docid", "left")
+        out = out.withColumn(
+            "_main",
+            F.col("_main") + F.coalesce(F.col("_bq"), F.lit(0.0)) * F.lit(boost),
+        ).drop("_bq")
+
+    if bf:
+        from lucene_solr_spark.functions import parse_function_query
+
+        fcols = [
+            parse_function_query(expr, now_epoch_ms=now_epoch_ms).alias(f"_bf{i}")
+            for i, expr in enumerate(bf)
+        ]
+        fvals = mfi.docs.select("docid", *fcols)
+        out = out.join(fvals, "docid", "left")
+        for i in range(len(bf)):
+            out = out.withColumn(
+                "_main",
+                F.col("_main") + F.coalesce(F.col(f"_bf{i}"), F.lit(0.0)),
+            ).drop(f"_bf{i}")
 
     return (
         out.select("docid", F.round("_main", round_dp).alias("score"))

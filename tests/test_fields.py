@@ -231,3 +231,30 @@ def test_repeated_term_must_wins_over_should(mfi):
         ).collect()
     ]
     assert got == want
+
+
+def test_edismax_bq_bf_additive(spark, mfi):
+    """bq/bf are additive SHOULD clauses (DisMaxQParser.java:113-150): they
+    re-rank docs the main query matched, never admit new ones."""
+    import math
+
+    from lucene_solr_spark.index.fields import edismax_fields
+
+    base = {r.docid: r.score for r in edismax_fields(
+        mfi, ["alpha", "beta"], qf={"body": 1.0}, mm="50%").collect()}
+
+    # bq: docs with 'title' in the title field (0, 1, 3) gain; same doc set
+    bq = {r.docid: r.score for r in edismax_fields(
+        mfi, ["alpha", "beta"], qf={"body": 1.0}, mm="50%",
+        bq=[("title", "title", 2.0)]).collect()}
+    assert set(bq) == set(base)
+    assert bq[0] > base[0] and bq[3] > base[3]
+    assert bq[2] == base[2]  # doc 2's title has no 'title' term
+
+    # bf: ln(num_terms) adds the same amount to every 3-term doc
+    bf = {r.docid: r.score for r in edismax_fields(
+        mfi, ["alpha", "beta"], qf={"body": 1.0}, mm="50%",
+        bf=["ln(num_terms)"]).collect()}
+    assert set(bf) == set(base)
+    for d in bf:
+        assert bf[d] == pytest.approx(base[d] + math.log(3.0), abs=2e-4)
