@@ -2352,6 +2352,28 @@ FROM documents ORDER BY scaled DESC, docid ASC LIMIT 10""",
 _register_scale_query()
 
 
+def _register_unordered_span_query():
+    # rows-only (no SQL oracle): NearSpansUnordered's advance-min enumeration
+    # is sequential per doc — same evidence class as sloppy_phrase_lucene;
+    # correctness evidence is the randomized differential vs a
+    # transcription-shaped reimplementation (tests/test_span_nested.py)
+    @_q("span_unordered_lucene")
+    def span_unordered_lucene(spark, sf_dir):
+        """Unordered SpanNearQuery over a nested tree with NearSpansUnordered
+        enumeration (NearSpansUnordered.java:201-233,344-346): 'merge' within
+        3 of an ordered ('table' scan)-chain, either side."""
+        from lucene_solr_spark.search.bm25 import span_near_unordered_topk
+
+        idx = get_index(spark, sf_dir)
+        out = span_near_unordered_topk(
+            idx, ["merge", ("near", ["table", "scan"], 1)], slop=3
+        )
+        return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(10)
+
+
+_register_unordered_span_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -2419,6 +2441,7 @@ _DEFER_LAST = [
     "term_vectors_doc",         # terms_component (dictionary stats) + phrase_query (positions layer)
     "explain_scores_docs",      # term_query (same scored factors, decomposed)
     "function_scale_nchars",    # function_query_recip_freshness (registry extension point)
+    "span_unordered_lucene",    # span_near_query (rows-only: unordered enumeration kernel)
 ]
 
 

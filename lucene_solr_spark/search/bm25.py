@@ -626,10 +626,9 @@ def span_near_nested_topk(
     term | list-of-terms (span-or) | ("near", [clauses...], inner_slop)
     tuples, e.g. ``["filter", ("near", ["table", "scan"], 1)]``.
 
-    Only ordered nesting is supported (unordered nested spans would need
-    extent tracking the anchor-form unordered kernel does not keep — same
-    boundary as span_not's include clause).  Scoring is the sloppyFreq sum
-    with idf over extractTerms of the WHOLE tree."""
+    This is the ORDERED tree path; unordered (nested) trees run through
+    span_near_unordered_topk, whose per-doc kernel tracks extents.  Scoring
+    is the sloppyFreq sum with idf over extractTerms of the WHOLE tree."""
     if index.positions is None:
         raise ValueError("index built without positions")
     if len(clauses) < 2:
@@ -638,6 +637,152 @@ def span_near_nested_topk(
     return _sloppy_span_score(
         index, spans, _span_tree_terms(clauses), int(slop), round_dp
     )
+
+
+def near_spans_unordered_matches(
+    cell_lists: list[list[tuple[int, int]]], slop: int
+) -> list[tuple[int, int, int]]:
+    """NearSpansUnordered's match enumeration (NearSpansUnordered.java:
+    201-233,344-346) over one doc's per-clause span lists (each sorted by
+    (start, end)): keep one current span ("SpansCell") per clause; a
+    configuration matches when ``max(end) - min(start) - totalLength <= slop``
+    (atMatch, :344-346; totalLength = sum of current span lengths, :50);
+    between configurations advance the queue-min cell — (start, end)-least,
+    the CellQueue order (:64-67 -> docSpansOrdered) — until any clause
+    exhausts.  Returns (min_start, max_end, matchLength) per match."""
+    idx = [0] * len(cell_lists)
+    out: list[tuple[int, int, int]] = []
+    while True:
+        cur = [cl[i] for cl, i in zip(cell_lists, idx)]
+        total = sum(e - s for s, e in cur)
+        lo = min(s for s, _ in cur)
+        hi = max(e for _, e in cur)
+        ml = hi - lo - total
+        if ml <= slop:
+            out.append((lo, hi, ml))
+        j = min(range(len(cur)), key=lambda t: cur[t])
+        idx[j] += 1
+        if idx[j] >= len(cell_lists[j]):
+            break
+    out.sort()
+    return out
+
+
+def _eval_unordered_tree(spec, leaf_spans: list, top: bool = False):
+    """Evaluate a flattened span tree bottom-up over one doc's leaf spans.
+    ``spec`` nodes: ("leaf", i) -> leaf_spans[i]; ("unear", subs, slop) ->
+    the unordered matches over the sub-nodes' spans.  The top call returns
+    the sloppyFreq sum (weights 1/(1+max(ml,0)) — the span module's
+    slop-slack convention, clamped because unordered extents may overlap)."""
+    kind = spec[0]
+    if kind == "leaf":
+        return leaf_spans[spec[1]]
+    _, subs, nslop = spec
+    sub = [_eval_unordered_tree(c, leaf_spans) for c in subs]
+    if any(not s for s in sub):
+        return 0.0 if top else []
+    matches = near_spans_unordered_matches(sub, nslop)
+    if top:
+        return float(sum(1.0 / (1 + max(ml, 0)) for _, _, ml in matches))
+    return [(s, e) for s, e, _ in matches]
+
+
+def span_near_unordered_topk(
+    index: IndexTables,
+    clauses: list,
+    slop: int = 0,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Unordered SpanNearQuery with NearSpansUnordered's exact match
+    enumeration, over arbitrarily NESTED span trees — the extent-tracking
+    kernel the anchor-form unordered path (_span_near_spans in_order=False)
+    doesn't have.  Clauses: term | list-of-terms (span-or) |
+    ("near", [...], slop) nested ORDERED chain (resolved in DataFrame land
+    via _span_tree_spans) | ("unear", [...], slop) nested UNORDERED
+    (resolved recursively inside the per-doc kernel).
+
+    Shape: each leaf's spans come from the positions-join frames (filters
+    pushed to the scan); ONE shuffle pivots per-leaf (start, end) arrays per
+    candidate doc (docs holding every leaf — conjunctive, so the pre-filter
+    is exact); an Arrow-batched pandas UDF walks the queue per doc.  A
+    justified Python kernel: the advance-min walk is stateful and has no
+    Catalyst equivalent; it touches only candidate docs."""
+    from pyspark.sql.functions import pandas_udf
+
+    if index.positions is None:
+        raise ValueError("index built without positions")
+    if len(clauses) < 2:
+        raise ValueError("span_near needs >= 2 clauses")
+
+    leaves: list = []
+
+    def build(node):
+        if isinstance(node, tuple) and node[0] == "unear":
+            _, subs, s = node
+            return ("unear", [build(c) for c in subs], int(s))
+        leaves.append(node)
+        return ("leaf", len(leaves) - 1)
+
+    tree = ("unear", [build(c) for c in clauses], int(slop))
+
+    frames = []
+    for i, leaf in enumerate(leaves):
+        fr = _span_tree_spans(index, leaf)
+        frames.append(fr.withColumn("_leaf", F.lit(i)))
+    allspans = frames[0]
+    for fr in frames[1:]:
+        allspans = allspans.unionByName(fr)
+    piv = allspans.groupBy("docid", "dl_approx").agg(
+        *[
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("_leaf") == i,
+                        F.struct(F.col("_start"), F.col("_end")),
+                    )
+                )
+            ).alias(f"_l{i}")
+            for i in range(len(leaves))
+        ]
+    )
+    for i in range(len(leaves)):
+        piv = piv.filter(F.size(f"_l{i}") > 0)
+
+    arrs = F.array(
+        *[
+            x
+            for i in range(len(leaves))
+            for x in (
+                F.transform(F.col(f"_l{i}"), lambda r: r["_start"]),
+                F.transform(F.col(f"_l{i}"), lambda r: r["_end"]),
+            )
+        ]
+    )
+
+    n_leaves = len(leaves)
+
+    @pandas_udf("double")
+    def _freq(streams: pd.Series) -> pd.Series:
+        def one(pls):
+            spans = [
+                list(zip(pls[2 * i], pls[2 * i + 1])) for i in range(n_leaves)
+            ]
+            return _eval_unordered_tree(tree, spans, top=True)
+
+        return streams.map(one)
+
+    hits = piv.withColumn("tf", _freq(arrs)).filter(F.col("tf") > 0)
+
+    def _terms(spec_node) -> list[str]:
+        if isinstance(spec_node, tuple) and spec_node[0] == "unear":
+            out: list[str] = []
+            for c in spec_node[1]:
+                out.extend(_terms(c))
+            return out
+        return _span_tree_terms([spec_node])
+
+    all_terms = list(dict.fromkeys(t for c in clauses for t in _terms(c)))
+    return _idf_sum_bm25_topk(index, hits, all_terms, round_dp)
 
 
 def span_or_topk(
