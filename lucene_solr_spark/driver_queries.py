@@ -2374,6 +2374,44 @@ def _register_unordered_span_query():
 _register_unordered_span_query()
 
 
+def _register_collation_query():
+    @_q(
+        "spellcheck_collate",
+        f"""{PRELUDE},
+cand AS (
+  SELECT term FROM (
+    SELECT t.term, levenshtein(t.term, 'bath') AS d, t.df
+    FROM tstat t
+    WHERE t.term <> 'bath' AND abs(length(t.term) - 4) <= 2
+      AND levenshtein(t.term, 'bath') <= 2
+  ) ORDER BY d ASC, df DESC, term ASC LIMIT 3
+),
+h AS (
+  SELECT c.term, count(*) AS hits
+  FROM cand c
+  JOIN tf f1 ON f1.term = c.term
+  JOIN tf f2 ON f2.docid = f1.docid AND f2.term = 'merge'
+  GROUP BY c.term
+)
+SELECT c.term || ' merge' AS collation_query, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits
+FROM cand c LEFT JOIN h ON h.term = c.term
+WHERE coalesce(h.hits, 0) > 0
+ORDER BY hits DESC, collation_query ASC LIMIT 3""",
+    )
+    def spellcheck_collate(spark, sf_dir):
+        """SpellCheckCollator (SpellCheckCollator.java:51-180): top
+        corrections of 'bath' substituted into 'bath merge', each collation
+        verified to return hits."""
+        from lucene_solr_spark.search.suggest import collate
+
+        return collate(
+            get_index(spark, sf_dir), "bath", ["merge"], tries=3, max_collations=3
+        )
+
+
+_register_collation_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -2442,6 +2480,7 @@ _DEFER_LAST = [
     "explain_scores_docs",      # term_query (same scored factors, decomposed)
     "function_scale_nchars",    # function_query_recip_freshness (registry extension point)
     "span_unordered_lucene",    # span_near_query (rows-only: unordered enumeration kernel)
+    "spellcheck_collate",       # spellcheck_term (collation layer over the same lookup)
 ]
 
 

@@ -80,3 +80,68 @@ def suggest_prefix(index: IndexTables, prefix: str, k: int = 10) -> DataFrame:
         .orderBy(F.col("weight").desc(), F.col("suggestion").asc())
         .limit(k)
     )
+
+
+def collate(
+    index: IndexTables,
+    misspelled: str,
+    context_terms: list[str],
+    max_edits: int = 2,
+    tries: int = 3,
+    max_collations: int = 3,
+) -> DataFrame:
+    """SpellCheckCollator (solr/core/src/java/org/apache/solr/spelling/
+    SpellCheckCollator.java:51-180): substitute top spellcheck suggestions
+    for the misspelled term, RE-RUN the corrected query against the index,
+    and keep only collations that return hits (:89-169: the try loop bounded
+    by maxTries/maxCollations, ``collation.setHits``).  Returns
+    (collation_query, hits) ordered hits desc, collation asc
+    (the column is Solr's ``collationQuery``; COLLATION is a SQL keyword).
+
+    The per-term generalization (several misspelled terms per query) is a
+    loop over this; one misspelled term + context is the verified unit.
+
+    Shape: candidate corrections are a bounded dictionary lookup (``tries``
+    rows collected — the same boundary as Solr's in-RAM spellcheck
+    dictionary); verification is ONE distributed pass — a presence pivot
+    over postings filtered to candidates+context, with every candidate's hit
+    count taken as conditional sums in a single aggregate (not one re-query
+    per collation)."""
+    cands = [
+        r.suggestion
+        for r in spellcheck(index, misspelled, max_edits=max_edits, k=tries).collect()
+    ]
+    spark = index.postings.sparkSession
+    if not cands:
+        return spark.createDataFrame([], "collation_query string, hits long")
+    context = [t.lower() for t in context_terms]
+    all_terms = list(dict.fromkeys(cands + context))
+    p = index.postings.filter(F.col("term").isin(all_terms))
+    pres = p.groupBy("docid").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.lit(1))).alias(f"_t{i}")
+            for i, t in enumerate(all_terms)
+        ]
+    )
+    ctx_ok = F.lit(True)
+    for t in context:
+        ctx_ok = ctx_ok & F.col(f"_t{all_terms.index(t)}").isNotNull()
+    counts = pres.agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"_t{all_terms.index(c)}").isNotNull() & ctx_ok, 1
+                ).otherwise(0)
+            ).alias(f"_h{i}")
+            for i, c in enumerate(cands)
+        ]
+    ).collect()[0]
+    rows = [
+        (" ".join([c, *context]), int(counts[f"_h{i}"]))
+        for i, c in enumerate(cands)
+        if counts[f"_h{i}"] > 0  # :165 — only collations that return hits
+    ]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        rows[:max_collations], "collation_query string, hits long"
+    )

@@ -136,3 +136,36 @@ def test_highlight_capitalized_query_term(corpus):
     lower = {r.docid: r.snippet for r in
              highlight_topk(idx, stored, "merge", k=5, frag_size=200).collect()}
     assert upper == lower and len(upper) > 0
+
+
+def test_collate_verifies_hits(corpus):
+    """SpellCheckCollator.java:89-169: each collation's hit count equals the
+    AND-docset of (correction, context); hit-less collations are dropped."""
+    from lucene_solr_spark.search.suggest import collate, spellcheck
+
+    idx, _ = corpus
+    out = collate(idx, "marge", ["runs"], tries=3, max_collations=3).collect()
+    assert out
+    hits = [r.hits for r in out]
+    assert hits == sorted(hits, reverse=True) and all(h > 0 for h in hits)
+    cands = [r.suggestion for r in spellcheck(idx, "marge", k=3).collect()]
+    for r in out:
+        corr = r.collation_query.split()[0]
+        assert corr in cands
+        expect = (
+            idx.postings.filter(F.col("term").isin([corr, "runs"]))
+            .groupBy("docid")
+            .agg(F.count_distinct("term").alias("n"))
+            .filter(F.col("n") == 2)
+            .count()
+        )
+        assert r.hits == expect
+    # 'merge runs' co-occur in doc 0 -> the top collation
+    assert out[0].collation_query == "merge runs" and out[0].hits == 1
+
+
+def test_collate_unknown_everything_is_empty(corpus):
+    from lucene_solr_spark.search.suggest import collate
+
+    idx, _ = corpus
+    assert collate(idx, "zzzzzzzzzz", ["merge"]).count() == 0
