@@ -2412,6 +2412,36 @@ ORDER BY hits DESC, collation_query ASC LIMIT 3""",
 _register_collation_query()
 
 
+def _register_urp_query():
+    @_q(
+        "urp_signature_dedupe",
+        """SELECT CAST(min(doc_id) AS BIGINT) AS docid, md5(text) AS sig,
+       CAST(count(*) AS BIGINT) AS dupes
+FROM documents GROUP BY md5(text) ORDER BY docid ASC LIMIT 20""",
+    )
+    def urp_signature_dedupe(spark, sf_dir):
+        """URP chain: SignatureUpdateProcessor (MD5 over text) + dedupe —
+        survivors with their duplicate counts
+        (SignatureUpdateProcessorFactory.java:49-120, MD5Signature.java)."""
+        from lucene_solr_spark.index.urp import signature
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sig = signature(docs, ["text"], out="sig")
+        return (
+            sig.groupBy("sig")
+            .agg(
+                F.min("doc_id").alias("docid"),
+                F.count(F.lit(1)).alias("dupes"),
+            )
+            .select("docid", "sig", "dupes")
+            .orderBy("docid")
+            .limit(20)
+        )
+
+
+_register_urp_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -2481,6 +2511,7 @@ _DEFER_LAST = [
     "function_scale_nchars",    # function_query_recip_freshness (registry extension point)
     "span_unordered_lucene",    # span_near_query (rows-only: unordered enumeration kernel)
     "spellcheck_collate",       # spellcheck_term (collation layer over the same lookup)
+    "urp_signature_dedupe",     # dedup_exact (same hash-groupBy, URP front door)
 ]
 
 
