@@ -2442,6 +2442,32 @@ FROM documents GROUP BY md5(text) ORDER BY docid ASC LIMIT 20""",
 _register_urp_query()
 
 
+def _register_filtercache_query():
+    @_q(
+        "filter_cache_intersect",
+        f"""{PRELUDE}
+SELECT docid FROM tf WHERE term IN ('table', 'merge')
+GROUP BY docid HAVING count(DISTINCT term) = 2
+   AND docid NOT IN (SELECT docid FROM tf WHERE term = 'slow')
+ORDER BY docid ASC LIMIT 20""",
+    )
+    def filter_cache_intersect(spark, sf_dir):
+        """getProcessedFilter (SolrIndexSearcher.java:1004-1084) through the
+        filterCache: fq=table & fq=merge intersected smallest-first,
+        fq=-slow complemented after."""
+        from lucene_solr_spark.search.filtercache import FilterCache
+
+        fc = FilterCache(get_index(spark, sf_dir))
+        out = fc.filtered(["table", "merge", "-slow"]).orderBy("docid").limit(20)
+        # materialize before the cache handles go out of scope
+        rows = out.collect()
+        fc.clear()
+        return spark.createDataFrame(rows, "docid long")
+
+
+_register_filtercache_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -2512,6 +2538,7 @@ _DEFER_LAST = [
     "span_unordered_lucene",    # span_near_query (rows-only: unordered enumeration kernel)
     "spellcheck_collate",       # spellcheck_term (collation layer over the same lookup)
     "urp_signature_dedupe",     # dedup_exact (same hash-groupBy, URP front door)
+    "filter_cache_intersect",   # boolean_and/boolean_not (same docsets, cached-filter front door)
 ]
 
 

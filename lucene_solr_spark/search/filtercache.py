@@ -1,0 +1,128 @@
+"""FilterCache + processed-filter intersection: cached fq DocSets.
+
+Reference: SolrIndexSearcher keeps filter-query DocSets in the filterCache
+(solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java:149-152,
+FastLRUCache.java) and ``getProcessedFilter`` (:1004-1084) combines several
+fq sets: positives intersect starting from the SMALLEST set (:1054-1062
+tracks smallestIndex/smallestCount), pure-negative filters apply as
+complements AFTER the positive intersection (:1030-1050 splits
+positive/negative, negatives andNot at the end).
+
+Spark shape: a DocSet is a persisted docid frame — Spark's in-memory
+columnar cache is the bitset analog; persist handles are held in the LRU map
+so eviction unpersists the exact cached frame.  Intersection is a chain of
+``left_semi`` joins anchored on the smallest set (so every join's probe side
+is already the current intersection — never larger than the smallest fq),
+negatives are ``left_anti`` joins.  Everything stays distributed; the only
+driver-side state is the LRU bookkeeping and the materialized set sizes,
+which the reference also tracks (DocSet.size())."""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.builder import IndexTables
+
+
+def _parse_filter(index: IndexTables, fq: str):
+    """-> ("pos", docset_df) or ("neg", matches_df).  A pure-negative fq
+    (e.g. ``-slow``) means "all docs except matches" (:1030-1050)."""
+    from lucene_solr_spark.search.parser import CompositeQuery, parse_query
+    from lucene_solr_spark.search.qparsers import _match_docset_for_string
+    from lucene_solr_spark.search.query import BooleanQuery
+
+    parsed = parse_query(fq)
+    if (
+        isinstance(parsed, BooleanQuery)
+        and parsed.must_not
+        and not (parsed.must or parsed.should)
+    ):
+        neg = (
+            index.postings.filter(
+                F.col("term").isin([t.term for t in parsed.must_not])
+            )
+            .select("docid")
+            .distinct()
+        )
+        return "neg", neg
+    if isinstance(parsed, CompositeQuery):
+        raise ValueError("filter queries support term/boolean/multi-term bodies")
+    return "pos", _match_docset_for_string(index, fq)
+
+
+class FilterCache:
+    """LRU filterCache over canonical fq strings -> persisted DocSet frames.
+
+    ``max_size`` caps live entries (FastLRUCache size); eviction unpersists
+    the evicted frame.  ``stats()`` mirrors the cache's lookups/hits/
+    evictions counters (SolrCache.getStatistics analog)."""
+
+    def __init__(self, index: IndexTables, max_size: int = 64):
+        self.index = index
+        self.max_size = int(max_size)
+        # fq -> (kind, persisted_df, size)
+        self._entries: OrderedDict[str, tuple[str, DataFrame, int]] = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+        self.evictions = 0
+
+    def _lookup(self, fq: str) -> tuple[str, DataFrame, int]:
+        if fq in self._entries:
+            self.hits += 1
+            self._entries.move_to_end(fq)
+            return self._entries[fq]
+        self.misses += 1
+        kind, df = _parse_filter(self.index, fq)
+        df = df.persist()
+        size = df.count()  # materializes the cache entry; DocSet.size()
+        self._entries[fq] = (kind, df, size)
+        while len(self._entries) > self.max_size:
+            _, (_, old, _) = self._entries.popitem(last=False)
+            old.unpersist()
+            self.evictions += 1
+        return self._entries[fq]
+
+    def docset(self, fq: str) -> DataFrame:
+        """The cached DocSet for one POSITIVE fq (getDocSet with cache)."""
+        kind, df, _ = self._lookup(fq)
+        if kind != "pos":
+            raise ValueError(f"pure-negative fq has no standalone DocSet: {fq!r}")
+        return df
+
+    def filtered(self, fqs: list[str]) -> DataFrame:
+        """getProcessedFilter (:1004-1084): intersect the positive fq sets
+        smallest-first, then apply pure-negative fqs as complements.  A
+        negative-only list complements against the whole doc table."""
+        if not fqs:
+            raise ValueError("filtered needs >= 1 fq")
+        entries = [(fq, *self._lookup(fq)) for fq in fqs]
+        pos = sorted(
+            (e for e in entries if e[1] == "pos"), key=lambda e: (e[3], e[0])
+        )
+        negs = [e for e in entries if e[1] == "neg"]
+        if pos:
+            answer = pos[0][2]
+            for _, _, df, _ in pos[1:]:
+                answer = answer.join(df, "docid", "left_semi")
+        else:
+            answer = self.index.docs.select("docid")
+        for _, _, df, _ in negs:
+            answer = answer.join(df, "docid", "left_anti")
+        return answer
+
+    def stats(self) -> dict:
+        return {
+            "lookups": self.hits + self.misses,
+            "hits": self.hits,
+            "misses": self.misses,
+            "evictions": self.evictions,
+            "size": len(self._entries),
+        }
+
+    def clear(self) -> None:
+        for _, df, _ in self._entries.values():
+            df.unpersist()
+        self._entries.clear()

@@ -1,0 +1,70 @@
+"""FilterCache + getProcessedFilter: cache bookkeeping, persist lifecycle,
+smallest-first positive intersection, pure-negative complements."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.search.filtercache import FilterCache
+
+
+@pytest.fixture(scope="module")
+def index(spark, sf_dir):
+    from lucene_solr_spark.driver_queries import get_index
+
+    return get_index(spark, sf_dir)
+
+
+def _brute(index, must=(), must_not=()):
+    p = index.postings
+    out = None
+    for t in must:
+        m = p.filter(F.col("term") == t).select("docid").distinct()
+        out = m if out is None else out.join(m, "docid", "left_semi")
+    if out is None:
+        out = index.docs.select("docid")
+    for t in must_not:
+        m = p.filter(F.col("term") == t).select("docid").distinct()
+        out = out.join(m, "docid", "left_anti")
+    return {r.docid for r in out.collect()}
+
+
+def test_filtered_matches_brute_and_counts(index):
+    fc = FilterCache(index)
+    got = {r.docid for r in fc.filtered(["table", "merge", "-slow"]).collect()}
+    assert got == _brute(index, must=["table", "merge"], must_not=["slow"])
+    s = fc.stats()
+    assert s == {"lookups": 3, "hits": 0, "misses": 3, "evictions": 0, "size": 3}
+    fc.filtered(["table", "merge"])  # both cached now
+    assert fc.stats()["hits"] == 2 and fc.stats()["size"] == 3
+    fc.clear()
+
+
+def test_pure_negative_only_complements_all_docs(index):
+    fc = FilterCache(index)
+    got = fc.filtered(["-table"]).count()
+    with_t = index.postings.filter(F.col("term") == "table").select("docid").distinct().count()
+    assert got == index.max_doc - with_t
+    with pytest.raises(ValueError, match="pure-negative"):
+        fc.docset("-table")
+    fc.clear()
+
+
+def test_eviction_unpersists_exact_frame(index):
+    fc = FilterCache(index, max_size=2)
+    a = fc.docset("table")
+    fc.docset("merge")
+    fc.docset("vector")  # evicts 'table'
+    assert fc.stats()["evictions"] == 1 and fc.stats()["size"] == 2
+    assert not a.storageLevel.useMemory  # the evicted handle is unpersisted
+    b = fc.docset("merge")
+    assert b.storageLevel.useMemory
+    fc.clear()
+    assert not b.storageLevel.useMemory
+
+
+def test_cache_reuses_same_frame(index):
+    fc = FilterCache(index)
+    a, b = fc.docset("table"), fc.docset("table")
+    assert a is b
+    assert fc.stats()["hits"] == 1
+    fc.clear()
