@@ -2172,10 +2172,17 @@ ORDER BY score DESC, docid ASC LIMIT 10""",
         )
 
     # idf over extractTerms of the rewritten span tree: every dictionary term
-    # the prefix expands to, plus the literal clause term
+    # the prefix expands to (term-asc — the engine's _expand_terms order),
+    # plus the literal clause term LAST.  list_reduce over the ORDERED list
+    # reproduces the engine's left-to-right float64 Python sum exactly — a
+    # SUM aggregate would add in scan order and violate the fixed-order
+    # addition contract.
     _CPX_IDF = (
-        "((SELECT sum(ln(1.0 + (st.n - t.df + 0.5) / (t.df + 0.5))) "
-        "FROM tstat t CROSS JOIN stats st WHERE t.term LIKE 'tab%') "
+        "(list_reduce(list_prepend(0.0, "
+        "(SELECT coalesce(list(ln(1.0 + (st.n - t.df + 0.5) / (t.df + 0.5)) "
+        "ORDER BY t.term), []) "
+        "FROM tstat t CROSS JOIN stats st WHERE t.term LIKE 'tab%')), "
+        "(acc, x) -> acc + x) "
         f"+ {idf_sql('scan')})"
     )
 
@@ -2415,9 +2422,12 @@ _register_collation_query()
 def _register_urp_query():
     @_q(
         "urp_signature_dedupe",
-        """SELECT CAST(min(doc_id) AS BIGINT) AS docid, md5(text) AS sig,
+        # coalesce mirrors urp.signature's null->'' (a NULL-text doc signs
+        # as the empty string, not a NULL group)
+        """SELECT CAST(min(doc_id) AS BIGINT) AS docid,
+       md5(coalesce(text, '')) AS sig,
        CAST(count(*) AS BIGINT) AS dupes
-FROM documents GROUP BY md5(text) ORDER BY docid ASC LIMIT 20""",
+FROM documents GROUP BY md5(coalesce(text, '')) ORDER BY docid ASC LIMIT 20""",
     )
     def urp_signature_dedupe(spark, sf_dir):
         """URP chain: SignatureUpdateProcessor (MD5 over text) + dedupe —

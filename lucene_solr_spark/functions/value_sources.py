@@ -216,20 +216,20 @@ def with_scale(
     The global min/max that made this an extension point for the column-only
     compiler is one tiny aggregate broadcast back against the frame — a
     map-side join, no shuffle of ``df`` and no driver collect."""
+    lo, hi = "__scale_min__", "__scale_max__"  # names no doc frame carries
     bounds = df.agg(
-        F.min(source).cast("double").alias("_minv"),
-        F.max(source).cast("double").alias("_maxv"),
+        F.min(source).cast("double").alias(lo),
+        F.max(source).cast("double").alias(hi),
     )
-    scale = F.when(F.col("_maxv") - F.col("_minv") == 0.0, F.lit(0.0)).otherwise(
-        F.lit(float(max_target) - float(min_target))
-        / (F.col("_maxv") - F.col("_minv"))
+    scale = F.when(F.col(hi) - F.col(lo) == 0.0, F.lit(0.0)).otherwise(
+        F.lit(float(max_target) - float(min_target)) / (F.col(hi) - F.col(lo))
     )
     return (
         df.crossJoin(F.broadcast(bounds))
         .withColumn(
             out,
-            (source.cast("double") - F.col("_minv")) * scale
+            (source.cast("double") - F.col(lo)) * scale
             + F.lit(float(min_target)),
         )
-        .drop("_minv", "_maxv")
+        .drop(lo, hi)
     )

@@ -119,6 +119,16 @@ def _matched_terms_df(index: IndexTables, q) -> DataFrame:
     raise TypeError(type(q))
 
 
+def any_term_docset(index: IndexTables, terms: list[str]) -> DataFrame:
+    """The DocSet primitive: distinct docids containing ANY of the terms
+    (SolrIndexSearcher.getDocSet over a term disjunction)."""
+    return (
+        index.postings.filter(F.col("term").isin(list(terms)))
+        .select("docid")
+        .distinct()
+    )
+
+
 def _matched_docset(index: IndexTables, q) -> DataFrame:
     """Distinct docids matching a multi-term query — postings semi-joined
     against the matched dictionary terms.  No driver materialization: the
@@ -183,11 +193,7 @@ def _boolean_topk(
         )
         out = out.filter(matched >= q.minimum_should_match)
     if q.must_not:
-        excl = (
-            index.postings.filter(F.col("term").isin([t.term for t in q.must_not]))
-            .select("docid")
-            .distinct()
-        )
+        excl = any_term_docset(index, [t.term for t in q.must_not])
         out = out.join(excl, "docid", "left_anti")
     return out.select("docid", F.round("score", round_dp).alias("score"))
 

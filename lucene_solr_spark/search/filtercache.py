@@ -40,14 +40,9 @@ def _parse_filter(index: IndexTables, fq: str):
         and parsed.must_not
         and not (parsed.must or parsed.should)
     ):
-        neg = (
-            index.postings.filter(
-                F.col("term").isin([t.term for t in parsed.must_not])
-            )
-            .select("docid")
-            .distinct()
-        )
-        return "neg", neg
+        from lucene_solr_spark.search.bm25 import any_term_docset
+
+        return "neg", any_term_docset(index, [t.term for t in parsed.must_not])
     if isinstance(parsed, CompositeQuery):
         raise ValueError("filter queries support term/boolean/multi-term bodies")
     return "pos", _match_docset_for_string(index, fq)

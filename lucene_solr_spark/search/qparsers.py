@@ -65,8 +65,11 @@ from lucene_solr_spark.search.query import (
     WildcardQuery,
 )
 
+# params may contain '}' inside quoted values (QueryParsing.parseLocalParams
+# honors quoting) — the params group consumes quoted runs atomically
 _LOCAL_RE = re.compile(
-    r"^\s*\{!\s*(?P<type>[A-Za-z_][A-Za-z0-9_]*(?=[\s}]))?\s*(?P<params>[^}]*)\}(?P<body>.*)$",
+    r"^\s*\{!\s*(?P<type>[A-Za-z_][A-Za-z0-9_]*(?=[\s}]))?\s*"
+    r"(?P<params>(?:[^}'\"]|'[^']*'|\"[^\"]*\")*)\}(?P<body>.*)$",
     re.DOTALL,
 )
 _PARAM_RE = re.compile(
@@ -115,13 +118,25 @@ def _is_docvalues_field(index: IndexTables, f: str | None) -> bool:
     return f is not None and f in index.docs.columns and f not in internal
 
 
+def _resolve_field(index: IndexTables, f: str | None) -> str | None:
+    """Validate the ``f`` local param: None or 'text' -> the indexed text
+    field (postings path); a docvalues column -> itself; anything else is
+    Solr's 'undefined field' error (SolrException in IndexSchema.getField) —
+    never a silent fallback to text matching."""
+    if f is None or f == "text":
+        return None
+    if _is_docvalues_field(index, f):
+        return f
+    raise ValueError(f"undefined field: {f!r}")
+
+
 def _term_qparser(index, params, body, k, round_dp):
     """TermQParserPlugin.java:33-52: a single RAW term — no query-time
     analysis.  On a docvalues (string) field this is column equality; on the
     analyzed text field it matches the indexed term exactly."""
-    f = params.get("f")
+    f = _resolve_field(index, params.get("f"))
     boost = float(params.get("boost", 1.0))
-    if _is_docvalues_field(index, f):
+    if f is not None:
         hits = index.docs.filter(F.col(f).cast("string") == body).select("docid")
     else:
         hits = (
@@ -134,12 +149,12 @@ def _terms_qparser(index, params, body, k, round_dp):
     """TermsQParserPlugin: a comma-separated raw-value IN set (the
     ``termsFilter`` method — one set-membership filter, never a scoring
     boolean)."""
-    f = params.get("f")
+    f = _resolve_field(index, params.get("f"))
     sep = params.get("separator", ",")
     vals = [v.strip() for v in body.split(sep) if v.strip()]
     if not vals:
         return _empty(index)
-    if _is_docvalues_field(index, f):
+    if f is not None:
         hits = index.docs.filter(F.col(f).cast("string").isin(vals)).select("docid")
     else:
         hits = (
@@ -154,8 +169,8 @@ def _prefix_qparser(index, params, body, k, round_dp):
     driver-side expansion."""
     from lucene_solr_spark.search.bm25 import _matched_docset
 
-    f = params.get("f")
-    if _is_docvalues_field(index, f):
+    f = _resolve_field(index, params.get("f"))
+    if f is not None:
         hits = index.docs.filter(
             F.col(f).cast("string").startswith(body)
         ).select("docid")
@@ -167,10 +182,19 @@ def _prefix_qparser(index, params, body, k, round_dp):
 def _field_qparser(index, params, body, k, round_dp):
     """FieldQParserPlugin.java:33-44: analyze the body against the field —
     one term -> TermQuery, several -> exact PhraseQuery (the FieldType
-    ``getFieldQuery`` path)."""
+    ``getFieldQuery`` path).  Only the indexed text field has an analysis
+    chain on an IndexTables; per-field routing is the MultiFieldIndex layer
+    (fields.search_parsed_fields), so any other ``f`` raises rather than
+    silently querying the wrong field."""
     from lucene_solr_spark.analysis.analyzer import analyze_text
     from lucene_solr_spark.search.bm25 import search
 
+    f = params.get("f")
+    if f is not None and f != "text":
+        raise ValueError(
+            f"field qparser on an IndexTables targets the text field; "
+            f"route {f!r} through fields.search_parsed_fields"
+        )
     terms = analyze_text(body)
     if not terms:
         return _empty(index)
@@ -238,9 +262,10 @@ def _complexphrase_qparser(index, params, body, k, round_dp):
                 return _empty(index)  # an unmatchable position
             clauses.append(expanded)
         else:
-            terms = analyze_text(word)
-            if terms:
-                clauses.append(terms[0])
+            # a word may analyze to several tokens ('data-base' -> data,
+            # base): each becomes its own chain position, like the classic
+            # parser's multi-token phrase expansion
+            clauses.extend(analyze_text(word))
     if not clauses:
         return _empty(index)
     if len(clauses) == 1:
@@ -269,6 +294,9 @@ def _maxscore_qparser(index, params, body, k, round_dp):
         raise ValueError("maxscore supports plain term boolean queries")
     must = [t.term for t in parsed.must]
     should = [t.term for t in parsed.should]
+    # per-clause ^boosts ride through like the lucene parser's (MaxScoreQParser
+    # extends LuceneQParser and keeps clause boosts)
+    boosts = {t.term: t.boost for t in (*parsed.must, *parsed.should)}
     terms = list(dict.fromkeys(must + should))
     if not terms:
         return _empty(index)
@@ -278,13 +306,16 @@ def _maxscore_qparser(index, params, body, k, round_dp):
         for i, t in enumerate(terms)
     ]
     per_doc = scored.groupBy("docid").agg(*aggs)
+
+    def _contrib(t: str):
+        c = F.coalesce(F.col(f"_s{terms.index(t)}"), F.lit(0.0))
+        return c * F.lit(boosts[t]) if boosts.get(t, 1.0) != 1.0 else c
+
     score = F.lit(0.0)
     for t in must:
-        score = score + F.coalesce(F.col(f"_s{terms.index(t)}"), F.lit(0.0))
+        score = score + _contrib(t)
     if should:
-        scols = [
-            F.coalesce(F.col(f"_s{terms.index(t)}"), F.lit(0.0)) for t in should
-        ]
+        scols = [_contrib(t) for t in should]
         mx = F.greatest(*scols) if len(scols) > 1 else scols[0]
         score = score + mx
         if tie != 0.0:
@@ -296,13 +327,9 @@ def _maxscore_qparser(index, params, body, k, round_dp):
     for t in must:
         out = out.filter(F.col(f"_s{terms.index(t)}").isNotNull())
     if parsed.must_not:
-        excl = (
-            index.postings.filter(
-                F.col("term").isin([t.term for t in parsed.must_not])
-            )
-            .select("docid")
-            .distinct()
-        )
+        from lucene_solr_spark.search.bm25 import any_term_docset
+
+        excl = any_term_docset(index, [t.term for t in parsed.must_not])
         out = out.join(excl, "docid", "left_anti")
     return _topk(
         out.select("docid", F.round("score", round_dp).alias("score")), k
@@ -345,6 +372,8 @@ def _match_docset_for_string(index: IndexTables, body: str) -> DataFrame:
         RegexpQuery,
     )
 
+    from lucene_solr_spark.search.bm25 import any_term_docset
+
     parsed = parse_query(body)
     if isinstance(parsed, TermQuery):
         parsed = BooleanQuery(should=(parsed,))
@@ -354,32 +383,26 @@ def _match_docset_for_string(index: IndexTables, body: str) -> DataFrame:
         return _matched_docset(index, parsed)
     if isinstance(parsed, CompositeQuery) or not isinstance(parsed, BooleanQuery):
         raise ValueError("join sub-query supports term/boolean/multi-term bodies")
-    p = index.postings
     out = None
     if parsed.must:
         terms = [t.term for t in parsed.must]
         out = (
-            p.filter(F.col("term").isin(terms))
+            index.postings.filter(F.col("term").isin(terms))
             .groupBy("docid")
             .agg(F.count_distinct("term").alias("_nt"))
             .filter(F.col("_nt") == len(set(terms)))
             .select("docid")
         )
     elif parsed.should:
-        out = (
-            p.filter(F.col("term").isin([t.term for t in parsed.should]))
-            .select("docid")
-            .distinct()
-        )
+        out = any_term_docset(index, [t.term for t in parsed.should])
     if out is None:
         raise ValueError("join sub-query needs >= 1 positive clause")
     if parsed.must_not:
-        excl = (
-            p.filter(F.col("term").isin([t.term for t in parsed.must_not]))
-            .select("docid")
-            .distinct()
+        out = out.join(
+            any_term_docset(index, [t.term for t in parsed.must_not]),
+            "docid",
+            "left_anti",
         )
-        out = out.join(excl, "docid", "left_anti")
     return out
 
 
@@ -441,9 +464,8 @@ def _surround_qparser(index, params, body, k, round_dp):
                 return _empty(index)
             clauses.append(expanded)
         else:
-            terms = analyze_text(w)
-            if terms:
-                clauses.append(terms[0])
+            # multi-token operands contribute one chain position per token
+            clauses.extend(analyze_text(w))
     if len(clauses) < 2:
         raise ValueError("surround distance op needs >= 2 operands")
     out = span_near_topk(

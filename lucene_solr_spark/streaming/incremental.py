@@ -198,7 +198,7 @@ class StreamingIndexer:
         input_path: str,
         checkpoint_dir: str,
         max_files_per_trigger: int | None = None,
-        available_now: bool = True,
+        available_now: bool | None = None,
         commit_within_ms: int | None = None,
     ):
         """readStream(parquet pages) -> foreachBatch(process_batch).
@@ -209,7 +209,15 @@ class StreamingIndexer:
         the generation that makes them searchable soft-commits;
         ``max_files_per_trigger`` bounds batch size (the maxDocs knob at
         file granularity).  ``available_now`` = drain-and-stop instead of a
-        continuous schedule."""
+        continuous schedule; it defaults to True and is mutually exclusive
+        with ``commit_within_ms`` (a continuous trigger cannot also
+        drain-and-stop) — passing both explicitly raises."""
+        if commit_within_ms is not None and available_now:
+            raise ValueError(
+                "available_now and commit_within_ms are mutually exclusive"
+            )
+        if available_now is None:
+            available_now = commit_within_ms is None
         reader = (
             self.spark.readStream.schema(PAGES_DDL).format("parquet")
         )

@@ -226,3 +226,54 @@ def test_join_qparser_boolean_body_and_bad_field(index):
 def test_unknown_qparser_raises(index):
     with pytest.raises(ValueError, match="unknown qparser"):
         qparser_search(index, "{!switch case=x}y")
+
+
+# -- review-pass regressions ---------------------------------------------------
+
+def test_undefined_field_raises(index):
+    for q in ["{!term f=lagn}en", "{!terms f=nope}a,b", "{!prefix f=bogus}x"]:
+        with pytest.raises(ValueError, match="undefined field"):
+            qparser_search(index, q)
+    with pytest.raises(ValueError, match="search_parsed_fields"):
+        qparser_search(index, "{!field f=lang}en")
+
+
+def test_maxscore_applies_clause_boosts(index):
+    from lucene_solr_spark.search.bm25 import term_scores
+
+    out = qparser_search(index, "{!maxscore}table^2 vector", k=10)
+    s = term_scores(index, ["table", "vector"])
+    per = s.groupBy("docid").agg(
+        F.max(F.when(F.col("term") == "table", F.col("score"))).alias("a"),
+        F.max(F.when(F.col("term") == "vector", F.col("score"))).alias("b"),
+    )
+    expect = (
+        per.select(
+            "docid",
+            F.round(
+                F.greatest(
+                    F.coalesce(F.col("a"), F.lit(0.0)) * 2.0,
+                    F.coalesce(F.col("b"), F.lit(0.0)),
+                ),
+                4,
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(10)
+    )
+    assert _pairs(out) == _pairs(expect)
+
+
+def test_local_params_quoted_brace():
+    t, p, b = parse_local_params("{!term f=lang v='a}b'}ignored")
+    assert (t, p["f"], b) == ("term", "lang", "a}b")
+
+
+def test_complexphrase_multi_token_word(index):
+    from lucene_solr_spark.search import PhraseQuery, search
+
+    # 'table-scan' analyzes to two tokens -> a 2-position chain, same as the
+    # exact phrase
+    out = qparser_search(index, '{!complexphrase}"table-scan"', k=10)
+    expect = search(index, PhraseQuery(("table", "scan")), k=10)
+    assert _pairs(out) == _pairs(expect)

@@ -315,3 +315,14 @@ def test_commit_within_processing_time_trigger(spark, pages, tmp_path):
     assert head is not None, "stream never soft-committed a generation"
     idx = load_streaming_index(spark, root)
     assert idx.max_doc == n_docs
+
+
+def test_commit_within_excludes_available_now(spark, tmp_path):
+    from lucene_solr_spark.streaming import StreamingIndexer
+
+    indexer = StreamingIndexer(spark, str(tmp_path / "s"), num_index_partitions=2)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        indexer.start(
+            str(tmp_path / "in"), str(tmp_path / "c"),
+            available_now=True, commit_within_ms=500,
+        )
