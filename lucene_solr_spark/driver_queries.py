@@ -2478,6 +2478,29 @@ ORDER BY docid ASC LIMIT 20""",
 _register_filtercache_query()
 
 
+def _register_terms_bounded_query():
+    @_q(
+        "terms_component_bounded",
+        f"""{PRELUDE}
+SELECT term, df FROM tstat
+WHERE term >= 'm' AND term < 't'
+  AND regexp_matches(term, '^(?:[a-z]+)$') AND df >= 2
+ORDER BY term ASC LIMIT 15""",
+    )
+    def terms_component_bounded(spark, sf_dir):
+        """TermsComponent param gates (TermsComponent.java:103-115):
+        terms.lower=m terms.upper=t terms.regexp=[a-z]+ terms.mincount=2
+        terms.sort=index."""
+        idx = get_index(spark, sf_dir)
+        return terms_component(
+            idx.segments, limit=15, lower="m", upper="t",
+            regex="[a-z]+", mincount=2, sort="index",
+        )
+
+
+_register_terms_bounded_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -2549,6 +2572,7 @@ _DEFER_LAST = [
     "spellcheck_collate",       # spellcheck_term (collation layer over the same lookup)
     "urp_signature_dedupe",     # dedup_exact (same hash-groupBy, URP front door)
     "filter_cache_intersect",   # boolean_and/boolean_not (same docsets, cached-filter front door)
+    "terms_component_bounded",  # terms_component (param-gate variant)
 ]
 
 

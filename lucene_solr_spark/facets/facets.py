@@ -281,9 +281,44 @@ def expand_component(
     )
 
 
-def terms_component(segments: DataFrame, limit: int = 20, prefix: str | None = None) -> DataFrame:
-    """TermsComponent: raw dictionary enumeration (term, df) by df desc."""
+def terms_component(
+    segments: DataFrame,
+    limit: int = 20,
+    prefix: str | None = None,
+    lower: str | None = None,
+    upper: str | None = None,
+    lower_incl: bool = True,
+    upper_incl: bool = False,
+    regex: str | None = None,
+    mincount: int = 1,
+    maxcount: int | None = None,
+    sort: str = "count",
+) -> DataFrame:
+    """TermsComponent: raw dictionary enumeration (term, df).
+
+    Param gates per TermsComponent.java:103-115: ``terms.lower``/``upper``
+    with inclusivity flags (:105-106 — lower inclusive, upper exclusive by
+    default), ``terms.regexp`` (full-match over the term, like the
+    AutomatonQuery anchor), ``terms.mincount``/``maxcount`` df bounds
+    (:109-110), ``terms.sort`` = count (df desc) or index (term asc)
+    (:107-108)."""
     t = segments.select("term", "df")
     if prefix:
         t = t.where(F.col("term").startswith(prefix))
-    return t.orderBy(F.col("df").desc(), F.col("term").asc()).limit(limit)
+    c = F.col("term")
+    if lower is not None:
+        t = t.where(c >= lower if lower_incl else c > lower)
+    if upper is not None:
+        t = t.where(c <= upper if upper_incl else c < upper)
+    if regex is not None:
+        t = t.where(c.rlike(f"^(?:{regex})$"))
+    if mincount > 1:
+        t = t.where(F.col("df") >= mincount)
+    if maxcount is not None:
+        t = t.where(F.col("df") <= maxcount)
+    order = (
+        [F.col("term").asc()]
+        if sort == "index"
+        else [F.col("df").desc(), F.col("term").asc()]
+    )
+    return t.orderBy(*order).limit(limit)
