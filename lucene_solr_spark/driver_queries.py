@@ -2501,6 +2501,45 @@ ORDER BY term ASC LIMIT 15""",
 _register_terms_bounded_query()
 
 
+_HL_MULTI_POS = (
+    "least(CASE WHEN strpos(lower(d.text), 'table') > 0 "
+    "THEN strpos(lower(d.text), 'table') ELSE 1073741824 END, "
+    "CASE WHEN strpos(lower(d.text), 'merge') > 0 "
+    "THEN strpos(lower(d.text), 'merge') ELSE 1073741824 END)"
+)
+
+
+def _register_highlight_multi_query():
+    @_q(
+        "highlight_multi",
+        PRELUDE
+        + ",\ntopk AS (\n"
+        + bool_sql(should=("table", "merge"), as_cte="topk")
+        + "\n)\n"
+        + "SELECT t.docid, t.score,\n"
+        + f"  regexp_replace(substr(d.text, greatest({_HL_MULTI_POS} - 30, 1), 120),"
+        + " '(?i)(table|merge)', '<em>\\1</em>', 'g') AS snippet\n"
+        + "FROM topk t JOIN docsrc d ON d.docid = t.docid\n"
+        + "ORDER BY t.score DESC, t.docid ASC",
+    )
+    def highlight_multi(spark, sf_dir):
+        """Multi-term highlighting (QueryTermScorer over every query term,
+        Highlighter.java:54-110): anchor at the first occurrence of ANY
+        term, wrap every in-fragment occurrence."""
+        from lucene_solr_spark.search.highlight import highlight_topk
+
+        idx = get_index(spark, sf_dir)
+        stored = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").alias("docid"), "text"
+        )
+        return highlight_topk(
+            idx, stored, ["table", "merge"], k=10, frag_size=120, context=30
+        )
+
+
+_register_highlight_multi_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -2573,6 +2612,7 @@ _DEFER_LAST = [
     "urp_signature_dedupe",     # dedup_exact (same hash-groupBy, URP front door)
     "filter_cache_intersect",   # boolean_and/boolean_not (same docsets, cached-filter front door)
     "terms_component_bounded",  # terms_component (param-gate variant)
+    "highlight_multi",          # highlight_topk (multi-term formatter variant)
 ]
 
 

@@ -54,27 +54,65 @@ def highlight_fragment(
     )
 
 
+_NOT_FOUND = 1 << 30  # instr sentinel: "term absent" sorts after any real hit
+
+
+def highlight_fragment_multi(
+    text_col: F.Column,
+    terms: list[str],
+    frag_size: int = 120,
+    context: int = 30,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> F.Column:
+    """Multi-term snippet: the fragment anchors at the FIRST occurrence of
+    ANY query term (QueryTermScorer scores every query term, Highlighter.java
+    :54-110), and every in-fragment occurrence of every term wraps pre/post."""
+    lowered = [t.lower() for t in terms]
+    positions = [
+        F.when(
+            F.instr(F.lower(text_col), t) > 0, F.instr(F.lower(text_col), t)
+        ).otherwise(F.lit(_NOT_FOUND))
+        for t in lowered
+    ]
+    pos = F.least(*positions) if len(positions) > 1 else positions[0]
+    start = F.greatest(pos - F.lit(context), F.lit(1))
+    frag = text_col.substr(start, F.lit(frag_size))
+    pattern = "(?i)(" + "|".join(re.escape(t) for t in lowered) + ")"
+    return F.regexp_replace(frag, pattern, pre + "$1" + post)
+
+
 def highlight_topk(
     index: IndexTables,
     stored: DataFrame,
-    term: str,
+    term: str | list[str],
     k: int = 10,
     frag_size: int = 120,
     context: int = 30,
 ) -> DataFrame:
-    """Top-k search for ``term`` + snippet -> (docid, score, snippet).
+    """Top-k search for ``term`` (one term or a term-OR list) + snippet ->
+    (docid, score, snippet).
 
     ``stored`` must carry (docid, text) — the stored-fields source (the
     pages/documents table itself; see SURVEY §1.1 stored-fields row).
     """
-    # fold case like the query analyzer would — the term dictionary only
-    # holds lowercased terms, so a capitalized user term must not turn the
-    # MUST clause into a miss while the fragmenter still matches
-    term = term.lower()
-    top = search(index, term, k=k)
-    snip = highlight_fragment(
-        F.col("text"), term, frag_size=frag_size, context=context
-    )
+    if isinstance(term, str):
+        # fold case like the query analyzer would — the term dictionary only
+        # holds lowercased terms, so a capitalized user term must not turn
+        # the MUST clause into a miss while the fragmenter still matches
+        term = term.lower()
+        top = search(index, term, k=k)
+        snip = highlight_fragment(
+            F.col("text"), term, frag_size=frag_size, context=context
+        )
+    else:
+        from lucene_solr_spark.search.query import BooleanQuery
+
+        terms = [t.lower() for t in term]
+        top = search(index, BooleanQuery.of(should=terms), k=k)
+        snip = highlight_fragment_multi(
+            F.col("text"), terms, frag_size=frag_size, context=context
+        )
     # broadcast the k-row hit list into the stored-fields scan: the docid
     # filter reaches the Parquet scan via the broadcast join, so this reads
     # one page of hits, never the corpus

@@ -169,3 +169,18 @@ def test_collate_unknown_everything_is_empty(corpus):
 
     idx, _ = corpus
     assert collate(idx, "zzzzzzzzzz", ["merge"]).count() == 0
+
+
+def test_highlight_multi_anchors_first_of_any_and_wraps_all(spark, corpus):
+    from lucene_solr_spark.search.highlight import highlight_topk
+
+    idx, stored = corpus
+    out = {r.docid: r.snippet for r in
+           highlight_topk(idx, stored, ["merge", "runs"], k=10).collect()}
+    assert out  # merge/runs docs exist
+    snip0 = out[0]  # "The merge phase sorts runs. MERGE again merges sorted runs."
+    assert "<em>merge</em>" in snip0.lower() or "<em>MERGE</em>" in snip0
+    assert "<em>runs</em>" in snip0  # BOTH terms wrapped, not just the first
+    # anchor = first occurrence of ANY term: 'merge' precedes 'runs' in doc 0,
+    # so the fragment starts at/before 'merge' (context window)
+    assert snip0.lower().find("<em>merge</em>") < snip0.find("<em>runs</em>")
