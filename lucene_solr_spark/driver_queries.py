@@ -2540,6 +2540,41 @@ def _register_highlight_multi_query():
 _register_highlight_multi_query()
 
 
+def _register_group_offset_query():
+    @_q(
+        "group_offset_orders",
+        """SELECT o_orderpriority, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(group_rank AS INT) AS group_rank
+FROM (
+  SELECT o_orderpriority, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS group_rank
+  FROM orders
+)
+WHERE group_rank > 1 AND group_rank <= 3
+ORDER BY o_orderpriority ASC, group_rank ASC""",
+    )
+    def group_offset_orders(spark, sf_dir):
+        """group.offset=1 group.limit=2 (Grouping.java:95,164 groupOffset):
+        rows 2-3 of each priority group by total price."""
+        from lucene_solr_spark.facets import group_topk
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        out = group_topk(
+            orders, "o_orderpriority",
+            [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+            k=2, offset=1,
+        )
+        return out.select(
+            "o_orderpriority",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("group_rank").cast("int").alias("group_rank"),
+        ).orderBy("o_orderpriority", "group_rank")
+
+
+_register_group_offset_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -2613,6 +2648,7 @@ _DEFER_LAST = [
     "filter_cache_intersect",   # boolean_and/boolean_not (same docsets, cached-filter front door)
     "terms_component_bounded",  # terms_component (param-gate variant)
     "highlight_multi",          # highlight_topk (multi-term formatter variant)
+    "group_offset_orders",      # group_top2_orders_per_priority (group.offset paging)
 ]
 
 

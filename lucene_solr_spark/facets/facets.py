@@ -244,13 +244,18 @@ def group_topk(
     group_field: str,
     order_by: list[Column],
     k: int = 1,
+    offset: int = 0,
 ) -> DataFrame:
     """Grouping (field collapse): top-k rows per group by the given ordering.
-    Solr's two-pass TermFirst/SecondPassGroupingCollector becomes one window."""
+    Solr's two-pass TermFirst/SecondPassGroupingCollector becomes one window.
+    ``offset`` is group.offset (Grouping.java:95,164 groupOffset): skip the
+    first N rows WITHIN each group before taking k."""
     w = Window.partitionBy(group_field).orderBy(*order_by)
     return (
         results.withColumn("group_rank", F.row_number().over(w))
-        .where(F.col("group_rank") <= k)
+        .where(
+            (F.col("group_rank") > offset) & (F.col("group_rank") <= offset + k)
+        )
     )
 
 
