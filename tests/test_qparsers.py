@@ -277,3 +277,46 @@ def test_complexphrase_multi_token_word(index):
     out = qparser_search(index, '{!complexphrase}"table-scan"', k=10)
     expect = search(index, PhraseQuery(("table", "scan")), k=10)
     assert _pairs(out) == _pairs(expect)
+
+
+def test_local_params_roundtrip_property():
+    """Render random local-params strings and parse them back: type, every
+    k=v pair, and the body must round-trip exactly."""
+    import string
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    key = st.text(alphabet=string.ascii_lowercase + "_", min_size=1, max_size=8)
+    # values: quotable arbitrary text (no quote chars mixed — pick quoting to
+    # match), or bare tokens without whitespace/quotes/braces
+    bare = st.text(
+        alphabet=string.ascii_letters + string.digits + ".,-*", min_size=1, max_size=10
+    )
+    quoted = st.text(
+        alphabet=string.ascii_letters + string.digits + " }{.,-*", min_size=0, max_size=12
+    ).filter(lambda s: "'" not in s)
+    qtype = st.sampled_from(["term", "terms", "frange", "lucene", "maxscore"])
+    body = st.text(
+        alphabet=string.ascii_letters + string.digits + " .-*", max_size=20
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        t=qtype,
+        params=st.dictionaries(key, st.one_of(bare, quoted), max_size=4),
+        b=body,
+    )
+    def prop(t, params, b):
+        params = {k: v for k, v in params.items() if k not in ("type", "v")}
+        rendered = (
+            "{!" + t
+            + "".join(f" {k}='{v}'" for k, v in params.items())
+            + "}" + b
+        )
+        pt, pp, pb = parse_local_params(rendered)
+        assert pt == t
+        assert pp == params
+        assert pb == b.strip()
+
+    prop()
