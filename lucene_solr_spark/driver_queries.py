@@ -2575,6 +2575,64 @@ ORDER BY o_orderpriority ASC, group_rank ASC""",
 _register_group_offset_query()
 
 
+def _register_highlight_snippets_query():
+    @_q(
+        "highlight_snippets",
+        PRELUDE
+        + ",\ntopk AS (\n"
+        + bool_sql(must=("table",), as_cte="topk")
+        + "\n),\n"
+        + """tiled AS (
+  -- unnest BEFORE the topk join: DuckDB 1.0's binder miscompiles an unnest
+  -- alias used downstream when the unnest SELECT also joins
+  SELECT docid,
+         unnest(generate_series(1, CAST(greatest(length(text), 1) AS BIGINT), 80)) AS frag_start,
+         text
+  FROM docsrc
+),
+hits AS (
+  SELECT ti.docid, ti.frag_start, ti.text
+  FROM tiled ti JOIN topk t ON t.docid = ti.docid
+),
+scored AS (
+  SELECT docid, frag_start,
+         CAST((length(lower(substr(text, frag_start, 80)))
+               - length(replace(lower(substr(text, frag_start, 80)), 'table', ''))) / 5 AS INT) AS matches,
+         regexp_replace(substr(text, frag_start, 80), '(?i)(table)', '<em>\\1</em>', 'g') AS snippet
+  FROM hits
+)
+SELECT docid, frag_start, matches, snippet
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY docid ORDER BY matches DESC, frag_start ASC) AS rnk
+  FROM scored WHERE matches > 0
+)
+WHERE rnk <= 3
+ORDER BY docid ASC, matches DESC, frag_start ASC""",
+    )
+    def highlight_snippets_q(spark, sf_dir):
+        """hl.snippets=3 (Highlighter.getBestFragments, Highlighter.java:
+        166-223): the 3 best fixed-size fragments per top-10 'table' hit,
+        ranked by match count."""
+        from lucene_solr_spark.search.highlight import highlight_snippets
+
+        idx = get_index(spark, sf_dir)
+        stored = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").alias("docid"), "text"
+        )
+        out = highlight_snippets(
+            idx, stored, "table", k=10, n_frags=3, frag_size=80
+        )
+        return out.select(
+            "docid",
+            F.col("frag_start").cast("long").alias("frag_start"),
+            "matches",
+            "snippet",
+        )
+
+
+_register_highlight_snippets_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -2649,6 +2707,7 @@ _DEFER_LAST = [
     "terms_component_bounded",  # terms_component (param-gate variant)
     "highlight_multi",          # highlight_topk (multi-term formatter variant)
     "group_offset_orders",      # group_top2_orders_per_priority (group.offset paging)
+    "highlight_snippets",       # highlight_topk (best-N fragments variant)
 ]
 
 

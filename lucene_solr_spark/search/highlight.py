@@ -122,3 +122,60 @@ def highlight_topk(
         .select("docid", "score", snip.alias("snippet"))
         .orderBy(F.col("score").desc(), F.col("docid").asc())
     )
+
+
+def highlight_snippets(
+    index: IndexTables,
+    stored: DataFrame,
+    term: str,
+    k: int = 10,
+    n_frags: int = 3,
+    frag_size: int = 80,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> DataFrame:
+    """hl.snippets=N: the best N fragments per top-k doc
+    (Highlighter.getBestFragments, Highlighter.java:166-223: fragments
+    ranked by score — here the literal match count — best first).
+
+    Distributed shape: the stored text tiles into fixed windows via
+    ``sequence`` + ``explode`` (SimpleFragmenter's fixed-size cut), each
+    window counts its matches with codegen string ops, and a per-doc window
+    rank keeps the best N — all Catalyst, the explode fans out only k docs'
+    windows, never the corpus.  Returns (docid, frag_start, matches,
+    snippet) ordered (docid, rank)."""
+    q = term.lower()
+    top = search(index, q, k=k)
+    joined = stored.select("docid", "text").join(F.broadcast(top), "docid")
+    tiled = joined.select(
+        "docid",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(frag_size))
+        ).alias("frag_start"),
+        "text",
+    ).withColumn("frag", F.col("text").substr(F.col("frag_start"), F.lit(frag_size)))
+    # non-overlapping literal count via the replace trick — the identical
+    # expression runs in the DuckDB oracle
+    lower_frag = F.lower(F.col("frag"))
+    matches = (
+        (F.length(lower_frag) - F.length(F.replace(lower_frag, F.lit(q), F.lit(""))))
+        / F.lit(len(q))
+    ).cast("int")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("docid").orderBy(
+        F.col("matches").desc(), F.col("frag_start").asc()
+    )
+    import re as _re
+
+    snip = F.regexp_replace(
+        F.col("frag"), "(?i)(" + _re.escape(q) + ")", pre + "$1" + post
+    )
+    return (
+        tiled.withColumn("matches", matches)
+        .filter(F.col("matches") > 0)
+        .withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= n_frags)
+        .select("docid", "frag_start", "matches", snip.alias("snippet"))
+        .orderBy("docid", F.col("matches").desc(), "frag_start")
+    )
