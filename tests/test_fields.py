@@ -258,3 +258,35 @@ def test_edismax_bq_bf_additive(spark, mfi):
     assert set(bf) == set(base)
     for d in bf:
         assert bf[d] == pytest.approx(base[d] + math.log(3.0), abs=2e-4)
+
+
+def test_copyfield_catchall(spark):
+    """copyField (IndexSchema.java:139,738,810-811 registerCopyField): a
+    catchall destination field indexes the concatenation of its sources —
+    expressed as a computed field_exprs entry, the schema mechanism the
+    builder already has."""
+    rows = [
+        (0, "alpha beta", "gamma title"),
+        (1, "delta only", "epsilon heading"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, body string, title string")
+    mfi = build_multifield_index(
+        spark, docs, key_col="doc_id",
+        field_exprs={
+            "body": "body",
+            "title": "title",
+            "catchall": F.concat_ws(" ", F.col("title"), F.col("body")),
+        },
+        default_field="catchall", docid_col="doc_id",
+        num_index_partitions=2, persist=False,
+    )
+    from lucene_solr_spark.search import search
+
+    # terms from EITHER source match in the catchall field
+    assert {r.docid for r in search(mfi.of("catchall"), "gamma", k=5).collect()} == {0}
+    assert {r.docid for r in search(mfi.of("catchall"), "delta", k=5).collect()} == {1}
+    # source fields stay separately searchable with their own stats
+    assert {r.docid for r in search(mfi.of("body"), "gamma", k=5).collect()} == set()
+    # catchall doc length = title + body tokens (copy happens pre-analysis)
+    dl = {r.docid: r.num_terms for r in mfi.of("catchall").docs.collect()}
+    assert dl == {0: 4, 1: 4}
