@@ -2633,6 +2633,28 @@ ORDER BY docid ASC, matches DESC, frag_start ASC""",
 _register_highlight_snippets_query()
 
 
+def _register_return_fields_query():
+    @_q(
+        "return_fields_fl",
+        """SELECT doc_id AS docid, lang AS language, round(log10(n_chars), 4) AS nc
+FROM documents ORDER BY docid ASC LIMIT 20""",
+    )
+    def return_fields_fl(spark, sf_dir):
+        """fl=docid,language:lang,nc:log(n_chars)
+        (SolrReturnFields.java:80-131): rename + function pseudo-field in one
+        pruned projection."""
+        from lucene_solr_spark.search.returnfields import return_fields
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").alias("docid"), "lang", "n_chars"
+        )
+        out = return_fields(docs, "docid, language:lang, nc:log(n_chars)")
+        return out.withColumn("nc", F.round("nc", 4)).orderBy("docid").limit(20)
+
+
+_register_return_fields_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -2708,6 +2730,7 @@ _DEFER_LAST = [
     "highlight_multi",          # highlight_topk (multi-term formatter variant)
     "group_offset_orders",      # group_top2_orders_per_priority (group.offset paging)
     "highlight_snippets",       # highlight_topk (best-N fragments variant)
+    "return_fields_fl",         # function_query_recip_freshness (fl projection front door)
 ]
 
 

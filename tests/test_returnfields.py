@@ -1,0 +1,53 @@
+"""fl= return-fields: projection, renames, function pseudo-fields
+(SolrReturnFields.java:80-131)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.search.returnfields import parse_return_fields, return_fields
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(
+        [(0, "en", 100, 0.5), (1, "de", 400, 0.25)],
+        "docid long, lang string, n_chars int, score double",
+    )
+
+
+def test_plain_and_rename(frame):
+    out = return_fields(frame, "docid, language:lang, score")
+    assert out.columns == ["docid", "language", "score"]
+    assert {r.language for r in out.collect()} == {"en", "de"}
+
+
+def test_function_pseudo_field(frame):
+    import math
+
+    out = {r.docid: r.len2 for r in
+           return_fields(frame, "docid,len2:log(n_chars)").collect()}
+    assert out[0] == pytest.approx(math.log10(100))
+    assert out[1] == pytest.approx(math.log10(400))
+
+
+def test_nested_function_and_star(frame):
+    out = return_fields(frame, "docid, v:sum(log(n_chars),1)")
+    assert out.columns == ["docid", "v"]
+    allc = return_fields(frame, "*")
+    assert allc.columns == frame.columns
+
+
+def test_errors(frame):
+    with pytest.raises(ValueError, match="needs alias"):
+        parse_return_fields("log(n_chars)")
+    with pytest.raises(ValueError, match="cannot be aliased"):
+        parse_return_fields("x:*")
+    with pytest.raises(ValueError, match="empty fl"):
+        parse_return_fields("  , ")
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = return_fields(docs, "doc_id, nc:log(n_chars)")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "text" not in plan.split("ReadSchema")[-1][:200]  # column pruning
