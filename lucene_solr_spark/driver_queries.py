@@ -2655,6 +2655,35 @@ FROM documents ORDER BY docid ASC LIMIT 20""",
 _register_return_fields_query()
 
 
+def _register_search_filtered_query():
+    @_q(
+        "search_with_fq",
+        f"""{PRELUDE}
+SELECT docid, round(coalesce(s0, 0.0) + coalesce(s1, 0.0), 4) AS score
+FROM (
+  SELECT f.docid, {bool_case_cols(['table', 'merge'])}
+  {scored_from()}
+  WHERE f.term IN ('table', 'merge')
+  GROUP BY f.docid
+)
+WHERE docid IN (SELECT DISTINCT docid FROM tf WHERE term = 'merge')
+  AND docid NOT IN (SELECT docid FROM tf WHERE term = 'slow')
+ORDER BY score DESC, docid ASC LIMIT 10""",
+    )
+    def search_with_fq(spark, sf_dir):
+        """q='table merge' + fq=merge + fq=-slow (getDocListNC via
+        getProcessedFilter, SolrIndexSearcher.java:1004-1084,1555): the
+        filters restrict but never score; top-k applies after filtering."""
+        from lucene_solr_spark.search.filtercache import search_filtered
+
+        return search_filtered(
+            get_index(spark, sf_dir), "table merge", ["merge", "-slow"], k=10
+        )
+
+
+_register_search_filtered_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -2731,6 +2760,7 @@ _DEFER_LAST = [
     "group_offset_orders",      # group_top2_orders_per_priority (group.offset paging)
     "highlight_snippets",       # highlight_topk (best-N fragments variant)
     "return_fields_fl",         # function_query_recip_freshness (fl projection front door)
+    "search_with_fq",           # filter_cache_intersect (q+fq composition over it)
 ]
 
 

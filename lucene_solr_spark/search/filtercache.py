@@ -121,3 +121,52 @@ class FilterCache:
         for _, df, _ in self._entries.values():
             df.unpersist()
         self._entries.clear()
+
+
+def search_filtered(
+    index: IndexTables,
+    q,
+    fqs: list[str],
+    cache: "FilterCache | None" = None,
+    k: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """q + fq composition (SolrIndexSearcher.getDocListNC:1555 via
+    getProcessedFilter): the MAIN query scores; the processed filter
+    intersects the scored set WITHOUT contributing to scores; top-k applies
+    AFTER filtering (a filtered-out doc never displaces a hit).
+
+    ``q`` is a query string (classic grammar) or a BooleanQuery of term
+    clauses; ``fqs`` are filter-query strings (term/boolean/multi-term, plus
+    pure-negative forms)."""
+    from lucene_solr_spark.search.bm25 import _boolean_topk
+    from lucene_solr_spark.search.parser import CompositeQuery, parse_query
+    from lucene_solr_spark.search.query import BooleanQuery, TermQuery
+
+    if isinstance(q, str):
+        q = parse_query(q)
+    if isinstance(q, TermQuery):
+        q = BooleanQuery(should=(q,))
+    if isinstance(q, CompositeQuery) or not isinstance(q, BooleanQuery):
+        raise ValueError("search_filtered supports term-boolean main queries")
+    owns_cache = cache is None
+    if owns_cache:
+        cache = FilterCache(index)
+    try:
+        scored = _boolean_topk(index, q, k, round_dp)  # unlimited scored set
+        filt = cache.filtered(fqs)
+        out = (
+            scored.join(filt, "docid", "left_semi")
+            .orderBy(F.col("score").desc(), F.col("docid").asc())
+            .limit(k)
+        )
+        if owns_cache:
+            # materialize before releasing the ad-hoc cache's persisted sets
+            rows = out.collect()
+            return index.postings.sparkSession.createDataFrame(
+                rows, "docid long, score double"
+            )
+        return out
+    finally:
+        if owns_cache:
+            cache.clear()

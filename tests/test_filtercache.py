@@ -68,3 +68,30 @@ def test_cache_reuses_same_frame(index):
     assert a is b
     assert fc.stats()["hits"] == 1
     fc.clear()
+
+
+def test_search_filtered_scores_from_q_only(index):
+    """getDocListNC: fq restricts, never scores; top-k applies after."""
+    from lucene_solr_spark.search.bm25 import _boolean_topk
+    from lucene_solr_spark.search.filtercache import search_filtered
+    from lucene_solr_spark.search.query import BooleanQuery
+
+    out = search_filtered(index, "table merge", ["merge", "-slow"], k=10)
+    got = [(r.docid, r.score) for r in out.collect()]
+    scored = _boolean_topk(index, BooleanQuery.of(should=["table", "merge"]), 10, 4)
+    allowed = _brute(index, must=["merge"], must_not=["slow"])
+    expect = sorted(
+        ((r.docid, r.score) for r in scored.collect() if r.docid in allowed),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert got == expect
+
+
+def test_search_filtered_reuses_supplied_cache(index):
+    from lucene_solr_spark.search.filtercache import FilterCache, search_filtered
+
+    fc = FilterCache(index)
+    search_filtered(index, "table", ["merge"], cache=fc, k=5).collect()
+    search_filtered(index, "vector", ["merge"], cache=fc, k=5).collect()
+    assert fc.stats()["hits"] == 1  # the merge DocSet served from cache
+    fc.clear()
