@@ -149,24 +149,29 @@ def search_filtered(
         q = BooleanQuery(should=(q,))
     if isinstance(q, CompositeQuery) or not isinstance(q, BooleanQuery):
         raise ValueError("search_filtered supports term-boolean main queries")
-    owns_cache = cache is None
-    if owns_cache:
-        cache = FilterCache(index)
-    try:
-        scored = _boolean_topk(index, q, k, round_dp)  # unlimited scored set
+    scored = _boolean_topk(index, q, k, round_dp)  # unlimited scored set
+    if cache is not None:
         filt = cache.filtered(fqs)
-        out = (
-            scored.join(filt, "docid", "left_semi")
-            .orderBy(F.col("score").desc(), F.col("docid").asc())
-            .limit(k)
-        )
-        if owns_cache:
-            # materialize before releasing the ad-hoc cache's persisted sets
-            rows = out.collect()
-            return index.postings.sparkSession.createDataFrame(
-                rows, "docid long, score double"
-            )
-        return out
-    finally:
-        if owns_cache:
-            cache.clear()
+    else:
+        # one-shot: build the processed filter lazily — no persist/count
+        # jobs, no cache bookkeeping (smallest-first needs sizes, which only
+        # the cache tracks; AQE reorders uncached joins at runtime)
+        if not fqs:
+            raise ValueError("search_filtered needs >= 1 fq")
+        filt = None
+        negs = []
+        for fq in fqs:
+            kind, df = _parse_filter(index, fq)
+            if kind == "neg":
+                negs.append(df)
+            else:
+                filt = df if filt is None else filt.join(df, "docid", "left_semi")
+        if filt is None:
+            filt = index.docs.select("docid")
+        for df in negs:
+            filt = filt.join(df, "docid", "left_anti")
+    return (
+        scored.join(filt, "docid", "left_semi")
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )

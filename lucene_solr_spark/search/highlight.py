@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lucene_solr_spark.index.builder import IndexTables
@@ -68,6 +68,8 @@ def highlight_fragment_multi(
     """Multi-term snippet: the fragment anchors at the FIRST occurrence of
     ANY query term (QueryTermScorer scores every query term, Highlighter.java
     :54-110), and every in-fragment occurrence of every term wraps pre/post."""
+    if not terms:
+        raise ValueError("highlighting needs >= 1 term")
     lowered = [t.lower() for t in terms]
     positions = [
         F.when(
@@ -108,6 +110,8 @@ def highlight_topk(
     else:
         from lucene_solr_spark.search.query import BooleanQuery
 
+        if not term:
+            raise ValueError("highlighting needs >= 1 term")
         terms = [t.lower() for t in term]
         top = search(index, BooleanQuery.of(should=terms), k=k)
         snip = highlight_fragment_multi(
@@ -161,15 +165,11 @@ def highlight_snippets(
         (F.length(lower_frag) - F.length(F.replace(lower_frag, F.lit(q), F.lit(""))))
         / F.lit(len(q))
     ).cast("int")
-    from pyspark.sql import Window
-
     w = Window.partitionBy("docid").orderBy(
         F.col("matches").desc(), F.col("frag_start").asc()
     )
-    import re as _re
-
     snip = F.regexp_replace(
-        F.col("frag"), "(?i)(" + _re.escape(q) + ")", pre + "$1" + post
+        F.col("frag"), "(?i)(" + re.escape(q) + ")", pre + "$1" + post
     )
     return (
         tiled.withColumn("matches", matches)

@@ -20,10 +20,34 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_ENTRY_RE = re.compile(
-    r"""\s*(?:(?P<alias>[A-Za-z_][A-Za-z0-9_]*)\s*:\s*)?"""
-    r"""(?P<body>\*|[A-Za-z_][A-Za-z0-9_.]*(?:\([^()]*(?:\([^()]*\)[^()]*)*\))?)\s*"""
-)
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+_ALIAS_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)\s*:\s*(.+)$", re.DOTALL)
+
+
+def _split_entries(fl: str) -> list[str]:
+    """Split on commas/whitespace at paren depth 0 — function pseudo-fields
+    nest arbitrarily deep, so this is a scanner, not a regex."""
+    entries: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for ch in fl:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced parens in fl: {fl!r}")
+        if depth == 0 and ch in ", \t\n":
+            if buf:
+                entries.append("".join(buf))
+                buf = []
+            continue
+        buf.append(ch)
+    if depth != 0:
+        raise ValueError(f"unbalanced parens in fl: {fl!r}")
+    if buf:
+        entries.append("".join(buf))
+    return entries
 
 
 def parse_return_fields(
@@ -33,16 +57,12 @@ def parse_return_fields(
     from lucene_solr_spark.functions import parse_function_query
 
     out: list[tuple[str, Column | str]] = []
-    pos = 0
-    while pos < len(fl):
-        if fl[pos] in ", ":
-            pos += 1
-            continue
-        m = _ENTRY_RE.match(fl, pos)
-        if not m or m.end() == pos:
-            raise ValueError(f"bad fl entry at {fl[pos:]!r}")
-        pos = m.end()
-        alias, body = m.group("alias"), m.group("body")
+    for entry in _split_entries(fl):
+        alias = None
+        body = entry
+        m = _ALIAS_RE.match(entry)
+        if m:
+            alias, body = m.group(1), m.group(2)
         if body == "*":
             if alias:
                 raise ValueError("'*' cannot be aliased")
@@ -51,8 +71,10 @@ def parse_return_fields(
             if not alias:
                 raise ValueError(f"function pseudo-field needs alias: {body!r}")
             out.append((alias, parse_function_query(body, now_epoch_ms=now_epoch_ms)))
-        else:
+        elif _IDENT_RE.match(body):
             out.append((alias or body, F.col(body)))
+        else:
+            raise ValueError(f"bad fl entry: {entry!r}")
     if not out:
         raise ValueError("empty fl")
     return out
@@ -62,12 +84,21 @@ def return_fields(
     df: DataFrame, fl: str, now_epoch_ms: int | None = None
 ) -> DataFrame:
     """Apply an fl spec to a result frame (the doc page after search/join —
-    ``score`` is just a column here, matching the score pseudo-field)."""
+    ``score`` is just a column here, matching the score pseudo-field).
+
+    ``*`` expands to the frame's columns, skipping any name an explicit
+    entry already emits (Solr's fl dedupes — a field never appears twice)."""
     entries = parse_return_fields(fl, now_epoch_ms=now_epoch_ms)
+    explicit = {name for name, col in entries if not isinstance(col, str)}
     cols = []
+    emitted: set[str] = set()
     for name, col in entries:
         if isinstance(col, str) and col == "*":
-            cols.append(F.col("*"))
-        else:
+            for c in df.columns:
+                if c not in explicit and c not in emitted:
+                    cols.append(F.col(c))
+                    emitted.add(c)
+        elif name not in emitted:
             cols.append(col.alias(name))
+            emitted.add(name)
     return df.select(*cols)

@@ -51,3 +51,20 @@ def test_projection_prunes_scan(spark, sf_dir):
     out = return_fields(docs, "doc_id, nc:log(n_chars)")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "text" not in plan.split("ReadSchema")[-1][:200]  # column pruning
+
+
+def test_missing_separator_rejected(frame):
+    with pytest.raises(ValueError, match="trailing tokens|bad fl"):
+        return_fields(frame, "nc:log(n_chars)x").collect()
+
+
+def test_deep_nesting_allowed(frame):
+    out = return_fields(frame, "docid, v:sum(log(sum(n_chars,1)),1)")
+    assert out.columns == ["docid", "v"]
+    out.collect()
+
+
+def test_star_dedupes_explicit(frame):
+    out = return_fields(frame, "*, score")
+    assert out.columns.count("score") == 1
+    assert set(out.columns) == set(frame.columns)
