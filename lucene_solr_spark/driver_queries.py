@@ -2684,6 +2684,25 @@ ORDER BY score DESC, docid ASC LIMIT 10""",
 _register_search_filtered_query()
 
 
+def _register_sloppy_repeats_query():
+    # rows-only (no SQL oracle): the hasRpts pq loop is sequential per doc —
+    # same evidence class as sloppy_phrase_lucene; correctness evidence is
+    # the no-repeat differential (rpts kernel with empty groups == initSimple
+    # loop, 800 randomized cases) plus hand-executed repeat goldens
+    # (tests/test_bm25.py)
+    @_q("sloppy_phrase_repeats")
+    def sloppy_phrase_repeats(spark, sf_dir):
+        """PhraseQuery("table","table") slop=6 — SloppyPhraseScorer's repeats
+        machinery (SloppyPhraseScorer.java:150-186 advanceRpts, :310-320
+        advanceRepeatGroups): two distinct 'table' occurrences required."""
+        return search(
+            get_index(spark, sf_dir), PhraseQuery(("table", "table"), slop=6), k=10
+        )
+
+
+_register_sloppy_repeats_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -2761,6 +2780,7 @@ _DEFER_LAST = [
     "highlight_snippets",       # highlight_topk (best-N fragments variant)
     "return_fields_fl",         # function_query_recip_freshness (fl projection front door)
     "search_with_fq",           # filter_cache_intersect (q+fq composition over it)
+    "sloppy_phrase_repeats",    # sloppy_phrase_lucene (rows-only: hasRpts kernel)
 ]
 
 

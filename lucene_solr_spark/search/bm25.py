@@ -351,12 +351,111 @@ def lucene_sloppy_freq(pos_lists: list, slop: int) -> float:
     return freq
 
 
+def lucene_sloppy_freq_rpts(
+    slot_streams: list, groups: list[int], slop: int
+) -> float:
+    """SloppyPhraseScorer.phraseFreq WITH the repeats machinery, non-multi-
+    term case (SloppyPhraseScorer.java:102-133 main loop; initComplex
+    :253-261 = placeFirstPositions + advanceRepeatGroups + fillQueue;
+    advanceRepeatGroups non-MTP branch :310-320 — the j-th member of each
+    repeat group advances j extra positions so start state has no
+    collisions; advanceRpts :150-186 — after advancing a repeater, while it
+    collides (same RAW token position, collide() :199-209) with a group
+    member, advance the LESSER of the two (lesser() :188-196: by adjusted
+    position, then query offset); the rptStack re-queue dance :168-185 is a
+    heap rebuild here).
+
+    ``slot_streams`` — one ASCENDING adjusted stream per phrase SLOT
+    (raw position - slot offset); ``groups`` — repeat-group id per slot
+    (-1 for non-repeating; slots of the same term share an id), group
+    members listed in slot (query-offset) order."""
+    import heapq
+
+    k = len(slot_streams)
+    idx = [0] * k
+    pos = [int(s[0]) for s in slot_streams]
+
+    def advance(i: int) -> bool:
+        idx[i] += 1
+        if idx[i] >= len(slot_streams[i]):
+            return False
+        pos[i] = int(slot_streams[i][idx[i]])
+        return True
+
+    rg: dict[int, list[int]] = {}
+    for i, g in enumerate(groups):
+        if g >= 0:
+            rg.setdefault(g, []).append(i)
+    # advanceRepeatGroups (non-MTP): member j advances j extra times
+    for members in rg.values():
+        for j in range(1, len(members)):
+            for _ in range(j):
+                if not advance(members[j]):
+                    return 0.0
+    end = max(pos)
+    heap = [(pos[i], i) for i in range(k)]
+    heapq.heapify(heap)
+
+    def collide(i: int) -> int:
+        for j in rg[groups[i]]:
+            if j != i and pos[j] + j == pos[i] + i:
+                return j
+        return -1
+
+    freq = 0.0
+    _, pp = heapq.heappop(heap)
+    match_length = end - pos[pp]
+    next_pos = heap[0][0]
+    while True:
+        if not advance(pp):  # advancePP
+            break
+        if pos[pp] > end:
+            end = pos[pp]
+        exhausted = False
+        if groups[pp] >= 0:  # advanceRpts
+            cur = pp
+            moved_queue_member = False
+            while True:
+                j = collide(cur)
+                if j < 0:
+                    break
+                tgt = cur if (pos[cur], cur) < (pos[j], j) else j
+                if not advance(tgt):
+                    exhausted = True
+                    break
+                if pos[tgt] > end:
+                    end = pos[tgt]
+                if tgt != pp:
+                    moved_queue_member = True
+                cur = tgt  # Java: pp = lesser(pp, rg[k]); next collide on it
+            if exhausted:
+                break
+            if moved_queue_member:
+                # re-queue (:168-185): queue order is fully (position,
+                # offset)-determined, so a rebuild is the same end state
+                heap = [(pos[i], i) for i in range(k) if i != pp]
+                heapq.heapify(heap)
+        if pos[pp] > next_pos:  # done minimizing the current match
+            if match_length <= slop:
+                freq += 1.0 / (1 + match_length)
+            heapq.heappush(heap, (pos[pp], pp))
+            _, pp = heapq.heappop(heap)
+            next_pos = heap[0][0]
+            match_length = end - pos[pp]
+        else:
+            match_length = min(match_length, end - pos[pp])
+    if match_length <= slop:
+        freq += 1.0 / (1 + match_length)
+    return freq
+
+
 def sloppy_phrase_lucene_topk(
     index: IndexTables, q: PhraseQuery, round_dp: int = 4
 ) -> DataFrame:
-    """Sloppy phrase with EXACT SloppyPhraseScorer.phraseFreq semantics for
-    phrases without repeated terms (the hasRpts machinery,
-    SloppyPhraseScorer.java:165-390, is out of scope — repeats raise).
+    """Sloppy phrase with EXACT SloppyPhraseScorer.phraseFreq semantics —
+    the no-repeats fast loop (initSimple) for distinct-term phrases, the
+    repeats machinery (lucene_sloppy_freq_rpts) when the phrase repeats a
+    term.
 
     Shape: candidate docs are those containing ALL terms (semi-join chain on
     the positions table — same pushdown as the exact-phrase path); their
@@ -371,50 +470,85 @@ def sloppy_phrase_lucene_topk(
     terms = list(q.terms)
     if len(terms) < 2:
         raise ValueError("phrase needs >= 2 terms")
-    if len(set(terms)) != len(terms):
-        raise ValueError(
-            "repeated phrase terms need SloppyPhraseScorer's repeats "
-            "machinery; use the anchor-based _sloppy_phrase_topk"
-        )
     slop = int(q.slop)
-    pos = index.positions.filter(F.col("term").isin(terms))
-    offset = F.create_map(
-        *[x for i, t in enumerate(terms) for x in (F.lit(t), F.lit(i))]
-    )
-    adj = pos.withColumn("_adj", F.col("pos") - offset[F.col("term")])
-    # ONE shuffle: conditional collect_list per term (nulls are skipped), so
-    # the per-doc pivot needs no second aggregation
-    piv = adj.groupBy("docid", "dl_approx").agg(
+
+    if len(set(terms)) == len(terms):
+        pos = index.positions.filter(F.col("term").isin(terms))
+        offset = F.create_map(
+            *[x for i, t in enumerate(terms) for x in (F.lit(t), F.lit(i))]
+        )
+        adj = pos.withColumn("_adj", F.col("pos") - offset[F.col("term")])
+        # ONE shuffle: conditional collect_list per term (nulls are skipped),
+        # so the per-doc pivot needs no second aggregation
+        piv = adj.groupBy("docid", "dl_approx").agg(
+            *[
+                F.sort_array(
+                    F.collect_list(F.when(F.col("term") == t, F.col("_adj")))
+                ).alias(f"_t{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+        for i in range(len(terms)):
+            piv = piv.filter(F.size(f"_t{i}") > 0)
+
+        @pandas_udf("double")
+        def _freq(streams: pd.Series) -> pd.Series:
+            return streams.map(lambda pls: lucene_sloppy_freq(list(pls), slop))
+
+        arrs = F.array(*[F.col(f"_t{i}") for i in range(len(terms))])
+        hits = piv.withColumn("tf", _freq(arrs)).filter(F.col("tf") > 0)
+        return _idf_sum_bm25_topk(index, hits, terms, round_dp)
+
+    # repeats: pivot RAW positions per DISTINCT term; each SLOT derives its
+    # adjusted stream in the kernel (slot i of term t = raw[t] - i).  Repeat
+    # groups = slots sharing a term (non-MTP gatherRptGroups :383-407 — equal
+    # terms always collide at their first raw position).
+    dterms = list(dict.fromkeys(terms))
+    counts = {t: terms.count(t) for t in dterms}
+    slot_dterm = [dterms.index(t) for t in terms]
+    slot_groups = [
+        dterms.index(t) if counts[t] > 1 else -1 for t in terms
+    ]
+    pos = index.positions.filter(F.col("term").isin(dterms))
+    piv = pos.groupBy("docid", "dl_approx").agg(
         *[
             F.sort_array(
-                F.collect_list(F.when(F.col("term") == t, F.col("_adj")))
-            ).alias(f"_t{i}")
-            for i, t in enumerate(terms)
+                F.collect_list(F.when(F.col("term") == t, F.col("pos")))
+            ).alias(f"_t{j}")
+            for j, t in enumerate(dterms)
         ]
     )
-    for i in range(len(terms)):
-        piv = piv.filter(F.size(f"_t{i}") > 0)
+    for j, t in enumerate(dterms):
+        # a term repeated r times needs >= r occurrences in the doc
+        piv = piv.filter(F.size(f"_t{j}") >= counts[t])
 
     @pandas_udf("double")
-    def _freq(streams: pd.Series) -> pd.Series:
-        return streams.map(lambda pls: lucene_sloppy_freq(list(pls), slop))
+    def _freq_rpts(streams: pd.Series) -> pd.Series:
+        def one(raws):
+            slot_streams = [
+                [int(p) - i for p in raws[slot_dterm[i]]]
+                for i in range(len(slot_dterm))
+            ]
+            return lucene_sloppy_freq_rpts(slot_streams, slot_groups, slop)
 
-    arrs = F.array(*[F.col(f"_t{i}") for i in range(len(terms))])
-    hits = piv.withColumn("tf", _freq(arrs)).filter(F.col("tf") > 0)
+        return streams.map(one)
+
+    arrs = F.array(*[F.col(f"_t{j}") for j in range(len(dterms))])
+    hits = piv.withColumn("tf", _freq_rpts(arrs)).filter(F.col("tf") > 0)
+    # idfExplain sums over the query's TermStatistics[] — one entry PER
+    # PHRASE SLOT, repeats included (PhraseWeight builds stats per position)
     return _idf_sum_bm25_topk(index, hits, terms, round_dp)
 
 
 def _sloppy_dispatch(
     index: IndexTables, q: PhraseQuery, round_dp: int
 ) -> DataFrame:
-    """Sloppy-phrase dispatch: EXACT greedy SloppyPhraseScorer semantics
-    (sloppy_phrase_lucene_topk) for phrases without repeated terms — the
-    reference behavior; the anchor-based analytic reformulation
-    (_sloppy_phrase_topk) only for repeated-term phrases, where the greedy
-    kernel would need the hasRpts machinery."""
-    if len(set(q.terms)) == len(q.terms):
-        return sloppy_phrase_lucene_topk(index, q, round_dp)
-    return _sloppy_phrase_topk(index, q, round_dp)
+    """Sloppy-phrase dispatch: EXACT greedy SloppyPhraseScorer semantics for
+    every phrase — the initSimple loop for distinct terms, the hasRpts
+    machinery for repeated terms (both in sloppy_phrase_lucene_topk).  The
+    anchor-based analytic reformulation (_sloppy_phrase_topk) remains as the
+    SQL-expressible oracle form."""
+    return sloppy_phrase_lucene_topk(index, q, round_dp)
 
 
 def _as_clauses(terms: list) -> list[list[str]]:

@@ -511,11 +511,22 @@ def test_sloppy_lucene_topk_matches_corpus_oracle(index, oracle, terms, slop):
     _compare(got, want, 10)
 
 
-def test_sloppy_lucene_rejects_repeats(index):
+def test_sloppy_lucene_handles_repeats(index):
+    """Repeated-term phrases run the hasRpts kernel (formerly a ValueError);
+    results are non-empty on this corpus and every hit carries the term at
+    least twice."""
     from lucene_solr_spark.search.bm25 import sloppy_phrase_lucene_topk
 
-    with pytest.raises(ValueError):
-        sloppy_phrase_lucene_topk(index, PhraseQuery(("table", "table"), slop=2))
+    out = sloppy_phrase_lucene_topk(index, PhraseQuery(("table", "table"), slop=6))
+    rows = out.collect()
+    assert rows
+    multi = {
+        r.docid
+        for r in index.postings.filter(
+            (F.col("term") == "table") & (F.col("tf") >= 2)
+        ).collect()
+    }
+    assert {r.docid for r in rows} <= multi
 
 
 def test_mlt_term_selection_gates(index):
@@ -548,3 +559,63 @@ def test_mlt_term_selection_gates(index):
         ).collect()
     ]
     assert ungated == base
+
+
+def test_sloppy_rpts_kernel_no_repeat_differential():
+    """With no repeat groups the rpts kernel must equal the initSimple loop
+    bit-for-bit (shared main-loop semantics)."""
+    import random
+
+    from lucene_solr_spark.search.bm25 import (
+        lucene_sloppy_freq,
+        lucene_sloppy_freq_rpts,
+    )
+
+    rng = random.Random(7)
+    for _ in range(800):
+        k = rng.randint(2, 4)
+        streams = [
+            sorted(rng.sample(range(-3, 25), rng.randint(1, 7))) for _ in range(k)
+        ]
+        slop = rng.randint(0, 5)
+        assert lucene_sloppy_freq(
+            [list(s) for s in streams], slop
+        ) == lucene_sloppy_freq_rpts([list(s) for s in streams], [-1] * k, slop)
+
+
+def test_sloppy_rpts_kernel_goldens():
+    """Hand-executed SloppyPhraseScorer cases with repeated terms."""
+    from lucene_solr_spark.search.bm25 import lucene_sloppy_freq_rpts
+
+    # doc "a b a", phrase "a b a"~0: one exact match
+    assert lucene_sloppy_freq_rpts([[0, 2], [0], [-2, 0]], [0, -1, 0], 0) == 1.0
+    # phrase "a a" on a doc with ONE 'a': repeat-group init exhausts -> 0
+    assert lucene_sloppy_freq_rpts([[0], [-1]], [0, 0], 10) == 0.0
+    # doc "a x a", phrase "a a"~1: one match at matchLength 1 -> 0.5
+    assert lucene_sloppy_freq_rpts([[0, 2], [-1, 1]], [0, 0], 1) == 0.5
+    # slop monotonicity with a repeat group
+    prev = -1.0
+    for slop in range(0, 8):
+        f = lucene_sloppy_freq_rpts([[0, 2, 5], [0], [-2, 0, 3]], [0, -1, 0], slop)
+        assert f >= prev - 1e-12
+        prev = f
+
+
+def test_sloppy_phrase_repeats_end_to_end(spark, index):
+    """search() with a repeated-term sloppy phrase runs the repeats kernel:
+    distinct occurrences are required (a doc with a single 'table' never
+    matches "table ... table")."""
+    from pyspark.sql import functions as F
+    from lucene_solr_spark.search import PhraseQuery, search
+
+    q = PhraseQuery(("table", "table"), slop=6)
+    got = {r.docid: r.score for r in search(index, q, k=50).collect()}
+    # every hit has >= 2 'table' occurrences
+    multi = {
+        r.docid
+        for r in index.postings.filter(
+            (F.col("term") == "table") & (F.col("tf") >= 2)
+        ).collect()
+    }
+    assert set(got) <= multi
+    assert got  # the corpus has docs with repeated 'table'
