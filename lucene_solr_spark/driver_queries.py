@@ -2703,6 +2703,121 @@ def _register_sloppy_repeats_query():
 _register_sloppy_repeats_query()
 
 
+def _register_clean_queries():
+    """Web-corpus cleaning operators (textops/clean.py): the corpus has no
+    messy URLs / PII / repeated lines, so both engines synthesize them
+    deterministically from doc_id — the Spark side then runs the REAL
+    operator (regex canonicalization, redaction chain, line dedup) while the
+    oracle states the expected outcome independently, making each pair a
+    true cross-engine differential."""
+
+    @_q(
+        "clean_url_dedup",
+        """SELECT CAST(min(doc_id) AS BIGINT) AS docid
+FROM documents GROUP BY doc_id % 200 ORDER BY docid ASC""",
+    )
+    def clean_url_dedup(spark, sf_dir):
+        """Canonical-URL dedup: scheme/host case, www., trailing slash,
+        tracking params, and fragments all collapse — survivors are exactly
+        one per (host, path) identity, which the oracle derives analytically
+        as min(doc_id) per doc_id%200."""
+        from lucene_solr_spark.textops.clean import dedup_by_canonical_url
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        m = F.col("doc_id") % 4
+        suffix = (
+            F.when(m == 1, F.lit("/"))
+            .when(m == 2, F.lit("?utm_source=x"))
+            .when(m == 3, F.lit("#frag"))
+            .otherwise(F.lit(""))
+        )
+        host = F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.SiTe")).otherwise(
+            F.lit("site")
+        )
+        url = F.concat(
+            F.lit("https://"),
+            host,
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example/doc/"),
+            (F.col("doc_id") % 200).cast("string"),
+            suffix,
+        )
+        messy = d.select("doc_id", url.alias("url"))
+        return (
+            dedup_by_canonical_url(messy)
+            .select(F.col("doc_id").alias("docid"))
+            .orderBy("docid")
+        )
+
+    _PII_SYNTH_SQL = (
+        "concat('contact user', CAST(doc_id AS VARCHAR), '@mail.example tel "
+        "555-123-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), "
+        "' from 10.0.0.', CAST(doc_id % 256 AS VARCHAR), ' end')"
+    )
+
+    @_q(
+        "clean_redact_pii",
+        f"""SELECT CAST(doc_id AS BIGINT) AS docid,
+       regexp_replace(regexp_replace(regexp_replace({_PII_SYNTH_SQL},
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+         '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g'),
+         '(?:\\+?\\d{{1,3}}[-. (]{{1,2}})?\\d{{3}}[-. )]{{1,2}}\\d{{3}}[-. ]\\d{{4}}', '<PHONE>', 'g')
+       AS text
+FROM documents ORDER BY docid ASC LIMIT 20""",
+    )
+    def clean_redact_pii(spark, sf_dir):
+        """PII redaction differential: both engines synthesize the same
+        email/phone/IP-bearing text; Spark redacts through textops.clean,
+        DuckDB through the identical RE2-safe pattern chain."""
+        from lucene_solr_spark.textops.clean import redact_pii
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        synth = F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example tel 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" end"),
+        )
+        messy = d.select(F.col("doc_id").alias("docid"), synth.alias("text"))
+        return redact_pii(messy).orderBy("docid").limit(20)
+
+    @_q(
+        "clean_dedup_lines",
+        """SELECT CAST(doc_id AS BIGINT) AS docid,
+       array_to_string(
+         list_filter(split(t, chr(10)), (x, i) -> list_position(split(t, chr(10)), x) = i),
+         chr(10)) AS text
+FROM (
+  SELECT doc_id,
+         substr(text, 1, 20) || chr(10) || 'dup line' || chr(10) ||
+         substr(text, 1, 20) || chr(10) || substr(text, 21, 20) || chr(10) ||
+         'dup line' AS t
+  FROM documents
+) ORDER BY docid ASC LIMIT 20""",
+    )
+    def clean_dedup_lines(spark, sf_dir):
+        """Within-doc line dedup (C4-style span dedup at line granularity):
+        synthesized docs with repeated lines keep first occurrences in
+        order."""
+        from lucene_solr_spark.textops.clean import dedup_lines_within_doc
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        nl = F.lit("\n")
+        t = F.concat(
+            F.substring("text", 1, 20), nl, F.lit("dup line"), nl,
+            F.substring("text", 1, 20), nl, F.substring("text", 21, 20), nl,
+            F.lit("dup line"),
+        )
+        messy = d.select(F.col("doc_id").alias("docid"), t.alias("text"))
+        return dedup_lines_within_doc(messy).orderBy("docid").limit(20)
+
+
+_register_clean_queries()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -2781,6 +2896,9 @@ _DEFER_LAST = [
     "return_fields_fl",         # function_query_recip_freshness (fl projection front door)
     "search_with_fq",           # filter_cache_intersect (q+fq composition over it)
     "sloppy_phrase_repeats",    # sloppy_phrase_lucene (rows-only: hasRpts kernel)
+    "clean_url_dedup",          # dedup_exact (same survivor shape, URL-key variant)
+    "clean_redact_pii",         # text_quality (same per-row Catalyst text pass)
+    "clean_dedup_lines",        # text_fingerprint (same order-sensitive array pass)
 ]
 
 

@@ -1,0 +1,105 @@
+"""Web-corpus cleaning operators: URL canonicalization, PII redaction,
+within-document line dedup.
+
+These are the pre-training cleanup passes public pipelines describe —
+C4 (Raffel et al. 2020, §2.2: deduplicate three-sentence spans, discard
+pages with placeholder text) and Gopher/MassiveText (Rae et al. 2021,
+Appendix A: repetition filters, document dedup by URL and content).  All
+pure Catalyst — codegen'd string/array expressions, no Python, embarrassingly
+parallel (per-row maps plus one hash-aggregate for the URL dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# query params that never change page content (tracking/session noise) —
+# the canonicalization drop-list
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "ref", "sessionid",
+)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL for dedup keys:
+
+    * scheme + host lowercased; ``www.`` prefix dropped;
+    * fragment (``#...``) dropped;
+    * tracking query params dropped (TRACKING_PARAMS), ``?`` dropped when
+      no params survive;
+    * trailing ``/`` dropped (except a bare host root).
+
+    One codegen expression chain — regex surgery, no URL library."""
+    c = url
+    # split off and drop the fragment
+    c = F.regexp_replace(c, r"#.*$", "")
+    # lowercase scheme+host (up to the first '/' after '://')
+    head = F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    c = F.concat(F.lower(head), c.substr(F.length(head) + 1, F.lit(1 << 30)))
+    c = F.regexp_replace(c, r"^([a-z][a-z0-9+.-]*://)www\.", "$1")
+    # drop tracking params (with their values), then tidy separators
+    for p in TRACKING_PARAMS:
+        c = F.regexp_replace(c, r"([?&])" + p + r"=[^&#]*", "$1")
+    c = F.regexp_replace(c, r"&&+", "&")  # a&utm=x&b -> a&&b -> a&b
+    c = F.regexp_replace(c, r"\?&+", "?")  # ?utm=x&a -> ?&a -> ?a
+    c = F.regexp_replace(c, r"[?&]+$", "")  # ?utm=x -> ? -> (gone)
+    # slash before the query, and trailing slash (keep the bare host root)
+    c = F.regexp_replace(c, r"/+\?", "?")
+    c = F.regexp_replace(c, r"(://[^/?]+/.+?)/+$", "$1")
+    return c
+
+
+def dedup_by_canonical_url(
+    df: DataFrame, url_col: str = "url", key_col: str = "doc_id"
+) -> DataFrame:
+    """One survivor per canonical URL (re-crawl/tracking-variant dedup —
+    MassiveText dedups by URL before content): deterministic min-key
+    survivor, same shape as the exact content dedup (hash-groupBy with
+    map-side combine)."""
+    canon = df.withColumn("_curl", canonical_url(F.col(url_col)))
+    keep = canon.groupBy("_curl").agg(F.min(key_col).alias(key_col))
+    return canon.join(keep, ["_curl", key_col], "left_semi").drop("_curl")
+
+
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE = r"(?:\+?\d{1,3}[-. (]{1,2})?\d{3}[-. )]{1,2}\d{3}[-. ]\d{4}"
+_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str | None = None,
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+    ip_token: str = "<IP>",
+) -> DataFrame:
+    """Mask emails, phone-number shapes, and IPv4 literals with placeholder
+    tokens (the pre-training PII scrub every public pipeline applies before
+    release).  Pure regexp_replace chain; order matters (emails first so
+    their digits never half-match the phone pattern)."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, _EMAIL, email_token)
+    c = F.regexp_replace(c, _IPV4, ip_token)
+    c = F.regexp_replace(c, _PHONE, phone_token)
+    return df.withColumn(out or text_col, c)
+
+
+def dedup_lines_within_doc(
+    df: DataFrame, text_col: str = "text", out: str | None = None
+) -> DataFrame:
+    """Drop EXACT repeated lines within each document, keeping first
+    occurrences in order (the C4 three-sentence-span dedup simplified to
+    line granularity; Gopher's repetition filters measure the same signal).
+
+    Catalyst-only: split -> positional explode is avoided by a higher-order
+    filter — a line survives if its index equals the index of its first
+    occurrence (array_position on the original array)."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda x, i: F.array_position(lines, x) == i + F.lit(1),
+    )
+    return df.withColumn(out or text_col, F.array_join(kept, "\n"))

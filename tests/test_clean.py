@@ -1,0 +1,62 @@
+"""Web-corpus cleaning operators: URL canonicalization + dedup, PII
+redaction, within-doc line dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.textops.clean import (
+    canonical_url,
+    dedup_by_canonical_url,
+    dedup_lines_within_doc,
+    redact_pii,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+
+
+def test_canonical_url_rules(spark):
+    got = _canon(spark, [
+        "HTTPS://WWW.Example.COM/Path/Page/?utm_source=x&id=3#frag",
+        "https://example.com/Path/Page?id=3",
+        "http://example.com/",
+        "http://example.com/a/?gclid=abc",
+        "https://site.org/p?fbclid=1&utm_campaign=c",
+    ])
+    assert got[0] == "https://example.com/Path/Page?id=3"
+    assert got[1] == "https://example.com/Path/Page?id=3"
+    assert got[0] == got[1]  # tracking/case/slash variants collapse
+    assert got[2] == "http://example.com/"  # bare root slash survives
+    assert got[3] == "http://example.com/a"
+    assert got[4] == "https://site.org/p"
+
+
+def test_dedup_by_canonical_url(spark):
+    rows = [
+        (0, "https://www.a.com/x?utm_source=mail"),
+        (1, "https://a.com/x"),
+        (2, "https://a.com/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = {r.doc_id for r in dedup_by_canonical_url(df).collect()}
+    assert kept == {0, 2}  # min-key survivor of the {0,1} canonical group
+
+
+def test_redact_pii(spark):
+    rows = [(0, "mail me at jo.doe+x@site.org or call 555-123-4567 from 10.0.0.1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = redact_pii(df).collect()[0].text
+    assert "<EMAIL>" in out and "<PHONE>" in out and "<IP>" in out
+    assert "site.org" not in out and "555" not in out and "10.0.0.1" not in out
+
+
+def test_dedup_lines_within_doc(spark):
+    text = "keep one\nrepeat me\nkeep two\nrepeat me\nrepeat me\nkeep three"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    out = dedup_lines_within_doc(df).collect()[0].text
+    assert out == "keep one\nrepeat me\nkeep two\nkeep three"
+    # idempotent
+    df2 = spark.createDataFrame([(0, out)], "doc_id long, text string")
+    assert dedup_lines_within_doc(df2).collect()[0].text == out
