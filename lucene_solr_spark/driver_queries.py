@@ -2818,6 +2818,35 @@ FROM (
 _register_clean_queries()
 
 
+def _register_boilerplate_query():
+    @_q(
+        "clean_boilerplate",
+        """SELECT CAST(doc_id AS BIGINT) AS docid,
+       'h' || CAST(doc_id AS VARCHAR) || chr(10) || 'b' || CAST(doc_id AS VARCHAR) AS text
+FROM documents ORDER BY docid ASC LIMIT 20""",
+    )
+    def clean_boilerplate(spark, sf_dir):
+        """Corpus-level boilerplate removal (CCNet/RefinedWeb line-frequency
+        signal): a footer line shared by EVERY synthesized doc is stripped;
+        per-doc unique lines survive in order — the oracle states the
+        expected residue analytically."""
+        from lucene_solr_spark.textops.clean import strip_boilerplate_lines
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        nl = F.lit("\n")
+        t = F.concat(
+            F.lit("h"), F.col("doc_id").cast("string"), nl,
+            F.lit("shared footer line"), nl,
+            F.lit("b"), F.col("doc_id").cast("string"),
+        )
+        messy = d.select(F.col("doc_id").alias("docid"), t.alias("text"))
+        out = strip_boilerplate_lines(messy, id_col="docid", min_docs=5)
+        return out.orderBy("docid").limit(20)
+
+
+_register_boilerplate_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -2899,6 +2928,7 @@ _DEFER_LAST = [
     "clean_url_dedup",          # dedup_exact (same survivor shape, URL-key variant)
     "clean_redact_pii",         # text_quality (same per-row Catalyst text pass)
     "clean_dedup_lines",        # text_fingerprint (same order-sensitive array pass)
+    "clean_boilerplate",        # dedup_exact (corpus-level line-frequency aggregate)
 ]
 
 

@@ -103,3 +103,49 @@ def dedup_lines_within_doc(
         lambda x, i: F.array_position(lines, x) == i + F.lit(1),
     )
     return df.withColumn(out or text_col, F.array_join(kept, "\n"))
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 10,
+    out: str | None = None,
+) -> DataFrame:
+    """Corpus-level boilerplate removal: a line appearing in >= ``min_docs``
+    DISTINCT documents (headers/footers/nav chrome) is stripped from every
+    document (the CCNet/RefinedWeb de-boilerplating signal: cross-document
+    line frequency).
+
+    Shape: one explode + hash-aggregate finds the boilerplate set — tiny by
+    construction (only lines crossing the threshold) — which broadcasts into
+    an anti-join against the positionally-exploded lines; surviving lines
+    re-assemble in order.  Two shuffles total (the line-df aggregate and the
+    per-doc re-aggregation), both on uniformly-hashed keys."""
+    nl = "\n"
+    lines = F.split(F.col(text_col), nl)
+    exploded = df.select(
+        F.col(id_col), F.posexplode(lines).alias("_i", "_line")
+    )
+    bp = (
+        exploded.select(id_col, "_line")
+        .distinct()
+        .groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_line")
+    )
+    kept = exploded.join(F.broadcast(bp), "_line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_line"))),
+                lambda s: s["_line"],
+            ),
+            nl,
+        ).alias(out or text_col)
+    )
+    keep_cols = [c for c in df.columns if c != (out or text_col)]
+    return df.select(*keep_cols).join(rebuilt, id_col, "left").fillna(
+        {out or text_col: ""}
+    )

@@ -60,3 +60,18 @@ def test_dedup_lines_within_doc(spark):
     # idempotent
     df2 = spark.createDataFrame([(0, out)], "doc_id long, text string")
     assert dedup_lines_within_doc(df2).collect()[0].text == out
+
+
+def test_strip_boilerplate_lines(spark):
+    rows = [(i, f"unique head {i}\nCOPYRIGHT FOOTER\nbody {i}") for i in range(6)]
+    rows.append((99, "COPYRIGHT FOOTER"))  # footer-only doc -> empty text
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from lucene_solr_spark.textops.clean import strip_boilerplate_lines
+
+    out = {r.doc_id: r.text for r in strip_boilerplate_lines(df, min_docs=5).collect()}
+    assert out[0] == "unique head 0\nbody 0"
+    assert out[5] == "unique head 5\nbody 5"
+    assert out[99] == ""  # all lines were boilerplate
+    # below-threshold lines survive
+    low = {r.doc_id: r.text for r in strip_boilerplate_lines(df, min_docs=50).collect()}
+    assert low[0] == "unique head 0\nCOPYRIGHT FOOTER\nbody 0"
