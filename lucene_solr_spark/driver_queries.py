@@ -2759,9 +2759,9 @@ FROM documents GROUP BY doc_id % 200 ORDER BY docid ASC""",
         "clean_redact_pii",
         f"""SELECT CAST(doc_id AS BIGINT) AS docid,
        regexp_replace(regexp_replace(regexp_replace({_PII_SYNTH_SQL},
-         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+         '[A-Za-z0-9._%+-]+@(?:[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}|(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}})', '<EMAIL>', 'g'),
          '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g'),
-         '(?:\\+?\\d{{1,3}}[-. (]{{1,2}})?\\d{{3}}[-. )]{{1,2}}\\d{{3}}[-. ]\\d{{4}}', '<PHONE>', 'g')
+         '(?:(?:\\+?\\d{{1,3}}[-. (]{{1,2}})?\\d{{3}}[-. )]{{1,2}}\\d{{3}}[-. ]\\d{{4}}|\\b\\d{{10}}\\b)', '<PHONE>', 'g')
        AS text
 FROM documents ORDER BY docid ASC LIMIT 20""",
     )

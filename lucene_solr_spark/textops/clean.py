@@ -18,8 +18,11 @@ from pyspark.sql import functions as F
 # the canonicalization drop-list
 TRACKING_PARAMS = (
     "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
-    "gclid", "fbclid", "ref", "sessionid",
+    "gclid", "fbclid", "sessionid",
 )
+# deliberately NOT stripped: generic params like ``ref`` often select content
+# (repo branches, storefront referrer-products) — stripping them would
+# wrongfully merge distinct documents
 
 
 def canonical_url(url: Column) -> Column:
@@ -48,6 +51,10 @@ def canonical_url(url: Column) -> Column:
     # slash before the query, and trailing slash (keep the bare host root)
     c = F.regexp_replace(c, r"/+\?", "?")
     c = F.regexp_replace(c, r"(://[^/?]+/.+?)/+$", "$1")
+    # normalize the root form: 'scheme://host' and 'scheme://host/' (and the
+    # ?-query variants) must share one key — the slashed form is canonical
+    c = F.regexp_replace(c, r"^([a-z][a-z0-9+.-]*://[^/?]+)$", "$1/")
+    c = F.regexp_replace(c, r"^([a-z][a-z0-9+.-]*://[^/?]+)\?", "$1/?")
     return c
 
 
@@ -63,8 +70,13 @@ def dedup_by_canonical_url(
     return canon.join(keep, ["_curl", key_col], "left_semi").drop("_curl")
 
 
-_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PHONE = r"(?:\+?\d{1,3}[-. (]{1,2})?\d{3}[-. )]{1,2}\d{3}[-. ]\d{4}"
+# domain may be a name OR an IPv4 literal (jo@10.0.0.1 must redact WHOLE,
+# not leave the identifying local part behind an <IP> token)
+_EMAIL = (
+    r"[A-Za-z0-9._%+-]+@(?:[A-Za-z0-9.-]+\.[A-Za-z]{2,}|(?:\d{1,3}\.){3}\d{1,3})"
+)
+# separated groups OR a bare 10-digit run
+_PHONE = r"(?:(?:\+?\d{1,3}[-. (]{1,2})?\d{3}[-. )]{1,2}\d{3}[-. ]\d{4}|\b\d{10}\b)"
 _IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 
 
@@ -96,13 +108,16 @@ def dedup_lines_within_doc(
 
     Catalyst-only: split -> positional explode is avoided by a higher-order
     filter — a line survives if its index equals the index of its first
-    occurrence (array_position on the original array)."""
-    lines = F.split(F.col(text_col), "\n")
+    occurrence (array_position on the materialized array; splitting inside
+    the lambda would re-split the whole text per element)."""
+    split_once = df.withColumn("_lines", F.split(F.col(text_col), "\n"))
     kept = F.filter(
-        lines,
-        lambda x, i: F.array_position(lines, x) == i + F.lit(1),
+        F.col("_lines"),
+        lambda x, i: F.array_position(F.col("_lines"), x) == i + F.lit(1),
     )
-    return df.withColumn(out or text_col, F.array_join(kept, "\n"))
+    return split_once.withColumn(out or text_col, F.array_join(kept, "\n")).drop(
+        "_lines"
+    )
 
 
 def strip_boilerplate_lines(

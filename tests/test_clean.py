@@ -75,3 +75,24 @@ def test_strip_boilerplate_lines(spark):
     # below-threshold lines survive
     low = {r.doc_id: r.text for r in strip_boilerplate_lines(df, min_docs=50).collect()}
     assert low[0] == "unique head 0\nCOPYRIGHT FOOTER\nbody 0"
+
+
+def test_canonical_url_root_and_ref(spark):
+    got = _canon(spark, [
+        "https://a.com",
+        "https://a.com/",
+        "https://a.com/?utm_source=x",
+        "https://a.com?gclid=1",
+        "https://repo.example/tree?ref=main",
+        "https://repo.example/tree?ref=dev",
+    ])
+    assert got[0] == got[1] == got[2] == got[3] == "https://a.com/"
+    assert got[4] != got[5]  # 'ref' selects content — never stripped
+
+
+def test_redact_pii_hard_shapes(spark):
+    rows = [(0, "call 5551234567 or mail jo.doe@10.0.0.1 now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = redact_pii(df).collect()[0].text
+    assert "5551234567" not in out and "<PHONE>" in out
+    assert "jo.doe" not in out and "<EMAIL>" in out  # local part never leaks
