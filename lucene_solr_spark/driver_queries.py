@@ -2847,7 +2847,7 @@ FROM documents ORDER BY docid ASC LIMIT 20""",
 _register_boilerplate_query()
 
 
-_WS_TOKS_SQL = "list_filter(split(text, ' '), x -> x <> '')"
+_WS_TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 _GRAMS_SQL = (
     "CASE WHEN len(toks) >= 2 THEN "
     "list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) "
@@ -2884,7 +2884,7 @@ FROM g ORDER BY docid ASC LIMIT 50""",
 
     @_q(
         "text_gopher_filter",
-        f"""WITH t AS (SELECT doc_id, text, {_WS_TOKS_SQL} AS toks FROM documents),
+        rf"""WITH t AS (SELECT doc_id, text, {_WS_TOKS_SQL} AS toks FROM documents),
 m AS (
   SELECT doc_id,
          len(toks) AS n_tokens,
@@ -2892,12 +2892,12 @@ m AS (
               THEN list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0 / len(toks)
               ELSE 0.0 END AS mean_len,
          CASE WHEN length(text) > 0
-              THEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0 / length(text)
+              THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0 / length(text)
               ELSE 0.0 END AS symbol_ratio,
          (SELECT CASE WHEN len(g) > 0 THEN 1.0 - len(list_distinct(g)) * 1.0 / len(g) ELSE 0.0 END
           FROM (SELECT {_GRAMS_SQL} AS g)) AS dup2,
-         len(list_filter(toks, x -> lower(x) IN
-             ('the','be','to','of','and','that','have','with'))) AS stop_hits
+         len(list_distinct(list_filter(list_transform(toks, x -> lower(x)),
+             x -> x IN ('the','be','to','of','and','that','have','with')))) AS stop_hits
   FROM t
 )
 SELECT CAST(doc_id AS BIGINT) AS docid,
@@ -2907,8 +2907,9 @@ SELECT CAST(doc_id AS BIGINT) AS docid,
        round(dup2, 4) AS dup_2gram_frac,
        CAST(stop_hits AS INT) AS stop_hits,
        (n_tokens >= 50 AND n_tokens <= 100000
-        AND mean_len >= 3.0 AND mean_len <= 10.0
-        AND symbol_ratio <= 0.1 AND dup2 <= 0.2 AND stop_hits >= 2) AS keep
+        AND round(mean_len, 4) >= 3.0 AND round(mean_len, 4) <= 10.0
+        AND round(symbol_ratio, 4) <= 0.1 AND round(dup2, 4) <= 0.2
+        AND stop_hits >= 2) AS keep
 FROM m ORDER BY docid ASC LIMIT 50""",
     )
     def text_gopher_filter(spark, sf_dir):

@@ -23,7 +23,25 @@ GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
 def _ws_tokens(text_col: Column) -> Column:
-    return F.filter(F.split(text_col, " "), lambda t: t != "")
+    # regex split: the papers' rules are over whitespace-separated words, so
+    # newlines/tabs are separators, not token glue
+    return F.filter(F.split(text_col, r"\s+"), lambda t: t != "")
+
+
+def _grams(toks: Column, n: int) -> Column:
+    """Word n-grams as joined strings; docs shorter than ``n`` get an
+    explicit empty list (sequence(1, 0) counts DOWN in Spark)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _dup_frac(total: Column, distinct: Column) -> Column:
+    return F.when(total > 0, 1.0 - distinct / total.cast("double")).otherwise(0.0)
 
 
 def duplicate_ngram_fraction(
@@ -34,24 +52,13 @@ def duplicate_ngram_fraction(
     Gopher's duplicate-n-gram repetition signal.  0.0 for docs shorter than
     ``n`` words."""
     toks = _ws_tokens(F.col(text_col))
-    # sequence(1, 0) counts DOWN in Spark — docs shorter than n get an
-    # explicit empty gram list
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _grams(toks, n)
     d = df.select(
         F.col(id_col).alias("docid"),
         F.size(grams).alias("total_ngrams"),
         F.size(F.array_distinct(grams)).alias("distinct_ngrams"),
     )
-    frac = F.when(
-        F.col("total_ngrams") > 0,
-        1.0 - F.col("distinct_ngrams") / F.col("total_ngrams").cast("double"),
-    ).otherwise(0.0)
+    frac = _dup_frac(F.col("total_ngrams"), F.col("distinct_ngrams"))
     return d.select(
         "docid", "total_ngrams", "distinct_ngrams", frac.alias("dup_frac")
     )
@@ -72,17 +79,11 @@ def gopher_filter(
     """Rule-based keep/drop per the Gopher filter family: word count in
     [min_tokens, max_tokens], mean word length in [min_mean_len,
     max_mean_len], symbol-to-character ratio <= max_symbol_ratio, duplicate
-    2-gram fraction <= max_dup_2gram, and >= min_stop_hits occurrences of
-    the 8 common stop words.  Returns the metrics plus the ``keep``
+    2-gram fraction <= max_dup_2gram, and >= min_stop_hits DISTINCT words
+    of the 8-word stop list present.  Returns the metrics plus the ``keep``
     verdict — callers ``filter("keep")`` or inspect the reasons."""
     toks = _ws_tokens(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.array_join(F.slice(toks, i, 2), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _grams(toks, 2)
     d = df.select(
         F.col(id_col).alias("docid"),
         F.col(text_col).alias("_text"),
@@ -92,34 +93,45 @@ def gopher_filter(
         ).alias("_sum_len"),
         F.size(grams).alias("_g_total"),
         F.size(F.array_distinct(grams)).alias("_g_distinct"),
+        # DISTINCT stop words present — the published rule is "contains at
+        # least 2 OF the 8 stop words", not 2 total occurrences
         F.size(
-            F.filter(toks, lambda t: F.lower(t).isin(*GOPHER_STOP_WORDS))
+            F.array_distinct(
+                F.filter(
+                    F.transform(toks, F.lower),
+                    lambda t: t.isin(*GOPHER_STOP_WORDS),
+                )
+            )
         ).alias("stop_hits"),
     )
     n_tok = F.col("n_tokens").cast("double")
     mean_len = F.when(F.col("n_tokens") > 0, F.col("_sum_len") / n_tok).otherwise(0.0)
     n_chars = F.length("_text").cast("double")
-    n_sym = F.length(F.regexp_replace("_text", "[A-Za-z0-9 ]", "")).cast("double")
+    n_sym = F.length(F.regexp_replace("_text", r"[A-Za-z0-9\s]", "")).cast("double")
     symbol_ratio = F.when(n_chars > 0, n_sym / n_chars).otherwise(0.0)
-    dup2 = F.when(
-        F.col("_g_total") > 0,
-        1.0 - F.col("_g_distinct") / F.col("_g_total").cast("double"),
-    ).otherwise(0.0)
+    dup2 = _dup_frac(F.col("_g_total"), F.col("_g_distinct"))
+    # the verdict evaluates the ROUNDED metrics so the returned reasons can
+    # never contradict it at a threshold boundary
+    r_mean, r_sym, r_dup = (
+        F.round(mean_len, 4),
+        F.round(symbol_ratio, 4),
+        F.round(dup2, 4),
+    )
     keep = (
         (F.col("n_tokens") >= min_tokens)
         & (F.col("n_tokens") <= max_tokens)
-        & (mean_len >= min_mean_len)
-        & (mean_len <= max_mean_len)
-        & (symbol_ratio <= max_symbol_ratio)
-        & (dup2 <= max_dup_2gram)
+        & (r_mean >= min_mean_len)
+        & (r_mean <= max_mean_len)
+        & (r_sym <= max_symbol_ratio)
+        & (r_dup <= max_dup_2gram)
         & (F.col("stop_hits") >= min_stop_hits)
     )
     return d.select(
         "docid",
         "n_tokens",
-        F.round(mean_len, 4).alias("mean_len"),
-        F.round(symbol_ratio, 4).alias("symbol_ratio"),
-        F.round(dup2, 4).alias("dup_2gram_frac"),
+        r_mean.alias("mean_len"),
+        r_sym.alias("symbol_ratio"),
+        r_dup.alias("dup_2gram_frac"),
         "stop_hits",
         keep.alias("keep"),
     )
