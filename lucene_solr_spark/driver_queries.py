@@ -2934,6 +2934,38 @@ FROM m ORDER BY docid ASC LIMIT 50""",
 _register_filter_queries()
 
 
+def _register_frange_fq_query():
+    @_q(
+        "search_with_frange_fq",
+        f"""{PRELUDE}
+SELECT docid, round(coalesce(s0, 0.0), 4) AS score
+FROM (
+  SELECT f.docid, {bool_case_cols(['table'])}
+  {scored_from()}
+  WHERE f.term IN ('table')
+  GROUP BY f.docid
+)
+WHERE docid IN (SELECT doc_id FROM documents
+                WHERE (n_chars / 100.0) >= 2 AND (n_chars / 100.0) <= 5)
+ORDER BY score DESC, docid ASC LIMIT 10""",
+    )
+    def search_with_frange_fq(spark, sf_dir):
+        """q='table' + fq={!frange l=2 u=5}div(n_chars,100): a function-range
+        filter query through the qparser-aware fq path (QParser.getParser
+        runs per fq; the frange DocSet intersects without scoring)."""
+        from lucene_solr_spark.search.filtercache import search_filtered
+
+        return search_filtered(
+            get_index(spark, sf_dir),
+            "table",
+            ["{!frange l=2 u=5}div(n_chars,100)"],
+            k=10,
+        )
+
+
+_register_frange_fq_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -3018,6 +3050,7 @@ _DEFER_LAST = [
     "clean_boilerplate",        # dedup_exact (corpus-level line-frequency aggregate)
     "text_dup_ngrams",          # text_token_stats (same array-metric pass, bigram variant)
     "text_gopher_filter",       # text_quality (same heuristic family, verdict form)
+    "search_with_frange_fq",    # search_with_fq (qparser-typed fq variant)
 ]
 
 

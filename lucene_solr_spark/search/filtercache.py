@@ -27,12 +27,81 @@ from pyspark.sql import functions as F
 from lucene_solr_spark.index.builder import IndexTables
 
 
+def _local_params_docset(index: IndexTables, fq: str) -> DataFrame:
+    """Unlimited DocSet for a ``{!type ...}`` filter query — fq accepts any
+    qparser in Solr (QParser.getParser runs for each fq,
+    SolrIndexSearcher.getProcessedFilter consumes the DocSets).  Supported
+    here: the set-producing parsers (term/terms/prefix on docvalues or the
+    indexed terms, frange on a compiled function)."""
+    from lucene_solr_spark.search.qparsers import (
+        _match_docset_for_string,
+        _resolve_field,
+        parse_local_params,
+    )
+
+    qtype, params, body = parse_local_params(fq)
+    if qtype == "lucene":
+        return _match_docset_for_string(index, body)
+    if qtype in ("term", "terms", "prefix"):
+        f = _resolve_field(index, params.get("f"))
+        if qtype == "terms":
+            sep = params.get("separator", ",")
+            vals = [v.strip() for v in body.split(sep) if v.strip()]
+            if f is not None:
+                return index.docs.filter(
+                    F.col(f).cast("string").isin(vals)
+                ).select("docid")
+            return (
+                index.postings.filter(F.col("term").isin(vals))
+                .select("docid")
+                .distinct()
+            )
+        if qtype == "term":
+            if f is not None:
+                return index.docs.filter(
+                    F.col(f).cast("string") == body
+                ).select("docid")
+            return (
+                index.postings.filter(F.col("term") == body)
+                .select("docid")
+                .distinct()
+            )
+        # prefix
+        if f is not None:
+            return index.docs.filter(
+                F.col(f).cast("string").startswith(body)
+            ).select("docid")
+        from lucene_solr_spark.search.bm25 import _matched_docset
+        from lucene_solr_spark.search.query import PrefixQuery
+
+        return _matched_docset(index, PrefixQuery(body))
+    if qtype == "frange":
+        from lucene_solr_spark.functions import parse_function_query
+
+        col = parse_function_query(body)
+        cond = F.lit(True)
+        if "l" in params:
+            lo = float(params["l"])
+            incl = params.get("incl", "true").lower() != "false"
+            cond = cond & (col >= lo if incl else col > lo)
+        if "u" in params:
+            hi = float(params["u"])
+            incu = params.get("incu", "true").lower() != "false"
+            cond = cond & (col <= hi if incu else col < hi)
+        return index.docs.filter(cond).select("docid")
+    raise ValueError(f"unsupported filter qparser: {qtype!r}")
+
+
 def _parse_filter(index: IndexTables, fq: str):
     """-> ("pos", docset_df) or ("neg", matches_df).  A pure-negative fq
-    (e.g. ``-slow``) means "all docs except matches" (:1030-1050)."""
+    (e.g. ``-slow``) means "all docs except matches" (:1030-1050); a
+    ``{!type}`` local-params fq routes through its qparser's DocSet."""
     from lucene_solr_spark.search.parser import CompositeQuery, parse_query
     from lucene_solr_spark.search.qparsers import _match_docset_for_string
     from lucene_solr_spark.search.query import BooleanQuery
+
+    if fq.lstrip().startswith("{!"):
+        return "pos", _local_params_docset(index, fq)
 
     parsed = parse_query(fq)
     if (

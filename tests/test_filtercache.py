@@ -95,3 +95,25 @@ def test_search_filtered_reuses_supplied_cache(index):
     search_filtered(index, "vector", ["merge"], cache=fc, k=5).collect()
     assert fc.stats()["hits"] == 1  # the merge DocSet served from cache
     fc.clear()
+
+
+def test_local_params_fq(index):
+    """fq accepts qparsers: {!frange} and {!term f=...} produce DocSets that
+    intersect like any other filter."""
+    from lucene_solr_spark.search.filtercache import search_filtered
+
+    out = search_filtered(
+        index, "table", ["{!frange l=2 u=5}div(n_chars,100)", "{!term f=lang}en"],
+        k=10,
+    )
+    got = {r.docid for r in out.collect()}
+    col = F.col("n_chars") / F.lit(100)
+    allowed = {
+        r.docid
+        for r in index.docs.filter(
+            (col >= 2) & (col <= 5) & (F.col("lang") == "en")
+        ).collect()
+    }
+    assert got <= allowed and got
+    with pytest.raises(ValueError, match="unsupported filter qparser"):
+        search_filtered(index, "table", ["{!boost b=log(n_chars)}x"])
