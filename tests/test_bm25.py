@@ -619,3 +619,40 @@ def test_sloppy_phrase_repeats_end_to_end(spark, index):
     }
     assert set(got) <= multi
     assert got  # the corpus has docs with repeated 'table'
+
+
+def test_sloppy_rpts_kernel_randomized_invariants():
+    """Randomized repeats cases: sloppyFreq is monotone non-decreasing in
+    slop, zero when any repeat group outnumbers its stream, and finite."""
+    import random
+
+    from lucene_solr_spark.search.bm25 import lucene_sloppy_freq_rpts
+
+    rng = random.Random(1807)
+    for _ in range(200):
+        # phrase of 3-4 slots over 2 distinct terms -> at least one repeat
+        k = rng.randint(3, 4)
+        n_terms = 2
+        slot_term = [rng.randrange(n_terms) for _ in range(k)]
+        while len(set(slot_term)) < 2 or max(
+            slot_term.count(t) for t in set(slot_term)
+        ) < 2:
+            slot_term = [rng.randrange(n_terms) for _ in range(k)]
+        term_pos = {
+            t: sorted(rng.sample(range(0, 30), rng.randint(1, 8)))
+            for t in set(slot_term)
+        }
+        streams = [[p - i for p in term_pos[slot_term[i]]] for i in range(k)]
+        counts = {t: slot_term.count(t) for t in set(slot_term)}
+        groups = [
+            slot_term[i] if counts[slot_term[i]] > 1 else -1 for i in range(k)
+        ]
+        prev = -1.0
+        for slop in range(0, 7):
+            f = lucene_sloppy_freq_rpts(
+                [list(s) for s in streams], list(groups), slop
+            )
+            if any(len(term_pos[t]) < c for t, c in counts.items()):
+                assert f == 0.0  # repeat group cannot place distinct tokens
+            assert f >= prev - 1e-12
+            prev = f
