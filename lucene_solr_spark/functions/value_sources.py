@@ -128,6 +128,7 @@ class _Parser:
         self.i = 0
         self.now = now_epoch_ms
         self._now_cols: set[int] = set()  # id()s of NOW literal columns
+        self._str_lits: dict[int, str] = {}  # id(col) -> raw string literal
 
     def peek(self) -> tuple[str, str] | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -142,7 +143,9 @@ class _Parser:
         if kind == "num":
             return F.lit(float(val) if ("." in val or "e" in val.lower()) else int(val))
         if kind == "str":
-            return F.lit(val[1:-1])
+            c = F.lit(val[1:-1])
+            self._str_lits[id(c)] = val[1:-1]
+            return c
         if kind != "name":
             raise ValueError(f"unexpected token {val!r}")
         if val == "NOW":
@@ -170,6 +173,17 @@ class _Parser:
             lo, hi, build = FUNCTIONS[fname]
             if not (lo <= len(args) <= hi):
                 raise ValueError(f"{val} takes {lo}..{hi} args, got {len(args)}")
+            if fname == "strdist" and len(args) == 3:
+                # StrDistanceFunction: the 3rd arg picks the measure; only
+                # 'edit' (normalized Levenshtein) is implemented — reject
+                # anything else instead of silently answering with the
+                # wrong measure (Solr would dispatch to e.g. JaroWinkler).
+                measure = self._str_lits.get(id(args[2]))
+                if measure != "edit":
+                    raise ValueError(
+                        "strdist: only measure 'edit' is supported, got "
+                        f"{measure!r}"
+                    )
             if fname == "ms":
                 # timestamp args -> epoch millis; the NOW literal already is
                 args = [

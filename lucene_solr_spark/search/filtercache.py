@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 from lucene_solr_spark.index.builder import IndexTables
 
 
-def _local_params_docset(index: IndexTables, fq: str) -> DataFrame:
+def _local_params_docset(
+    index: IndexTables, fq: str, now_epoch_ms: int | None = None
+) -> DataFrame:
     """Unlimited DocSet for a ``{!type ...}`` filter query — fq accepts any
     qparser in Solr (QParser.getParser runs for each fq,
     SolrIndexSearcher.getProcessedFilter consumes the DocSets).  Supported
@@ -78,7 +80,9 @@ def _local_params_docset(index: IndexTables, fq: str) -> DataFrame:
     if qtype == "frange":
         from lucene_solr_spark.functions import parse_function_query
 
-        col = parse_function_query(body)
+        # same pinned-NOW contract as the q-side _frange_qparser: a filter
+        # like {!frange l=0}ms(NOW,ts) needs the per-request NOW
+        col = parse_function_query(body, now_epoch_ms=now_epoch_ms)
         cond = F.lit(True)
         if "l" in params:
             lo = float(params["l"])
@@ -92,7 +96,7 @@ def _local_params_docset(index: IndexTables, fq: str) -> DataFrame:
     raise ValueError(f"unsupported filter qparser: {qtype!r}")
 
 
-def _parse_filter(index: IndexTables, fq: str):
+def _parse_filter(index: IndexTables, fq: str, now_epoch_ms: int | None = None):
     """-> ("pos", docset_df) or ("neg", matches_df).  A pure-negative fq
     (e.g. ``-slow``) means "all docs except matches" (:1030-1050); a
     ``{!type}`` local-params fq routes through its qparser's DocSet."""
@@ -101,7 +105,7 @@ def _parse_filter(index: IndexTables, fq: str):
     from lucene_solr_spark.search.query import BooleanQuery
 
     if fq.lstrip().startswith("{!"):
-        return "pos", _local_params_docset(index, fq)
+        return "pos", _local_params_docset(index, fq, now_epoch_ms=now_epoch_ms)
 
     parsed = parse_query(fq)
     if (
@@ -133,36 +137,46 @@ class FilterCache:
         self.misses = 0
         self.evictions = 0
 
-    def _lookup(self, fq: str) -> tuple[str, DataFrame, int]:
-        if fq in self._entries:
+    def _lookup(
+        self, fq: str, now_epoch_ms: int | None = None
+    ) -> tuple[str, DataFrame, int]:
+        # NOW participates in the key: the same frange fq pinned to two
+        # different request-NOWs is two different DocSets (Solr keys the
+        # filterCache on the Query object, which embeds the resolved NOW)
+        key = (fq, now_epoch_ms)
+        if key in self._entries:
             self.hits += 1
-            self._entries.move_to_end(fq)
-            return self._entries[fq]
+            self._entries.move_to_end(key)
+            return self._entries[key]
         self.misses += 1
-        kind, df = _parse_filter(self.index, fq)
+        kind, df = _parse_filter(self.index, fq, now_epoch_ms=now_epoch_ms)
         df = df.persist()
         size = df.count()  # materializes the cache entry; DocSet.size()
-        self._entries[fq] = (kind, df, size)
+        self._entries[key] = (kind, df, size)
         while len(self._entries) > self.max_size:
             _, (_, old, _) = self._entries.popitem(last=False)
             old.unpersist()
             self.evictions += 1
-        return self._entries[fq]
+        return self._entries[key]
 
-    def docset(self, fq: str) -> DataFrame:
+    def docset(self, fq: str, now_epoch_ms: int | None = None) -> DataFrame:
         """The cached DocSet for one POSITIVE fq (getDocSet with cache)."""
-        kind, df, _ = self._lookup(fq)
+        kind, df, _ = self._lookup(fq, now_epoch_ms=now_epoch_ms)
         if kind != "pos":
             raise ValueError(f"pure-negative fq has no standalone DocSet: {fq!r}")
         return df
 
-    def filtered(self, fqs: list[str]) -> DataFrame:
+    def filtered(
+        self, fqs: list[str], now_epoch_ms: int | None = None
+    ) -> DataFrame:
         """getProcessedFilter (:1004-1084): intersect the positive fq sets
         smallest-first, then apply pure-negative fqs as complements.  A
         negative-only list complements against the whole doc table."""
         if not fqs:
             raise ValueError("filtered needs >= 1 fq")
-        entries = [(fq, *self._lookup(fq)) for fq in fqs]
+        entries = [
+            (fq, *self._lookup(fq, now_epoch_ms=now_epoch_ms)) for fq in fqs
+        ]
         pos = sorted(
             (e for e in entries if e[1] == "pos"), key=lambda e: (e[3], e[0])
         )
@@ -199,6 +213,7 @@ def search_filtered(
     cache: "FilterCache | None" = None,
     k: int = 10,
     round_dp: int = 4,
+    now_epoch_ms: int | None = None,
 ) -> DataFrame:
     """q + fq composition (SolrIndexSearcher.getDocListNC:1555 via
     getProcessedFilter): the MAIN query scores; the processed filter
@@ -220,7 +235,7 @@ def search_filtered(
         raise ValueError("search_filtered supports term-boolean main queries")
     scored = _boolean_topk(index, q, k, round_dp)  # unlimited scored set
     if cache is not None:
-        filt = cache.filtered(fqs)
+        filt = cache.filtered(fqs, now_epoch_ms=now_epoch_ms)
     else:
         # one-shot: build the processed filter lazily — no persist/count
         # jobs, no cache bookkeeping (smallest-first needs sizes, which only
@@ -230,7 +245,7 @@ def search_filtered(
         filt = None
         negs = []
         for fq in fqs:
-            kind, df = _parse_filter(index, fq)
+            kind, df = _parse_filter(index, fq, now_epoch_ms=now_epoch_ms)
             if kind == "neg":
                 negs.append(df)
             else:

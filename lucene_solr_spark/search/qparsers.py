@@ -352,8 +352,11 @@ def _boost_qparser(index, params, body, k, round_dp, now_epoch_ms=None):
         parsed = BooleanQuery(should=(parsed,))
     if isinstance(parsed, CompositeQuery) or not isinstance(parsed, BooleanQuery):
         raise ValueError("boost qparser supports plain term boolean bodies")
-    # UNLIMITED scored set: top-k only after the multiply re-ranks
-    scored = _boolean_topk(index, parsed, k, round_dp)
+    # UNLIMITED scored set: top-k only after the multiply re-ranks.
+    # BoostedQuery multiplies RAW scores — keep the inner set at high
+    # precision (round_dp=10, like edismax part_scores) and round exactly
+    # once after the multiply, else near-ties can flip post-multiply rank.
+    scored = _boolean_topk(index, parsed, k, 10)
     joined = scored.join(index.docs, "docid").select(
         "docid", F.round(F.col("score") * bcol, round_dp).alias("score")
     )

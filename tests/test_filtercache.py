@@ -117,3 +117,23 @@ def test_local_params_fq(index):
     assert got <= allowed and got
     with pytest.raises(ValueError, match="unsupported filter qparser"):
         search_filtered(index, "table", ["{!boost b=log(n_chars)}x"])
+
+
+def test_frange_fq_pinned_now(index):
+    """The fq-side {!frange} honours the per-request pinned NOW exactly like
+    the q-side _frange_qparser, and NOW participates in the cache key (the
+    same fq string under two NOWs is two DocSets)."""
+    fc = FilterCache(index)
+    fq = "{!frange l=1}ms(NOW)"
+    with pytest.raises(ValueError, match="now_epoch_ms"):
+        fc.docset(fq)  # unpinned NOW must fail, not silently misbehave
+    fc.clear()
+
+    fc = FilterCache(index)
+    a = fc.docset(fq, now_epoch_ms=1_000)
+    assert a.count() == index.max_doc  # NOW=1000 >= 1: every doc passes
+    fc.docset(fq, now_epoch_ms=2_000)
+    assert fc.stats()["misses"] == 2  # distinct NOW -> distinct entry
+    fc.docset(fq, now_epoch_ms=1_000)
+    assert fc.stats()["hits"] == 1
+    fc.clear()

@@ -44,6 +44,18 @@ def test_strdist_normalized_levenshtein(spark, df):
     # kitten vs sitting: dist 3, maxlen 7 -> 1 - 3/7
     assert got[1] == pytest.approx(1 - 3 / 7)
     assert got[2] == 1.0
+    # explicit 'edit' measure accepted, identical result
+    got2 = _vals(df, parse_function_query('strdist(s,"sitting","edit")'))
+    assert got2 == got
+
+
+def test_strdist_rejects_unimplemented_measures():
+    # StrDistanceFunction dispatches on the measure arg; answering with the
+    # wrong measure silently would be a correctness bug
+    with pytest.raises(ValueError, match="strdist.*'jw'"):
+        parse_function_query('strdist(s,"sitting","jw")')
+    with pytest.raises(ValueError, match="strdist"):
+        parse_function_query("strdist(s,s,x)")  # non-literal measure
 
 
 def test_ms_with_pinned_now(spark):

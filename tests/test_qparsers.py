@@ -162,7 +162,9 @@ def test_boost_qparser_reranks_by_function(index):
     from lucene_solr_spark.search.bm25 import _boolean_topk
 
     out = qparser_search(index, "{!boost b=log(n_chars)}table", k=10)
-    base = _boolean_topk(index, BooleanQuery.of(should=["table"]), 10, 4)
+    # BoostedQuery multiplies RAW scores: high-precision intermediates
+    # (round_dp=10), one rounding after the multiply
+    base = _boolean_topk(index, BooleanQuery.of(should=["table"]), 10, 10)
     expect = (
         base.join(index.docs, "docid")
         .select(
