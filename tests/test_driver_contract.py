@@ -1,6 +1,11 @@
 """Replicates the driver's correctness gate: every queries() entry vs its
-oracle_sql() in DuckDB at sf0.01 — row count, column names, and values
-(order-insensitive, doubles rounded)."""
+oracle_sql() in DuckDB at sf0.01 — row count, column names, and values.
+
+The value compare is ROW-ORDER-SENSITIVE, like the driver's hash: columns
+are sorted by name, rows are compared in the order each engine emitted
+them.  An oracle without a fully-deterministic ORDER BY (or a Spark query
+whose emission order diverges from it) fails here exactly as it would fail
+the driver's hash gate."""
 
 import math
 
@@ -35,7 +40,7 @@ def _norm_cell(v):
 def _canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+    return sorted(cols), out  # rows stay in emission order (driver hash)
 
 
 def _pairs():
