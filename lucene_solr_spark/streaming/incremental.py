@@ -517,14 +517,21 @@ def update_documents(
     quiesced: the new generation consumes the next batch id, so a stream
     resumed from an older checkpoint would see that id as already committed.
     """
-    from lucene_solr_spark.store.store import delete_by_key
+    from lucene_solr_spark.store.store import delete_docids, open_index
 
     store = IndexStore(root)
     snap = store.head()
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot at {root}")
-    urls = [r.url for r in pages_df.select("url").distinct().collect()]
-    delete_by_key(spark, root, urls, key_col="url")
+    # The incoming keys stay distributed: committed docs carrying any
+    # incoming url are found with a semi-join and written straight into the
+    # delete generation (a collected key list would OOM the driver on a
+    # backfill-sized update batch).
+    idx = open_index(spark, root, apply_deletes=False)
+    matching = idx.docs.join(
+        pages_df.select("url").distinct(), "url", "left_semi"
+    ).select("docid")
+    delete_docids(spark, root, matching)
     snap = store.head()
     next_bid = (
         snap.max_batch_id

@@ -12,8 +12,14 @@ Scale notes per operator:
   parallel min-aggregates (map-side combine); candidates are b small
   self-joins on band buckets (AQE handles bucket skew); verification joins
   only candidate pairs.
-- SimHash: one groupBy(doc) with 32 conditional-sum aggregates; near-pair
-  search via 4-band pigeonhole (hamming <= 3 guarantees one equal byte).
+- SimHash: one groupBy(doc) with 60 conditional-sum aggregates; near-pair
+  search via 4-band pigeonhole over 15-bit bands (hamming <= 3 guarantees
+  one equal band).  60 bits is the full portable-hash width (15 hex of md5,
+  hashing.py); 15-bit bands give 32,768 buckets per band, so the
+  within-bucket self-join is O(N^2 / 32768) candidate pairs instead of the
+  O(N^2 / 256) an 8-bit banding would cost at web-corpus size.  The
+  documented at-scale swap to xxhash64 widens this to 64 bits / 16-bit
+  bands with no structural change.
 """
 
 from __future__ import annotations
@@ -25,7 +31,8 @@ from lucene_solr_spark.analysis.analyzer import tokens_expr
 from lucene_solr_spark.hashing import hash64_col
 
 SHINGLE_K = 3
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60  # full portable-hash width; non-negative in both engines
+SIMHASH_BANDS = 4  # pigeonhole: hamming <= BANDS-1 guarantees an equal band
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -181,14 +188,20 @@ def simhash(
 
 
 def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs with hamming(simhash) <= max_hamming via 4-byte-band pigeonhole
-    (hamming <= 3 over 32 bits guarantees at least one equal byte)."""
+    """Pairs with hamming(simhash) <= max_hamming via 4-band pigeonhole over
+    15-bit bands: <= 3 differing bits across 4 disjoint bands leave at least
+    one band identical, so only same-band-bucket docs can be near pairs.
+    32,768 buckets per band keeps the within-bucket self-join linear-ish at
+    corpus scale (candidate pairs ~ N^2/32768 under a uniform hash)."""
+    assert max_hamming < SIMHASH_BANDS, "pigeonhole needs max_hamming < bands"
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS  # 15
+    mask = (1 << band_bits) - 1
     pieces = []
-    for band in range(4):
-        byte = F.shiftright(F.col("simhash"), 8 * band).bitwiseAND(255)
+    for band in range(SIMHASH_BANDS):
+        chunk = F.shiftright(F.col("simhash"), band_bits * band).bitwiseAND(mask)
         pieces.append(
             sims.select("docid", "simhash",
-                        (byte + F.lit(band * 256)).alias("bucket"))
+                        (chunk + F.lit(band * (mask + 1))).alias("bucket"))
         )
     buckets = pieces[0]
     for p in pieces[1:]:

@@ -110,6 +110,42 @@ def test_update_documents_replaces_content(spark, pages, stream_store):
     assert [r.url for r in hit] == [victim]
 
 
+def test_update_documents_bulk_batch(spark, pages, stream_store):
+    """Backfill-shaped update: half the corpus in ONE batch.  The delete
+    keys never land on the driver (docids flow from a semi-join into the
+    delete generation), so this works at any batch size."""
+    from lucene_solr_spark.streaming import load_streaming_index, update_documents
+
+    before = load_streaming_index(spark, stream_store)
+    n_before = before.docs.count()
+    doc_id = F.split(F.col("url"), "/doc/")[1].cast("long")
+    batch = pages.where(doc_id % 2 == 0).withColumn(
+        "html",
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>bulkupd content for "),
+                F.col("url"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ),
+    )
+    n_batch = batch.count()
+    assert n_batch > 1
+    update_documents(spark, stream_store, batch)
+    after = load_streaming_index(spark, stream_store)
+    assert after.docs.count() == n_before  # replaced, not duplicated
+    # every updated url carries the new content exactly once
+    upd = (
+        after.postings.filter(F.col("term") == "bulkupd")
+        .select("docid")
+        .distinct()
+    )
+    assert upd.count() == n_batch
+    # untouched odd docs are still present and unchanged
+    assert after.docs.filter(doc_id % 2 == 1).count() == n_before - n_batch
+
+
 def test_compaction_drops_deletes_physically(spark, stream_store):
     from lucene_solr_spark.search import BooleanQuery
     from lucene_solr_spark.search.wand import wand_search
