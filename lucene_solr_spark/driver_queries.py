@@ -23,6 +23,7 @@ from lucene_solr_spark.facets import (
     terms_component,
 )
 from lucene_solr_spark.index.builder import IndexTables, build_index
+from lucene_solr_spark.analysis.stemmer import porter_stem, porter_stem_map
 from lucene_solr_spark.oracle.sqlgen import (
     PRELUDE,
     bool_case_cols,
@@ -31,6 +32,7 @@ from lucene_solr_spark.oracle.sqlgen import (
     matches_cte,
     score_cols_sql,
     scored_from,
+    stemmed_prelude_sql,
 )
 from lucene_solr_spark.search import (
     BooleanQuery,
@@ -65,6 +67,25 @@ def get_index(spark: SparkSession, sf_dir: str) -> IndexTables:
             build_positions=True,
         )
     return _INDEX_CACHE[sf_dir]
+
+
+def get_stemmed_index(spark: SparkSession, sf_dir: str) -> IndexTables:
+    """documents indexed through the ``text_en`` chain with PorterStemFilter
+    (tokenizer -> lowercase -> stop -> porter): the stem dictionary is
+    derived from the corpus vocabulary and joined into the posting build
+    (analysis/stemmer.py scale notes)."""
+    key = sf_dir + "#stemmed"
+    if key not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _INDEX_CACHE[key] = build_index(
+            spark,
+            docs,
+            key_col="doc_id",
+            docid_col="doc_id",
+            num_index_partitions=8,
+            term_map=porter_stem_map,
+        )
+    return _INDEX_CACHE[key]
 
 
 def _q(name: str, sql: str | None = None):
@@ -109,6 +130,19 @@ def term_query(spark, sf_dir):
 @_q("term_query_tail", bool_sql(must=("vector",)))
 def term_query_tail(spark, sf_dir):
     return search(get_index(spark, sf_dir), "vector", k=10)
+
+
+@_q(
+    "stemmed_term_query",
+    bool_sql(must=("tabl",), prelude=stemmed_prelude_sql()),
+)
+def stemmed_term_query(spark, sf_dir):
+    """PorterStemFilter end-to-end (lucene/analysis/common/.../en/
+    PorterStemFilter.java:57-76): the query inflection 'tables' — absent
+    from the corpus — folds onto the stemmed index ('tables' -> 'tabl' <-
+    'table'), so it retrieves every 'table' document with df/tf merged
+    across inflections.  Query terms analyze through the same chain."""
+    return search(get_stemmed_index(spark, sf_dir), porter_stem("tables"), k=10)
 
 
 @_q("boolean_and", bool_sql(must=("table", "merge")))
@@ -2995,6 +3029,7 @@ _DEFER_LAST = [
     "expand_component",         # collapse_by_source (same grouping machinery, complement view); r2 green
     "facet_interval_price",     # facet_range_date_events (same bucket-count aggregation); r2 green
     "boolean_not",              # filter_cache_intersect (anti-join DocSet) + min_should_match (scored boolean); r2 green
+    "text_language_id",         # text_quality (same codegen-projection heuristic family); r2 green — slot for stemmed_term_query
     # --- long-standing deferrals (near-duplicate demos) ---
     "term_query_tail",          # term_query
     "parsed_phrase_string",     # phrase_query + parsed_query_string

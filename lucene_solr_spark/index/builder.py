@@ -119,6 +119,20 @@ def assign_docids(
     )
 
 
+def _apply_term_map(occ: DataFrame, term_map) -> DataFrame:
+    """Apply a vocabulary-level term dictionary (e.g. Porter stems) to an
+    exploded occurrence frame.  The dictionary holds CHANGED terms only;
+    identity terms fall through the left join.  Broadcast keeps the
+    occurrence frame's partition clustering intact — the downstream
+    (index_partition, docid, term) aggregation stays shuffle-free."""
+    tmap = term_map(occ.select("term").distinct())
+    return (
+        occ.join(F.broadcast(tmap), "term", "left")
+        .withColumn("term", F.coalesce("new_term", "term"))
+        .drop("new_term")
+    )
+
+
 def build_index(
     spark: SparkSession,
     source: DataFrame,
@@ -130,6 +144,7 @@ def build_index(
     persist: bool = True,
     build_positions: bool = False,
     persist_positions: bool = True,
+    term_map=None,
 ) -> IndexTables:
     """Build the index tables from a source table.
 
@@ -138,7 +153,16 @@ def build_index(
     oracles can address the same documents; the index partition then derives
     from the id.  Otherwise docids are assigned content-deterministically from
     ``key_col``.
-    """
+
+    ``term_map``: optional vocabulary-level token-filter stage (e.g. the
+    Porter stemmer, analysis/stemmer.py) — a callable from a distinct-term
+    frame (column ``term``) to a (term, new_term) dictionary of CHANGED
+    terms.  Applied post-explode via a broadcast left-join + coalesce, so
+    the per-occurrence hot path stays JVM-side and the index_partition
+    clustering survives (a shuffle join on term would destroy it).  Doc
+    length/norms are computed pre-map: a 1:1 token transform never changes
+    dl, matching Lucene where norms come from the full filter-chain token
+    count and stemming is 1:1."""
     cols = [key_col, text_col, *passthrough_cols]
     if "index_partition" in source.columns:
         cols.append("index_partition")
@@ -183,13 +207,18 @@ def build_index(
         pts = F.coalesce(positioned_tokens_expr(F.col(text_col)), F.array())
         occ = base.select(
             "index_partition", "docid", F.explode(pts).alias("_pt")
+        ).select(
+            "index_partition", "docid",
+            F.col("_pt.term").alias("term"), F.col("_pt.pos").alias("pos"),
         )
+        if term_map is not None:
+            occ = _apply_term_map(occ, term_map)
         w = Window.partitionBy("index_partition", "docid")
         positions_grouped = (
-            occ.groupBy("index_partition", "docid", F.col("_pt.term").alias("term"))
+            occ.groupBy("index_partition", "docid", "term")
             .agg(
                 F.count(F.lit(1)).cast("int").alias("tf"),
-                F.array_sort(F.collect_list("_pt.pos")).alias("poss"),
+                F.array_sort(F.collect_list("pos")).alias("poss"),
             )
             .withColumn("num_terms", F.sum("tf").over(w).cast("int"))
             .join(
@@ -263,6 +292,8 @@ def build_index(
             "index_partition", "docid", "dl_approx",
             F.explode("_tokens").alias("term"),
         )
+        if term_map is not None:
+            exploded = _apply_term_map(exploded, term_map)
         postings = (
             exploded.groupBy("index_partition", "docid", "term")
             .agg(F.count(F.lit(1)).cast("int").alias("tf"),
