@@ -2159,6 +2159,24 @@ def _register_qparser_queries():
             get_index(spark, sf_dir), "{!frange l=2 u=5}div(n_chars,100)", k=20
         )
 
+    @_q(
+        "qparser_nested",
+        "SELECT doc_id AS docid, 1.0 AS score FROM documents "
+        "WHERE (n_chars / 1000.0) >= 0.8 "
+        "ORDER BY score DESC, docid ASC LIMIT 20",
+    )
+    def qparser_nested(spark, sf_dir):
+        """{!query v=$nq} (NestedQParserPlugin.java:30-62): the request
+        param dereferences to a frange delegate — the fq-templating
+        pattern, composing the $-deref front door with the function
+        compiler."""
+        return qparser_search(
+            get_index(spark, sf_dir),
+            "{!query v=$nq}",
+            k=20,
+            req={"nq": "{!frange l=0.8}div(n_chars,1000)"},
+        )
+
     _MAXSCORE_TERMS = ["vector", "stream", "hash"]
 
     @_q(
@@ -3030,6 +3048,7 @@ _DEFER_LAST = [
     "facet_interval_price",     # facet_range_date_events (same bucket-count aggregation); r2 green
     "boolean_not",              # filter_cache_intersect (anti-join DocSet) + min_should_match (scored boolean); r2 green
     "text_language_id",         # text_quality (same codegen-projection heuristic family); r2 green — slot for stemmed_term_query
+    "emb_cosine_topk",          # emb_lsh_ann (exact-cosine verify inside buckets; brute-force baseline stays benched); r2 green — slot for qparser_nested
     # --- long-standing deferrals (near-duplicate demos) ---
     "term_query_tail",          # term_query
     "parsed_phrase_string",     # phrase_query + parsed_query_string

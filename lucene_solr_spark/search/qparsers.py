@@ -40,6 +40,21 @@ boost          BoostQParserPlugin.java:42-62         sub-query score x compiled
 join           JoinQParserPlugin.java:61,106-122     from/to field value join:
                                                      broadcast distinct from-set,
                                                      semi-join docs on to-field
+query          NestedQParserPlugin.java:30-62        $param-dereferenced delegate
+                                                     (fq templating front door)
+switch         SwitchQParserPlugin.java:105-145      case.<input>/case/default
+                                                     param selects the delegate
+raw            RawQParserPlugin.java:34-49           literal TermQuery, no
+                                                     analysis or type conversion
+simple         SimpleQParserPlugin.java:60-90        never-throws end-user
+                                                     grammar subset -> classic
+                                                     executor; bad syntax
+                                                     degrades to literal terms
+parent         BlockJoinParentQParserPlugin          child body rolls up to the
+                                                     key-column parent docid
+                                                     (ScoreMode via score=)
+child          BlockJoinChildQParserPlugin           parent body fans out to
+                                                     children with parent score
 =============  ====================================  =============================
 
 Scale shape: every handler stays on the engine's distributed paths — constant
@@ -483,16 +498,190 @@ def _empty(index: IndexTables) -> DataFrame:
     )
 
 
+def _deref(value: str, req: dict[str, str] | None) -> str:
+    """Parameter dereferencing (QParser.java subQuery / DefaultSolrParams):
+    a local-param value of the form ``$name`` resolves against the request
+    params; a missing reference is Solr's 'missing parameter' error."""
+    if value.startswith("$"):
+        name = value[1:]
+        if req is None or name not in req:
+            raise ValueError(f"undefined request param: ${name}")
+        return req[name]
+    return value
+
+
+def _nested_qparser(index, params, body, k, round_dp, req, now_epoch_ms):
+    """NestedQParserPlugin.java:30-62 ({!query}): delegates to the query
+    named by its (dereferenced) ``v``/body — the fq-templating front door
+    (``fq={!query v=$nq}`` with ``nq`` supplied per request)."""
+    sub = _deref(body, req)
+    if not sub:
+        raise ValueError("{!query} needs a sub-query (v= or body)")
+    return qparser_search(
+        index, sub, k=k, round_dp=round_dp, req=req, now_epoch_ms=now_epoch_ms
+    )
+
+
+def _switch_qparser(index, params, body, k, round_dp, req, now_epoch_ms):
+    """SwitchQParserPlugin.java:105-145: the trimmed input selects
+    ``case.<input>`` (empty input -> ``case``), else ``default``; the chosen
+    param value is parsed as the delegate query."""
+    key = _deref(body, req).strip() if body else ""
+    if key == "":
+        chosen = params.get("case")
+    else:
+        chosen = params.get(f"case.{key}")
+    if chosen is None:
+        chosen = params.get("default")
+    if chosen is None:
+        raise ValueError(f"switch: no case matching {key!r} and no default")
+    return qparser_search(
+        index, _deref(chosen, req), k=k, round_dp=round_dp, req=req,
+        now_epoch_ms=now_epoch_ms,
+    )
+
+
+def _raw_qparser(index, params, body, k, round_dp):
+    """RawQParserPlugin.java:34-49: TermQuery on the LITERAL body — no
+    analysis, no field-type readableToIndexed conversion (the difference
+    from {!term}, which converts human-readable forms for typed fields).
+    Matches Solr in requiring ``f``."""
+    if "f" not in params:
+        raise ValueError("raw qparser needs f=<field>")
+    f = _resolve_field(index, params["f"])
+    if f is not None:
+        hits = index.docs.filter(F.col(f) == F.lit(body)).select("docid")
+    else:
+        hits = (
+            index.postings.filter(F.col("term") == body).select("docid").distinct()
+        )
+    return _topk(_constant_hits(hits, 1.0), k)
+
+
+_SIMPLE_SPECIALS = re.compile(r'[+|](?=(?:[^"]*"[^"]*")*[^"]*$)')
+
+
+def _simple_qparser(index, params, body, k, round_dp):
+    """SimpleQParserPlugin.java:60-90 (Lucene SimpleQueryParser): the
+    never-throws end-user grammar.  Supported subset: whitespace-separated
+    clauses under ``q.op`` (default OR), ``-`` negation, quoted phrases
+    (with ``~N`` slop), trailing-``*`` prefix, ``~N`` fuzzy — each of which
+    the classic grammar shares, so execution routes through search_parsed.
+    The infix ``+``/``|`` operators normalize to the default operator
+    (documented subset of the operator-precedence parser).  True to the
+    plugin's contract, a body the grammar rejects degrades to literal terms
+    instead of erroring."""
+    from lucene_solr_spark.analysis.analyzer import analyze_text
+    from lucene_solr_spark.search.bm25 import search_parsed
+
+    default_op = params.get("q.op", "OR").upper()
+    normalized = _SIMPLE_SPECIALS.sub(" ", body)
+    try:
+        return search_parsed(
+            index, normalized, k=k, default_op=default_op, round_dp=round_dp
+        )
+    except ValueError:
+        toks = analyze_text(body)
+        if not toks:
+            return _empty(index)
+        bq = (
+            BooleanQuery.of(must=toks)
+            if default_op == "AND"
+            else BooleanQuery.of(should=toks)
+        )
+        from lucene_solr_spark.search.bm25 import _boolean_topk
+
+        return _topk(_boolean_topk(index, bq, k, round_dp), k)
+
+
+def _parent_key_col(index: IndexTables, params: dict) -> str:
+    key = params.get("key", "_parent_docid")
+    if key not in index.docs.columns:
+        raise ValueError(f"block-join key column not in docs: {key!r}")
+    return key
+
+
+def _parent_qparser(index, params, body, k, round_dp):
+    """BlockJoinParentQParserPlugin ({!parent which=...}childq, solr/core/
+    .../search/join/BlockJoinParentQParserPlugin.java): children matching
+    the body roll up to their parents.  The anonymous-children block
+    structure maps to a ``key`` docvalues column holding each child's
+    parent docid (null on parents) — the ``which`` parent-filter is implied
+    by that column; ``score`` picks the ToParentBlockJoinQuery ScoreMode."""
+    from lucene_solr_spark.search.bm25 import _boolean_topk, to_parent_block_join
+    from lucene_solr_spark.search.parser import CompositeQuery, parse_query
+
+    key = _parent_key_col(index, params)
+    mode = params.get("score", "max").lower()
+    parsed = parse_query(body)
+    if isinstance(parsed, TermQuery):
+        parsed = BooleanQuery(should=(parsed,))
+    if isinstance(parsed, CompositeQuery) or not isinstance(parsed, BooleanQuery):
+        raise ValueError("{!parent} supports term/boolean child bodies")
+    children = _boolean_topk(index, parsed, k, 10).join(
+        index.docs.select("docid", key), "docid"
+    ).filter(F.col(key).isNotNull())
+    rolled = to_parent_block_join(
+        children.select(F.col(key).alias("_parent"), "score"),
+        "_parent",
+        mode,
+        round_dp,
+    )
+    return _topk(rolled.select(F.col("_parent").alias("docid"), "score"), k)
+
+
+def _child_qparser(index, params, body, k, round_dp):
+    """BlockJoinChildQParserPlugin ({!child of=...}parentq): parents
+    matching the body fan out to their children (ToChildBlockJoinQuery —
+    children score with the parent's score)."""
+    from lucene_solr_spark.search.bm25 import _boolean_topk
+    from lucene_solr_spark.search.parser import CompositeQuery, parse_query
+
+    key = _parent_key_col(index, params)
+    parsed = parse_query(body)
+    if isinstance(parsed, TermQuery):
+        parsed = BooleanQuery(should=(parsed,))
+    if isinstance(parsed, CompositeQuery) or not isinstance(parsed, BooleanQuery):
+        raise ValueError("{!child} supports term/boolean parent bodies")
+    parents = _boolean_topk(index, parsed, k, round_dp)
+    kids = index.docs.filter(F.col(key).isNotNull()).select(
+        "docid", F.col(key).alias("_parent")
+    )
+    out = kids.join(
+        parents.select(F.col("docid").alias("_parent"), "score"), "_parent"
+    ).select("docid", "score")
+    return _topk(out, k)
+
+
 def qparser_search(
     index: IndexTables,
     q: str,
     k: int = 10,
     round_dp: int = 4,
     now_epoch_ms: int | None = None,
+    req: dict[str, str] | None = None,
 ) -> DataFrame:
     """The QParser.getParser front door: dispatch a ``{!type ...}body`` query
-    string to its plugin and return the standard (docid, score) top-k."""
+    string to its plugin and return the standard (docid, score) top-k.
+
+    ``req``: request params for ``$name`` dereferencing (fq templating —
+    {!query v=$nq}, switch cases, any local-param value)."""
     qtype, params, body = parse_local_params(q)
+    params = {pk: _deref(pv, req) for pk, pv in params.items()}
+    if body.startswith("$"):  # a v=$name merged into the body by the parser
+        body = _deref(body, req)
+    if qtype == "query":
+        return _nested_qparser(index, params, body, k, round_dp, req, now_epoch_ms)
+    if qtype == "switch":
+        return _switch_qparser(index, params, body, k, round_dp, req, now_epoch_ms)
+    if qtype == "raw":
+        return _raw_qparser(index, params, body, k, round_dp)
+    if qtype == "simple":
+        return _simple_qparser(index, params, body, k, round_dp)
+    if qtype == "parent":
+        return _parent_qparser(index, params, body, k, round_dp)
+    if qtype == "child":
+        return _child_qparser(index, params, body, k, round_dp)
     if qtype == "lucene":
         from lucene_solr_spark.search.bm25 import search_parsed
 

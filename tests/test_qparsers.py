@@ -227,7 +227,7 @@ def test_join_qparser_boolean_body_and_bad_field(index):
 
 def test_unknown_qparser_raises(index):
     with pytest.raises(ValueError, match="unknown qparser"):
-        qparser_search(index, "{!switch case=x}y")
+        qparser_search(index, "{!nosuchparser}y")
 
 
 # -- review-pass regressions ---------------------------------------------------
@@ -322,3 +322,118 @@ def test_local_params_roundtrip_property():
         assert pb == b.strip()
 
     prop()
+
+
+# --- round-3 plugins: query/switch/raw/simple/parent/child -----------------
+
+
+def test_nested_query_deref(index):
+    """NestedQParserPlugin: {!query v=$nq} resolves the request param and
+    delegates — the fq-templating front door."""
+    req = {"nq": "{!frange l=2 u=5}div(n_chars,100)"}
+    out = qparser_search(index, "{!query v=$nq}", k=20, req=req)
+    expect = qparser_search(index, "{!frange l=2 u=5}div(n_chars,100)", k=20)
+    assert _pairs(out) == _pairs(expect)
+    with pytest.raises(ValueError, match="undefined request param"):
+        qparser_search(index, "{!query v=$missing}", k=5)
+
+
+def test_switch_qparser(index):
+    en = qparser_search(index, "{!term f=lang}en", k=10)
+    # input selects case.<input>
+    out = qparser_search(
+        index, "{!switch case.a='{!term f=lang}en' default='table'}a", k=10
+    )
+    assert _pairs(out) == _pairs(en)
+    # empty input -> the bare `case` param
+    out2 = qparser_search(index, "{!switch case='{!term f=lang}en'}", k=10)
+    assert _pairs(out2) == _pairs(en)
+    # unmatched input -> default
+    de = qparser_search(index, "{!term f=lang}de", k=10)
+    out3 = qparser_search(
+        index, "{!switch case.a='table' default='{!term f=lang}de'}other", k=10
+    )
+    assert _pairs(out3) == _pairs(de)
+    with pytest.raises(ValueError, match="no case"):
+        qparser_search(index, "{!switch case.a='table'}b", k=5)
+
+
+def test_raw_qparser(index):
+    out = qparser_search(index, "{!raw f=lang}en", k=10)
+    expect = qparser_search(index, "{!term f=lang}en", k=10)
+    assert _pairs(out) == _pairs(expect)
+    # no analysis: an uppercase body matches nothing on a lowercased index
+    assert _pairs(qparser_search(index, "{!raw f=text}Table", k=5)) == []
+    with pytest.raises(ValueError, match="needs f"):
+        qparser_search(index, "{!raw}table", k=5)
+
+
+def test_simple_qparser(index):
+    from lucene_solr_spark.search.bm25 import search_parsed
+
+    out = qparser_search(index, "{!simple}table merge", k=10)
+    assert _pairs(out) == _pairs(search_parsed(index, "table merge", k=10))
+    # infix + normalizes to the default operator
+    assert _pairs(qparser_search(index, "{!simple}table+merge", k=10)) == _pairs(out)
+    # q.op=AND + '-' negation route through the classic executor
+    out3 = qparser_search(index, "{!simple q.op=AND}table -slow", k=10)
+    assert _pairs(out3) == _pairs(
+        search_parsed(index, "table -slow", k=10, default_op="AND")
+    )
+    # never-throws contract: broken syntax degrades to literal terms
+    broken = qparser_search(index, "{!simple}table (((", k=10)
+    assert _pairs(broken) == _pairs(search_parsed(index, "table", k=10))
+
+
+@pytest.fixture(scope="module")
+def block_index(spark):
+    """Nested-document block analog: children carry their parent's docid in
+    a docvalues column (null on parents)."""
+    from lucene_solr_spark.index.builder import build_index
+
+    rows = [
+        (0, "parent alpha doc", None),
+        (1, "child table fast", 0),
+        (2, "child table table slow", 0),
+        (3, "parent beta doc", None),
+        (4, "child merge table", 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, parent_docid long")
+    return build_index(
+        spark, df, key_col="doc_id", docid_col="doc_id",
+        num_index_partitions=2, persist=False,
+        passthrough_cols=("parent_docid",),
+    )
+
+
+def test_parent_qparser_rolls_up(spark, block_index):
+    out = qparser_search(
+        block_index, "{!parent key=parent_docid score=max}table", k=10
+    )
+    got = _pairs(out)
+    assert [d for d, _ in got] == sorted(
+        [d for d, _ in got], key=lambda d: [g[0] for g in got].index(d)
+    )
+    assert {d for d, _ in got} == {0, 3}
+    # max over children: parent 0's best child is doc 2 (tf=2)
+    from lucene_solr_spark.search.bm25 import _boolean_topk
+    from lucene_solr_spark.search.query import BooleanQuery
+
+    child_scores = {
+        r.docid: r.score
+        for r in _boolean_topk(
+            block_index, BooleanQuery.of(should=["table"]), 10, 10
+        ).collect()
+    }
+    want0 = round(max(child_scores[1], child_scores[2]), 4)
+    assert dict(got)[0] == want0
+
+
+def test_child_qparser_fans_out(spark, block_index):
+    out = qparser_search(block_index, "{!child key=parent_docid}alpha", k=10)
+    got = _pairs(out)
+    assert {d for d, _ in got} == {1, 2}
+    # both children inherit THE PARENT's score (equal)
+    assert len({s for _, s in got}) == 1
+    with pytest.raises(ValueError, match="key column"):
+        qparser_search(block_index, "{!parent key=nosuch}table", k=5)
