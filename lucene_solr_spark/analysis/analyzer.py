@@ -169,6 +169,73 @@ def positioned_tokens_expr(text: Column) -> Column:
     )
 
 
+POSITION_INCREMENT_GAP = 100  # Solr text-field default (schema.xml)
+
+
+def multivalued_tokens_expr(values: Column) -> Column:
+    """Analyzer chain over a multiValued field (array<string>): each value
+    analyzes independently; the flat term array feeds dl/inversion.  dl is
+    the total EMITTED token count across values (invertState.length in
+    DefaultIndexingChain — gaps never contribute to length/norms)."""
+    return F.flatten(
+        F.transform(values, lambda v: F.coalesce(tokens_expr(v), F.array()))
+    )
+
+
+def multivalued_positioned_tokens_expr(
+    values: Column, gap: int = POSITION_INCREMENT_GAP
+) -> Column:
+    """Positioned analyzer chain over a multiValued field with Lucene's
+    positionIncrementGap semantics (DefaultIndexingChain.java:668-699: after
+    each value ``stream.end()`` adds the trailing skipped increments, then
+    the gap is added per extra instance).  With this module's raw-index
+    position convention (every raw token advances the counter by one,
+    emitted or skipped) that folds to one uniform rule:
+
+        offset_0 = 0;  offset_{j+1} = offset_j + raw_token_count_j + gap
+
+    and every emitted token's absolute position = offset_j + raw index —
+    covering trailing-stopword values and empty values exactly.  One
+    JVM-side aggregate over the (few) values; no Python, no shuffle."""
+    empty = F.array().cast("array<struct<pos:int,term:string>>")
+    return F.aggregate(
+        values,
+        F.struct(F.lit(0).alias("off"), empty.alias("toks")),
+        lambda acc, v: F.struct(
+            (
+                acc["off"]
+                + F.size(F.coalesce(raw_tokens_expr(v), F.array()))
+                + F.lit(gap)
+            ).alias("off"),
+            F.concat(
+                acc["toks"],
+                F.transform(
+                    F.coalesce(positioned_tokens_expr(v), empty),
+                    lambda s: F.struct(
+                        (s["pos"] + acc["off"]).alias("pos"),
+                        s["term"].alias("term"),
+                    ),
+                ),
+            ).alias("toks"),
+        ),
+        lambda acc: acc["toks"],
+    )
+
+
+def analyze_multivalued_positions(
+    values: list[str | None] | None, gap: int = POSITION_INCREMENT_GAP
+) -> list[tuple[int, str]]:
+    """Pure-Python oracle for the multiValued positioned chain."""
+    out: list[tuple[int, str]] = []
+    off = 0
+    for v in values or []:
+        for p, t in analyze_text_positions(v):
+            out.append((off + p, t))
+        raw = [t for t in _PY_RE.findall(v)] if v else []
+        off += len([t for t in raw if t]) + gap
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Python path (pandas/Arrow UDFs + pure-Python oracle for golden tests)
 # ---------------------------------------------------------------------------

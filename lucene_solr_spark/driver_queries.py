@@ -88,6 +88,38 @@ def get_stemmed_index(spark: SparkSession, sf_dir: str) -> IndexTables:
     return _INDEX_CACHE[key]
 
 
+def get_mv_index(spark: SparkSession, sf_dir: str) -> IndexTables:
+    """documents as a multiValued text field: each text split at a word
+    boundary into two values, indexed with multivalued=True (per-value
+    analysis + positionIncrementGap).  A word-boundary split preserves the
+    emitted token multiset, so term-level statistics (tf/df/dl/norms) — and
+    therefore BM25 scores — are provably identical to the scalar field,
+    which is exactly what makes the row hash-gradable against the plain
+    single-value oracle prelude; the gap semantics (phrases blocked across
+    values) are golden-tested in tests/test_multivalued.py."""
+    key = sf_dir + "#mv"
+    if key not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        words = F.split(F.col("text"), " ")
+        mv = docs.select(
+            "doc_id",
+            F.array(
+                F.concat_ws(" ", F.slice(words, 1, 5)),
+                F.concat_ws(" ", F.slice(words, 6, 1 << 20)),
+            ).alias("text_mv"),
+        )
+        _INDEX_CACHE[key] = build_index(
+            spark,
+            mv,
+            key_col="doc_id",
+            docid_col="doc_id",
+            text_col="text_mv",
+            num_index_partitions=8,
+            multivalued=True,
+        )
+    return _INDEX_CACHE[key]
+
+
 def _q(name: str, sql: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -143,6 +175,15 @@ def stemmed_term_query(spark, sf_dir):
     'table'), so it retrieves every 'table' document with df/tf merged
     across inflections.  Query terms analyze through the same chain."""
     return search(get_stemmed_index(spark, sf_dir), porter_stem("tables"), k=10)
+
+
+@_q("multivalued_field_query", bool_sql(must=("merge",)))
+def multivalued_field_query(spark, sf_dir):
+    """TermQuery over a multiValued text field (FieldInfo.java:91-119;
+    schema.xml multiValued=true): the index is built through the per-value
+    analysis chain with positionIncrementGap — see get_mv_index for why the
+    scalar-prelude oracle grades it exactly."""
+    return search(get_mv_index(spark, sf_dir), "merge", k=10)
 
 
 @_q("boolean_and", bool_sql(must=("table", "merge")))
@@ -572,6 +613,33 @@ def facet_field_lang(spark, sf_dir):
     idx = get_index(spark, sf_dir)
     results = idx.docs.join(_docset(idx, ["table"]), "docid")
     return facet_field(results, "lang", limit=20, mincount=1, sort="count")
+
+
+@_q(
+    "multivalued_facet_tags",
+    f"""{PRELUDE},
+{matches_cte(('scan',))}
+SELECT tag AS facet_term, count(*) AS facet_count
+FROM (
+  SELECT d.lang AS tag FROM documents d JOIN matches m ON m.docid = d.doc_id
+  UNION ALL
+  SELECT d.source FROM documents d JOIN matches m ON m.docid = d.doc_id
+)
+GROUP BY 1 HAVING count(*) >= 1
+ORDER BY facet_count DESC, facet_term ASC LIMIT 20""",
+)
+def multivalued_facet_tags(spark, sf_dir):
+    """facet.field over a multiValued (array) field — the explode path
+    (SimpleFacets multi-valued counting via UnInvertedField analog,
+    facets.facet_field(multivalued=True)): a tags array synthesized from
+    (lang, source) facets each value independently."""
+    idx = get_index(spark, sf_dir)
+    results = (
+        idx.docs.join(_docset(idx, ["scan"]), "docid")
+        .withColumn("tags", F.array("lang", "source"))
+    )
+    return facet_field(results, "tags", limit=20, mincount=1, sort="count",
+                       multivalued=True)
 
 
 @_q(
@@ -3049,6 +3117,8 @@ _DEFER_LAST = [
     "boolean_not",              # filter_cache_intersect (anti-join DocSet) + min_should_match (scored boolean); r2 green
     "text_language_id",         # text_quality (same codegen-projection heuristic family); r2 green — slot for stemmed_term_query
     "emb_cosine_topk",          # emb_lsh_ann (exact-cosine verify inside buckets; brute-force baseline stays benched); r2 green — slot for qparser_nested
+    "field_query",              # multivalued_field_query (strictly harder field front door) + term_query scoring; r2 green
+    "sort_by_field",            # cursor_mark_page2 (same field-sorted collector, keyset paging on top); r2 green — slot for multivalued_facet_tags
     # --- long-standing deferrals (near-duplicate demos) ---
     "term_query_tail",          # term_query
     "parsed_phrase_string",     # phrase_query + parsed_query_string

@@ -37,7 +37,12 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lucene_solr_spark.analysis.analyzer import positioned_tokens_expr, tokens_expr
+from lucene_solr_spark.analysis.analyzer import (
+    multivalued_positioned_tokens_expr,
+    multivalued_tokens_expr,
+    positioned_tokens_expr,
+    tokens_expr,
+)
 from lucene_solr_spark.smallfloat import norm_byte_dl_ranges
 
 K1 = 1.2
@@ -145,6 +150,8 @@ def build_index(
     build_positions: bool = False,
     persist_positions: bool = True,
     term_map=None,
+    multivalued: bool = False,
+    position_increment_gap: int = 100,
 ) -> IndexTables:
     """Build the index tables from a source table.
 
@@ -162,7 +169,14 @@ def build_index(
     clustering survives (a shuffle join on term would destroy it).  Doc
     length/norms are computed pre-map: a 1:1 token transform never changes
     dl, matching Lucene where norms come from the full filter-chain token
-    count and stemming is 1:1."""
+    count and stemming is 1:1.
+
+    ``multivalued``: the text column is ``array<string>`` (Solr
+    multiValued=true, FieldInfo.java:91-119 SORTED_SET analog): each value
+    analyzes independently, dl/norms come from the total emitted token
+    count, and positions carry ``position_increment_gap`` between values
+    (DefaultIndexingChain.java:668-699) so phrases never match across value
+    boundaries."""
     cols = [key_col, text_col, *passthrough_cols]
     if "index_partition" in source.columns:
         cols.append("index_partition")
@@ -204,7 +218,15 @@ def build_index(
         # Downstream, the positions codec shuffles ~df pre-aggregated rows
         # instead of ~cf raw occurrences (~10x less volume on web text) —
         # the map-side-combine discipline the postings path always had.
-        pts = F.coalesce(positioned_tokens_expr(F.col(text_col)), F.array())
+        if multivalued:
+            pts = F.coalesce(
+                multivalued_positioned_tokens_expr(
+                    F.col(text_col), gap=position_increment_gap
+                ),
+                F.array().cast("array<struct<pos:int,term:string>>"),
+            )
+        else:
+            pts = F.coalesce(positioned_tokens_expr(F.col(text_col)), F.array())
         occ = base.select(
             "index_partition", "docid", F.explode(pts).alias("_pt")
         ).select(
@@ -256,7 +278,12 @@ def build_index(
         if persist:
             docs_out = docs_out.persist()
     else:
-        toks = F.coalesce(tokens_expr(F.col(text_col)), F.array())
+        if multivalued:
+            toks = F.coalesce(
+                multivalued_tokens_expr(F.col(text_col)), F.array()
+            )
+        else:
+            toks = F.coalesce(tokens_expr(F.col(text_col)), F.array())
         with_tokens = base.withColumn("_tokens", toks).withColumn(
             "num_terms", F.size("_tokens")
         )
