@@ -2067,6 +2067,53 @@ def highlight_topk_q(spark, sf_dir):
     return highlight_topk(idx, stored, "table", k=10, frag_size=120, context=30)
 
 
+_HL_POS_SQL = f"""{PRELUDE},
+topk AS (
+  {bool_sql(must=('table',), k=10, as_cte='x')}
+),
+kpos AS (
+  SELECT t.docid, t.term, t.pos FROM tok t JOIN topk USING (docid)
+),
+hits AS (SELECT docid, pos FROM kpos WHERE term = 'table'),
+anchors AS (
+  SELECT h.docid, h.pos AS anchor, count(*) AS inwin
+  FROM hits h JOIN hits h2
+    ON h2.docid = h.docid AND h2.pos >= h.pos AND h2.pos < h.pos + 5
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT docid, anchor FROM (
+    SELECT docid, anchor,
+           row_number() OVER (PARTITION BY docid
+                              ORDER BY inwin DESC, anchor ASC) AS rn
+    FROM anchors
+  ) WHERE rn = 1
+),
+frag AS (
+  SELECT k.docid,
+         string_agg(CASE WHEN k.term = 'table'
+                         THEN '<em>' || k.term || '</em>' ELSE k.term END,
+                    ' ' ORDER BY k.pos) AS snippet
+  FROM kpos k JOIN best b
+    ON b.docid = k.docid AND k.pos >= b.anchor AND k.pos < b.anchor + 5
+  GROUP BY 1
+)
+SELECT t.docid, t.score, f.snippet
+FROM topk t JOIN frag f USING (docid)
+ORDER BY t.score DESC, t.docid ASC"""
+
+
+@_q("highlight_positions_tv", _HL_POS_SQL)
+def highlight_positions_tv(spark, sf_dir):
+    """Positions-layer (term-vector) highlighter — FastVectorHighlighter /
+    PostingsHighlighter analog: fragments selected and rendered from the
+    PERSISTED positions index, no stored-text re-analysis and no
+    stored-field fetch."""
+    from lucene_solr_spark.search.highlight import highlight_positions
+
+    return highlight_positions(get_index(spark, sf_dir), "table", k=10, window=5)
+
+
 _SPELLCHECK_SQL = PRELUDE + """
 SELECT term AS suggestion,
        CAST(levenshtein(term, 'bath') AS INT) AS distance,
@@ -3119,6 +3166,7 @@ _DEFER_LAST = [
     "emb_cosine_topk",          # emb_lsh_ann (exact-cosine verify inside buckets; brute-force baseline stays benched); r2 green — slot for qparser_nested
     "field_query",              # multivalued_field_query (strictly harder field front door) + term_query scoring; r2 green
     "sort_by_field",            # cursor_mark_page2 (same field-sorted collector, keyset paging on top); r2 green — slot for multivalued_facet_tags
+    "dedup_exact",              # clean_url_dedup + urp_signature_dedupe (same hash-groupBy survivor shape, both in window); r2 green — slot for highlight_positions_tv
     # --- long-standing deferrals (near-duplicate demos) ---
     "term_query_tail",          # term_query
     "parsed_phrase_string",     # phrase_query + parsed_query_string

@@ -128,6 +128,86 @@ def highlight_topk(
     )
 
 
+def highlight_positions(
+    index: IndexTables,
+    term: str | list[str],
+    k: int = 10,
+    window: int = 5,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> DataFrame:
+    """Positions-layer highlighter — the FastVectorHighlighter /
+    PostingsHighlighter analog (lucene/highlighter/.../vectorhighlight/
+    FieldPhraseList+SimpleFragListBuilder, postingshighlight/
+    PostingsHighlighter.java): fragments come from the PERSISTED positions
+    index, never from re-analyzing stored text.
+
+    Mechanics (FieldFragList's hit-density fragment selection in token
+    space): among the query-term hit positions of each top-k doc, the
+    anchor maximizing in-window hits (ties -> smallest position) wins; the
+    fragment is the analyzed-token window [anchor, anchor+window) rendered
+    from the positions layer with matches wrapped pre/post.  Like the
+    reference's term-vector path, no tokenizer runs at query time — and no
+    stored-field fetch happens at all (the snippet is the analyzed token
+    stream: lowercased, stop positions absent).  Char-exact snippets over
+    raw stored text remain highlight_topk's (classic Highlighter) job.
+
+    Scale shape: the top-k docid set broadcasts into the positions table
+    (scan prune), anchor scoring self-joins only the per-doc QUERY-TERM
+    hits (<= tf rows per doc), and the fragment render aggregates <= window
+    tokens per doc — all Catalyst, no Python, no corpus scan."""
+    if index.positions is None:
+        raise ValueError("index built without positions")
+    terms = [term.lower()] if isinstance(term, str) else [t.lower() for t in term]
+    if not terms:
+        raise ValueError("highlighting needs >= 1 term")
+    from lucene_solr_spark.search.query import BooleanQuery
+
+    top = search(index, BooleanQuery.of(should=terms), k=k)
+    kpos = index.positions.select("docid", "term", "pos").join(
+        F.broadcast(top.select("docid")), "docid"
+    )
+    hits = kpos.filter(F.col("term").isin(terms)).select("docid", "pos")
+    h2 = hits.select(F.col("docid").alias("_d"), F.col("pos").alias("_p"))
+    anchors = (
+        hits.join(
+            h2,
+            (F.col("_d") == F.col("docid"))
+            & (F.col("_p") >= F.col("pos"))
+            & (F.col("_p") < F.col("pos") + window),
+        )
+        .groupBy("docid", "pos")
+        .agg(F.count(F.lit(1)).alias("inwin"))
+    )
+    w = Window.partitionBy("docid").orderBy(
+        F.col("inwin").desc(), F.col("pos").asc()
+    )
+    best = (
+        anchors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("docid", F.col("pos").alias("anchor"))
+    )
+    frag_toks = kpos.join(best, "docid").filter(
+        (F.col("pos") >= F.col("anchor"))
+        & (F.col("pos") < F.col("anchor") + window)
+    )
+    rendered = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "term"))),
+            lambda s: F.when(
+                s["term"].isin(terms), F.concat(F.lit(pre), s["term"], F.lit(post))
+            ).otherwise(s["term"]),
+        ),
+    )
+    frags = frag_toks.groupBy("docid").agg(rendered.alias("snippet"))
+    return (
+        top.join(frags, "docid")
+        .select("docid", "score", "snippet")
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+    )
+
+
 def highlight_snippets(
     index: IndexTables,
     stored: DataFrame,

@@ -184,3 +184,49 @@ def test_highlight_multi_anchors_first_of_any_and_wraps_all(spark, corpus):
     # anchor = first occurrence of ANY term: 'merge' precedes 'runs' in doc 0,
     # so the fragment starts at/before 'merge' (context window)
     assert snip0.lower().find("<em>merge</em>") < snip0.find("<em>runs</em>")
+
+
+def test_highlight_positions_uses_positions_layer(spark, sf_dir):
+    """FVH/PostingsHighlighter analog: token-window fragment from the
+    persisted positions index; matches wrapped; anchor maximizes in-window
+    hit density."""
+    from lucene_solr_spark.driver_queries import get_index
+    from lucene_solr_spark.search.highlight import highlight_positions
+
+    idx = get_index(spark, sf_dir)
+    out = highlight_positions(idx, "table", k=5, window=5).collect()
+    assert 0 < len(out) <= 5
+    for r in out:
+        assert "<em>table</em>" in r.snippet
+        # token-space snippet: <= window tokens once wrappers are stripped
+        plain = r.snippet.replace("<em>", "").replace("</em>", "")
+        assert 1 <= len(plain.split(" ")) <= 5
+
+    # multi-term: any query term anchors and wraps
+    out2 = highlight_positions(idx, ["table", "merge"], k=5, window=6).collect()
+    assert any("<em>" in r.snippet for r in out2)
+
+    import pytest as _pytest
+
+    from lucene_solr_spark.index.builder import build_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    nopos = build_index(spark, docs, key_col="doc_id", docid_col="doc_id",
+                        num_index_partitions=2, persist=False)
+    with _pytest.raises(ValueError, match="positions"):
+        highlight_positions(nopos, "table")
+
+
+def test_highlight_positions_anchor_density(spark):
+    """The densest query-term window wins, not the first occurrence."""
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.highlight import highlight_positions
+
+    rows = [(0, "table alpha beta gamma delta table table near here end")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(spark, df, key_col="doc_id", docid_col="doc_id",
+                      num_index_partitions=1, persist=False,
+                      build_positions=True)
+    out = highlight_positions(idx, "table", k=1, window=3).collect()
+    # positions 5,6 hold the double 'table' — window [5,8) has 2 hits vs 1
+    assert out[0].snippet == "<em>table</em> <em>table</em> near"
