@@ -2114,6 +2114,35 @@ def highlight_positions_tv(spark, sf_dir):
     return highlight_positions(get_index(spark, sf_dir), "table", k=10, window=5)
 
 
+def _fuzzy_sg_dist(q: str, max_edits: int = 1) -> str:
+    n = len(q)
+    probes = ", ".join(
+        f"coalesce(CASE WHEN length(term) >= {L} "
+        f"THEN levenshtein(substring(term, 1, {L}), '{q}') END, 999)"
+        for L in range(max(n - max_edits, 1), n + max_edits + 1)
+    )
+    return f"least({probes})"
+
+
+_SUGGEST_FUZZY_SQL = f"""{PRELUDE}
+SELECT term AS suggestion,
+       CAST({_fuzzy_sg_dist('vektor')} AS INT) AS distance,
+       CAST(cf AS BIGINT) AS weight
+FROM tstat
+WHERE term LIKE 'v%' AND {_fuzzy_sg_dist('vektor')} <= 1
+ORDER BY weight DESC, suggestion ASC LIMIT 10"""
+
+
+@_q("suggest_fuzzy_typo", _SUGGEST_FUZZY_SQL)
+def suggest_fuzzy_typo(spark, sf_dir):
+    """FuzzySuggester (FuzzySuggester.java:47-96): the typo 'vektor'
+    completes to dictionary terms within 1 edit of a term prefix, exact
+    first char (DEFAULT_NON_FUZZY_PREFIX), ranked by cf weight."""
+    from lucene_solr_spark.search.suggest import suggest_fuzzy
+
+    return suggest_fuzzy(get_index(spark, sf_dir), "vektor", k=10)
+
+
 _SPELLCHECK_SQL = PRELUDE + """
 SELECT term AS suggestion,
        CAST(levenshtein(term, 'bath') AS INT) AS distance,
@@ -3167,6 +3196,7 @@ _DEFER_LAST = [
     "field_query",              # multivalued_field_query (strictly harder field front door) + term_query scoring; r2 green
     "sort_by_field",            # cursor_mark_page2 (same field-sorted collector, keyset paging on top); r2 green — slot for multivalued_facet_tags
     "dedup_exact",              # clean_url_dedup + urp_signature_dedupe (same hash-groupBy survivor shape, both in window); r2 green — slot for highlight_positions_tv
+    "text_fingerprint",         # text_quality (same Catalyst projection family) + clean_dedup_lines array pass + hashing property tests; r2 green — slot for suggest_fuzzy_typo
     # --- long-standing deferrals (near-duplicate demos) ---
     "term_query_tail",          # term_query
     "parsed_phrase_string",     # phrase_query + parsed_query_string

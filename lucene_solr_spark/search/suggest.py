@@ -82,6 +82,87 @@ def suggest_prefix(index: IndexTables, prefix: str, k: int = 10) -> DataFrame:
     )
 
 
+def suggest_infix(
+    index: IndexTables,
+    fragment: str,
+    k: int = 10,
+    pre: str = "<b>",
+    post: str = "</b>",
+) -> DataFrame:
+    """AnalyzingInfixSuggester analog (lucene/suggest/.../analyzing/
+    AnalyzingInfixSuggester.java:77-104: matches anywhere in the suggestion
+    surface, results returned with the matched fragment highlighted):
+    dictionary terms CONTAINING the fragment, ranked by weight (cf) desc,
+    term-asc tie-break, with every occurrence wrapped pre/post.  One
+    Catalyst contains-filter over the dictionary — the infix index Lucene
+    builds is unnecessary when the dictionary is a columnar scan."""
+    q = fragment.lower()
+    if not q:
+        raise ValueError("suggest_infix needs a non-empty fragment")
+    return (
+        index.term_stats()
+        .filter(F.col("term").contains(q))
+        .select(
+            F.col("term").alias("suggestion"),
+            F.col("cf").cast("long").alias("weight"),
+            F.replace(F.col("term"), F.lit(q), F.lit(pre + q + post)).alias(
+                "highlighted"
+            ),
+        )
+        .orderBy(F.col("weight").desc(), F.col("suggestion").asc())
+        .limit(k)
+    )
+
+
+def suggest_fuzzy(
+    index: IndexTables,
+    typed: str,
+    k: int = 10,
+    max_edits: int = 1,
+    non_fuzzy_prefix: int = 1,
+    min_fuzzy_length: int = 3,
+) -> DataFrame:
+    """FuzzySuggester analog (lucene/suggest/.../analyzing/
+    FuzzySuggester.java:47-96: completions whose ANALYZED FORM is within
+    ``maxEdits`` of the typed input, with the FuzzySuggester defaults —
+    DEFAULT_NON_FUZZY_PREFIX=1 chars must match exactly,
+    DEFAULT_MIN_FUZZY_LENGTH=3 below which matching is exact).
+
+    The Levenshtein-automaton x FST intersection becomes: dictionary terms
+    whose length-(n±e) prefix is within ``max_edits`` of the typed string —
+    the same acceptance set — ranked by weight (cf) desc.  The per-length
+    ``levenshtein`` probes are a fixed (2e+1)-column JVM projection over
+    the dictionary scan with the non-fuzzy-prefix predicate pushed down."""
+    q = typed.lower()
+    if len(q) < min_fuzzy_length:
+        out = suggest_prefix(index, q, k)
+        return out.select(
+            "suggestion", F.lit(0).cast("int").alias("distance"), "weight"
+        )
+    n = len(q)
+    t = F.col("term")
+    probes = [
+        F.when(
+            F.length(t) >= L, F.levenshtein(F.substring(t, 1, L), F.lit(q))
+        )
+        for L in range(max(n - max_edits, 1), n + max_edits + 1)
+    ]
+    dist = F.least(*probes) if len(probes) > 1 else probes[0]
+    return (
+        index.term_stats()
+        .filter(t.startswith(q[:non_fuzzy_prefix]))
+        .withColumn("distance", dist)
+        .filter(F.col("distance") <= max_edits)
+        .select(
+            F.col("term").alias("suggestion"),
+            F.col("distance").cast("int").alias("distance"),
+            F.col("cf").cast("long").alias("weight"),
+        )
+        .orderBy(F.col("weight").desc(), F.col("suggestion").asc())
+        .limit(k)
+    )
+
+
 def collate(
     index: IndexTables,
     misspelled: str,

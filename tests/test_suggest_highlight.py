@@ -230,3 +230,34 @@ def test_highlight_positions_anchor_density(spark):
     out = highlight_positions(idx, "table", k=1, window=3).collect()
     # positions 5,6 hold the double 'table' — window [5,8) has 2 hits vs 1
     assert out[0].snippet == "<em>table</em> <em>table</em> near"
+
+
+def test_suggest_infix(spark, sf_dir):
+    from lucene_solr_spark.driver_queries import get_index
+    from lucene_solr_spark.search.suggest import suggest_infix
+
+    idx = get_index(spark, sf_dir)
+    out = suggest_infix(idx, "ecto", k=5).collect()
+    assert out and all("ecto" in r.suggestion for r in out)
+    assert all("<b>ecto</b>" in r.highlighted for r in out)
+    # ranked by weight desc
+    weights = [r.weight for r in out]
+    assert weights == sorted(weights, reverse=True)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        suggest_infix(idx, "")
+
+
+def test_suggest_fuzzy(spark, sf_dir):
+    from lucene_solr_spark.driver_queries import get_index
+    from lucene_solr_spark.search.suggest import suggest_fuzzy
+
+    idx = get_index(spark, sf_dir)
+    got = {r.suggestion for r in suggest_fuzzy(idx, "vektor", k=10).collect()}
+    assert "vector" in got                      # substitution k->c
+    # non-fuzzy prefix: a first-char typo never matches
+    got2 = {r.suggestion for r in suggest_fuzzy(idx, "wector", k=10).collect()}
+    assert "vector" not in got2
+    # below minFuzzyLength matching is exact-prefix
+    short = suggest_fuzzy(idx, "ve", k=5).collect()
+    assert all(r.suggestion.startswith("ve") and r.distance == 0 for r in short)
