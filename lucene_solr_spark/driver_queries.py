@@ -120,6 +120,36 @@ def get_mv_index(spark: SparkSession, sf_dir: str) -> IndexTables:
     return _INDEX_CACHE[key]
 
 
+_SYN_RULES_TXT = ["table scan => tablescan"]
+
+
+def get_synonym_index(spark: SparkSession, sf_dir: str) -> IndexTables:
+    """documents indexed through the multi-word synonym chain
+    (analysis/synonyms.py — classic SynonymFilter slot semantics): the rule
+    'table scan => tablescan' contracts the bigram, shifting later
+    positions, so phrases straddling the contraction match the merged
+    term."""
+    from lucene_solr_spark.analysis.synonyms import (
+        parse_rules,
+        synonym_positioned_tokens_udf,
+    )
+
+    key = sf_dir + "#syn"
+    if key not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        udf = synonym_positioned_tokens_udf(parse_rules(_SYN_RULES_TXT))
+        _INDEX_CACHE[key] = build_index(
+            spark,
+            docs,
+            key_col="doc_id",
+            docid_col="doc_id",
+            num_index_partitions=8,
+            build_positions=True,
+            positioned_tokens_col=udf(F.col("text")),
+        )
+    return _INDEX_CACHE[key]
+
+
 def _q(name: str, sql: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -245,6 +275,44 @@ SELECT pm.docid,
              * 2.2 * pm.tf / (pm.tf + 1.2 * (0.25 + 0.75 * d.dl_approx / st.avgdl)), 4) AS score
 FROM pm JOIN doc d ON d.docid = pm.docid CROSS JOIN stats st
 ORDER BY score DESC, pm.docid ASC LIMIT 10"""
+
+
+_SYN_PRELUDE = None  # built lazily below (imports sqlgen helper)
+
+
+def _register_synonym_phrase():
+    from lucene_solr_spark.oracle.sqlgen import synonym_contraction_prelude_sql
+
+    prelude = synonym_contraction_prelude_sql("table", "scan", "tablescan")
+    sql = f"""{prelude},
+pm AS (
+  SELECT p0.docid, count(*) AS tf
+  FROM tok p0 JOIN tok p1 ON p1.docid = p0.docid AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'tablescan' AND p1.term = 'column'
+  GROUP BY 1
+)
+SELECT pm.docid,
+       round(({idf_sql('tablescan')} + {idf_sql('column')})
+             * 2.2 * pm.tf / (pm.tf + 1.2 * (0.25 + 0.75 * d.dl_approx / st.avgdl)), 4) AS score
+FROM pm JOIN doc d ON d.docid = pm.docid CROSS JOIN stats st
+ORDER BY score DESC, pm.docid ASC LIMIT 10"""
+
+    @_q("synonym_phrase_query", sql)
+    def synonym_phrase_query(spark, sf_dir):
+        """Exact phrase THROUGH the multi-word synonym chain
+        (SynonymFilter.java slot semantics): 'table scan' contracts to
+        'tablescan' at index time, later positions shift, and the phrase
+        ("tablescan", "column") matches documents whose raw text reads
+        '... table scan column ...' — the cross-expansion phrase match the
+        flat token stream could never make."""
+        return search(
+            get_synonym_index(spark, sf_dir),
+            PhraseQuery(("tablescan", "column")),
+            k=10,
+        )
+
+
+_register_synonym_phrase()
 
 
 @_q("phrase_query", _PHRASE_SQL)
@@ -3197,6 +3265,7 @@ _DEFER_LAST = [
     "sort_by_field",            # cursor_mark_page2 (same field-sorted collector, keyset paging on top); r2 green — slot for multivalued_facet_tags
     "dedup_exact",              # clean_url_dedup + urp_signature_dedupe (same hash-groupBy survivor shape, both in window); r2 green — slot for highlight_positions_tv
     "text_fingerprint",         # text_quality (same Catalyst projection family) + clean_dedup_lines array pass + hashing property tests; r2 green — slot for suggest_fuzzy_typo
+    "more_like_this",           # rerank_query (two-pass derived-query composition) + MLT gate tests; r2 green — slot for synonym_phrase_query
     # --- long-standing deferrals (near-duplicate demos) ---
     "term_query_tail",          # term_query
     "parsed_phrase_string",     # phrase_query + parsed_query_string

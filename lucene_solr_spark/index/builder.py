@@ -152,6 +152,7 @@ def build_index(
     term_map=None,
     multivalued: bool = False,
     position_increment_gap: int = 100,
+    positioned_tokens_col=None,
 ) -> IndexTables:
     """Build the index tables from a source table.
 
@@ -176,7 +177,16 @@ def build_index(
     analyzes independently, dl/norms come from the total emitted token
     count, and positions carry ``position_increment_gap`` between values
     (DefaultIndexingChain.java:668-699) so phrases never match across value
-    boundaries."""
+    boundaries.
+
+    ``positioned_tokens_col``: a caller-supplied replacement for the whole
+    positioned analyzer chain — any Column producing
+    ``array<struct<pos:int,term:string>>`` over this row (e.g. the synonym
+    chain's Arrow UDF, analysis/synonyms.py).  Requires
+    ``build_positions=True``; dl/norms derive from the emitted token count
+    exactly as with the built-in chain."""
+    if positioned_tokens_col is not None and not build_positions:
+        raise ValueError("positioned_tokens_col requires build_positions=True")
     cols = [key_col, text_col, *passthrough_cols]
     if "index_partition" in source.columns:
         cols.append("index_partition")
@@ -218,7 +228,12 @@ def build_index(
         # Downstream, the positions codec shuffles ~df pre-aggregated rows
         # instead of ~cf raw occurrences (~10x less volume on web text) —
         # the map-side-combine discipline the postings path always had.
-        if multivalued:
+        if positioned_tokens_col is not None:
+            pts = F.coalesce(
+                positioned_tokens_col,
+                F.array().cast("array<struct<pos:int,term:string>>"),
+            )
+        elif multivalued:
             pts = F.coalesce(
                 multivalued_positioned_tokens_expr(
                     F.col(text_col), gap=position_increment_gap
@@ -235,14 +250,30 @@ def build_index(
         )
         if term_map is not None:
             occ = _apply_term_map(occ, term_map)
+        if positioned_tokens_col is not None:
+            # discountOverlaps (BM25Similarity.java computeNorm: dl = length
+            # - numOverlap, the DEFAULT): stacked tokens (posInc 0 — synonym
+            # graphs) never count toward dl/norms, so num_terms counts
+            # OCCUPIED POSITIONS.  Partition-local window on the existing
+            # clustering — no shuffle; the built-in chains are 1:1
+            # token-per-position so they keep the free sum(tf) path.
+            wpos = Window.partitionBy("index_partition", "docid", "pos").orderBy(
+                "term"
+            )
+            occ = occ.withColumn(
+                "_novl", (F.row_number().over(wpos) == 1).cast("int")
+            )
+        else:
+            occ = occ.withColumn("_novl", F.lit(1))
         w = Window.partitionBy("index_partition", "docid")
         positions_grouped = (
             occ.groupBy("index_partition", "docid", "term")
             .agg(
                 F.count(F.lit(1)).cast("int").alias("tf"),
                 F.array_sort(F.collect_list("pos")).alias("poss"),
+                F.sum("_novl").alias("_np"),
             )
-            .withColumn("num_terms", F.sum("tf").over(w).cast("int"))
+            .withColumn("num_terms", F.sum("_np").over(w).cast("int"))
             .join(
                 norm_ranges,
                 (F.col("num_terms") >= F.col("dl_lo"))

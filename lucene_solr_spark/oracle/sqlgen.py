@@ -150,6 +150,79 @@ WHERE t <> '' AND length(t) BETWEEN 1 AND 255 AND lower(t) NOT IN {_STOP}"""
     return ",\n         ".join(rows)
 
 
+def synonym_contraction_prelude_sql(
+    a: str,
+    b: str,
+    merged: str,
+    doc_source: str = "SELECT doc_id AS docid, text FROM documents",
+) -> str:
+    """PRELUDE variant whose tok CTE applies the ``{a} {b} => {merged}``
+    multi-word synonym rule with the classic SynonymFilter's replace
+    semantics (analysis/synonyms.py slot model: the 2-token block contracts
+    to 1 position, later positions shift by the number of preceding
+    contractions).  The chain order matches the engine: tokenizer ->
+    lowercase -> synonym (pre-stop, consecutive RAW positions) -> stop +
+    length filter.  Valid for rules whose two input words differ (the
+    adjacent-row match below would mis-pair a self-overlapping pattern)."""
+    assert a != b, "contraction SQL requires distinct rule words"
+    return f"""WITH docsrc AS (
+  {doc_source}
+),
+tokraw AS (
+  SELECT docid, t AS raw_term, lower(t) AS term, (pos - 1) AS pos
+  FROM (
+    SELECT docid,
+           unnest(regexp_extract_all(text, {_PAT})) AS t,
+           unnest(range(1, len(regexp_extract_all(text, {_PAT})) + 1)) AS pos
+    FROM docsrc
+  )
+  WHERE t <> ''
+),
+syn AS (
+  SELECT r.docid,
+         CASE WHEN r.term = '{a}' AND nxt.term = '{b}'
+              THEN '{merged}' ELSE r.term END AS term,
+         CASE WHEN r.term = '{a}' AND nxt.term = '{b}'
+              THEN '{merged}' ELSE r.raw_term END AS raw_term,
+         r.pos,
+         CASE WHEN r.term = '{a}' AND nxt.term = '{b}' THEN 1 ELSE 0 END AS starts,
+         CASE WHEN r.term = '{b}' AND prv.term = '{a}' THEN 1 ELSE 0 END AS dropped
+  FROM tokraw r
+  LEFT JOIN tokraw nxt ON nxt.docid = r.docid AND nxt.pos = r.pos + 1
+  LEFT JOIN tokraw prv ON prv.docid = r.docid AND prv.pos = r.pos - 1
+),
+tok AS (
+  SELECT docid, term,
+         pos - coalesce(sum(starts) OVER (
+             PARTITION BY docid ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+  FROM syn
+  WHERE dropped = 0
+    AND length(raw_term) BETWEEN 1 AND 255 AND term NOT IN {_STOP}
+),
+doclen AS (
+  SELECT d.docid, count(t.term) AS dl
+  FROM docsrc d LEFT JOIN tok t ON t.docid = d.docid
+  GROUP BY 1
+),
+normmap(dl_lo, dl_hi, norm_byte, dl_approx) AS (
+  VALUES {_norm_values()}
+),
+doc AS (
+  SELECT l.docid, l.dl,
+         CASE WHEN l.dl = 0 THEN 255 ELSE m.norm_byte END AS norm_byte,
+         CASE WHEN l.dl = 0 THEN CAST('infinity' AS DOUBLE) ELSE m.dl_approx END AS dl_approx
+  FROM doclen l LEFT JOIN normmap m ON l.dl BETWEEN m.dl_lo AND m.dl_hi
+),
+stats AS (
+  SELECT count(*) AS n,
+         CAST(1.0 * (SELECT coalesce(sum(dl), 0) FROM doclen) / count(*) AS REAL) AS avgdl
+  FROM docsrc
+),
+tf AS (SELECT docid, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+tstat AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY 1)"""
+
+
 def stemmed_prelude_sql(doc_source: str = "SELECT doc_id AS docid, text FROM documents") -> str:
     """PRELUDE variant whose tok CTE maps terms through the Porter stem
     dictionary (the ``text_en`` chain: tokenizer -> lowercase -> stop ->
