@@ -52,19 +52,49 @@ from pyspark.sql import functions as F
 #
 # CJK per StandardTokenizer token types (StandardTokenizer.java:61-91):
 # Han ideographs and Hiragana emit ONE char per token (<IDEOGRAPHIC>,
-# <HIRAGANA>); Katakana forms runs (WB13, <KATAKANA> — the full block incl.
-# the U+30FC prolonged-sound mark); Hangul syllables are ALetter-class runs
-# (<HANGUL>).
+# <HIRAGANA>); Katakana forms runs (WB13, <KATAKANA>); Hangul is
+# ALetter-class runs (<HANGUL>).
+#
+# Supplementary-plane + multi-script coverage (round 3, closing the JFlex
+# grammar gap): the ALetter class spans Latin (incl. supplements/IPA),
+# Greek (+polytonic), Cyrillic, Armenian, Hebrew, Arabic, Devanagari and
+# the astral alphabets (Gothic/Deseret/Shavian); Han covers Ext A and the
+# astral Ext B-D + compatibility supplements; Extend (combining marks —
+# UAX#29 WB4) joins mid-word so pointed Hebrew, vowelized Arabic and
+# Devanagari matras never split words.  Every character in these classes is
+# MACHINE-VALIDATED for identical lowercasing across Python / DuckDB /
+# Spark (tests/test_uax29_supplement.py regenerates the ranges and fails on
+# drift); the two engine-divergent characters — U+0130 Turkish İ
+# (length-changing, DuckDB disagrees) and U+03A3 capital sigma (contextual
+# final-sigma lowering, DuckDB lacks it) — are excluded from the classes so
+# they break tokens instead of corrupting hashes.  Emoji and other
+# unclassified pictographs are DROPPED, exactly like the 4.10 grammar.
+_ALETTER = (
+    "A-Za-z"
+    # machine-generated, cross-engine-lowercase-validated ranges (see
+    # tests/test_uax29_supplement.py, which regenerates and diffs them)
+    "\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u012F\u0131-\u02AF\u0370-\u0374\u0376-\u0377\u037A-\u037D\u037F\u0386\u0388-\u038A\u038C\u038E-\u03A1\u03A4-\u03F5\u03F7-\u0481\u048A-\u052F\u0531-\u0556\u0559\u0560-\u0588\u05D0-\u05EA\u0620-\u064A\u0671-\u06D3\u0750-\u077F\u0904-\u0939\u0958-\u0961\u0971-\u0977\u1F00-\u1F15\u1F18-\u1F1D\u1F20-\u1F45\u1F48-\u1F4D\u1F50-\u1F57\u1F59\u1F5B\u1F5D\u1F5F-\u1F7D\u1F80-\u1FB4\u1FB6-\u1FBC\u1FBE\u1FC2-\u1FC4\u1FC6-\u1FCC\u1FD0-\u1FD3\u1FD6-\u1FDB\u1FE0-\u1FEC\u1FF2-\u1FF4\u1FF6-\u1FFC\uFF21-\uFF3A\uFF41-\uFF5A\U00010330-\U00010340\U00010342-\U00010349\U00010400-\U0001047F"
+)
+_EXTEND = (
+    "\u0300-\u036F\u0483-\u0489\u0591-\u05BD\u05BF\u05C1-\u05C2\u05C4-\u05C5\u05C7\u064B-\u065F\u0670\u06D6-\u06DC\u06DF-\u06E4\u06E7-\u06E8\u06EA-\u06ED\u0900-\u0903\u093A-\u093C\u093E-\u094F\u0951-\u0957\u0962-\u0963"
+)
+_NUMCLS = "0-9\u0660-\u0669\u06F0-\u06F9\u0966-\u096F\uFF10-\uFF19"
+_AL_RUN = f"[{_ALETTER}][{_ALETTER}{_EXTEND}]*"
+_HAN = (
+    "一-鿿㐀-䶵豈-龎"
+    "\U00020000-\U0002A6D6\U0002A700-\U0002B734\U0002B740-\U0002B81D"
+    "\U0002F800-\U0002FA1D"
+)
 TOKEN_PATTERN = (
-    "[一-鿿]"       # Han U+4E00-U+9FFF: one char per token
-    "|[ぁ-ゟ]"      # Hiragana U+3041-U+309F: one char per token
-    "|[゠-ヿ]+"     # Katakana U+30A0-U+30FF: runs
-    "|[가-힣]+"     # Hangul syllables U+AC00-U+D7A3: runs
+    f"[{_HAN}]"      # Han (+ext A-D, compat): one char per token
+    "|[ぁ-ゟ\U0001B001]"                 # Hiragana: one char per token
+    "|[゠-ヿㇰ-ㇿｦ-ﾝ\U0001B000]+"  # Katakana (+phonetic ext, halfwidth): runs
+    "|[가-힣ᄀ-ᇿㄱ-ㆎꥠ-ꥼힰ-ퟻ]+"  # Hangul syllables + jamo
     "|[ก-๛]+"      # Thai U+0E01-U+0E5B: <SOUTHEAST_ASIAN> runs
     "|[ກ-ໝ]+"      # Lao U+0E81-U+0EDD: <SOUTHEAST_ASIAN> runs
-    "|(?:[A-Za-z]+(?:['.’][A-Za-z]+)*"
-    "|[0-9]+(?:[.,'][0-9]+)*"
-    "|[0-9A-Za-z_])+"
+    f"|(?:{_AL_RUN}(?:['.’]{_AL_RUN})*"
+    f"|[{_NUMCLS}]+(?:[.,'][{_NUMCLS}]+)*"
+    f"|[{_ALETTER}{_NUMCLS}_])+"
 )
 
 _PY_RE = re.compile(TOKEN_PATTERN)

@@ -36,7 +36,7 @@ GOLDENS = [
     ("A", []),  # lone stopword
     ("", []),
     ("  \t\n ", []),
-    ("café Müller", ["caf", "m", "ller"]),  # v0 alphabet is ASCII+CJK (non-ASCII letters break)
+    ("café Müller", ["café", "müller"]),  # round-3 ALetter supplement: Latin accents join
     ("日本語 test", ["日", "本", "語", "test"]),  # CJK: one token per ideograph
     ("x" * 255 + " ok", ["x" * 255, "ok"]),  # exactly 255 kept
     ("x" * 256 + " ok", ["ok"]),  # 256 dropped (StandardTokenizer maxTokenLength)
