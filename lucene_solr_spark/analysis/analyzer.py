@@ -147,6 +147,23 @@ def sql_stopword_list() -> str:
 # JVM-side path (preferred at scale: stays inside whole-stage codegen)
 # ---------------------------------------------------------------------------
 
+# Fast path for ASCII-only rows.  On input whose every char is < U+00C0 the
+# full pattern degenerates to exactly this (the multi-script classes contain
+# no code point below 0xC0 — the generator starts at À — and the CJK/astral
+# branches can never match), so dispatching per row is a pure optimization:
+# java.util.regex pays ~50 failed range checks per separator char against
+# the big classes, which measured ~4x slower on an all-ASCII corpus.  RE2
+# (the DuckDB oracle) compiles the full pattern to a DFA and doesn't care,
+# so the oracle keeps the single full pattern; this dispatch is Spark-only
+# and semantics-free.
+_ASCII_TOKEN_PATTERN = (
+    "(?:[A-Za-z]+(?:['.][A-Za-z]+)*"
+    "|[0-9]+(?:[.,'][0-9]+)*"
+    "|[0-9A-Za-z_])+"
+)
+_NON_ASCII_PROBE = "[^\\x00-\\xBF]"  # complement class also hits astral
+
+
 def raw_tokens_expr(text: Column) -> Column:
     """Raw tokenizer output (pre-filters), as array<string>.
 
@@ -154,7 +171,10 @@ def raw_tokens_expr(text: Column) -> Column:
     counts every tokenizer-emitted token, including ones later dropped by the
     length cap (StandardTokenizer.java skippedPositions) or StopFilter.
     """
-    return F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0)
+    return F.when(
+        text.rlike(_NON_ASCII_PROBE),
+        F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0),
+    ).otherwise(F.regexp_extract_all(text, F.lit(_ASCII_TOKEN_PATTERN), 0))
 
 
 def tokens_expr(text: Column) -> Column:

@@ -158,3 +158,35 @@ def test_tri_engine_agreement(spark):
 
     for t, a, b, c in zip(texts, py, duck, sp):
         assert a == b == c, f"{t!r}:\n  py={a}\n  duck={b}\n  spark={c}"
+
+
+def test_ascii_fast_path_equivalence(spark):
+    """raw_tokens_expr dispatches ASCII-only rows to the small ASCII pattern;
+    the result must be IDENTICAL to always running the full pattern."""
+    import random
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analysis.analyzer import (
+        _ASCII_TOKEN_PATTERN,
+        raw_tokens_expr,
+    )
+
+    rng = random.Random(42)
+    alphabet = "abc XYZ 019 _'.,-!? \t\n"
+    ascii_rows = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        for _ in range(300)
+    ]
+    for s in ascii_rows:  # python-re property: FULL == ASCII on ascii input
+        assert [m for m in _re.findall(TOKEN_PATTERN, s) if m] == [
+            m for m in _re.findall(_ASCII_TOKEN_PATTERN, s) if m
+        ], repr(s)
+
+    mixed = ascii_rows[:50] + [t for t, _ in GOLDEN]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(mixed)], "i long, t string")
+    full = F.regexp_extract_all("t", F.lit(TOKEN_PATTERN), 0)
+    got = df.select("i", raw_tokens_expr(F.col("t")).alias("a"), full.alias("b")).collect()
+    for r in got:
+        assert list(r.a) == list(r.b), mixed[r.i]
