@@ -23,8 +23,16 @@ Semantics notes (matching the reference):
   CASE WHEN (BoolFunction family).
 - ``scale(x,min,max)`` is the DataFrame-level ``with_scale`` helper (it
   needs a global min/max pass: one tiny aggregate broadcast back, no driver
-  collect).  ``ord``/``rord``/``query($q)`` are omitted: ordinal functions
-  are index-internal (obsolete under columnar storage).
+  collect); ``ord``/``rord`` and ``termfreq`` likewise need frame-level
+  passes and live as ``with_ord`` / ``with_termfreq``.
+- ``dist``/``sqedist``/``hsin``/``geodist`` (VectorDistanceFunction /
+  HaversineFunction): pure column math; ``geodist`` takes degrees and
+  returns km over the spatial4j mean earth radius; ``hsin`` takes a radius
+  plus radian coordinates.
+- ``docfreq``/``idf``/``maxdoc``/``numdocs``/``sumtotaltermfreq``/
+  ``totaltermfreq`` compile to scalar literals resolved against the
+  ``index=`` argument's term dictionary (one bounded single-term collect —
+  the discipline the BM25 scorer already uses for query-term stats).
 
 Field references resolve to columns of whatever DataFrame the caller applies
 the Column to; bare identifiers that are not function names are fields.
@@ -102,7 +110,96 @@ FUNCTIONS: dict[str, tuple[int, int, callable]] = {
     "ms": (1, 2, lambda a: (a[0] - a[1]) if len(a) == 2 else a[0]),
     # string distance (StrDistanceFunction, 'edit' == normalized Levenshtein)
     "strdist": (2, 3, lambda a: _lev_sim(a[0], a[1])),
+    # vector/geo distances (DistanceFunction group, ValueSourceParser.java:
+    # addParser("dist"/"sqedist"/"hsin"/"geodist"))
+    "sqedist": (2, 98, lambda a: _sqedist(a)),
+    "dist": (3, 99, lambda a: a),  # built in expr() — needs the literal power
+    "hsin": (5, 5, lambda a: a[0] * _haversine(a[1], a[2], a[3], a[4])),
+    "geodist": (
+        4,
+        4,
+        lambda a: F.lit(EARTH_MEAN_RADIUS_KM)
+        * _haversine(*[F.radians(x) for x in a]),
+    ),
+    # norm(field) (NormValueSource.java): the similarity-decoded norm byte,
+    # i.e. byte315ToFloat(norm_byte) — reads the docs table's norm_byte column
+    "norm": (1, 1, lambda a: _norm_decode_col()),
+    # termfreq/tf need a per-doc postings join — not expressible as a pure
+    # Column; with_termfreq() is the DataFrame-level realization
+    "termfreq": (2, 2, lambda a: _raise(ValueError(
+        "termfreq(field,term) needs a postings join - use with_termfreq()"))),
+    "tf": (2, 2, lambda a: _raise(ValueError(
+        "tf() is TFIDFSimilarity-only (TFValueSource); this engine is BM25 - "
+        "use termfreq()/with_termfreq() for the raw count"))),
 }
+
+# index-statistic functions (ValueSourceParser.java addParser("docfreq"/
+# "idf"/"maxdoc"/"numdocs"/"sumtotaltermfreq"/"totaltermfreq"): compiled to
+# scalar literals resolved against the passed IndexTables — a bounded
+# one-term collect, the same discipline the BM25 scorer uses for term stats.
+_INDEX_STAT_FNS = {
+    "docfreq", "idf", "maxdoc", "numdocs",
+    "sumtotaltermfreq", "sttf", "totaltermfreq", "ttf",
+}
+
+EARTH_MEAN_RADIUS_KM = 6371.0087714  # DistanceUtils.EARTH_MEAN_RADIUS_KM
+
+
+def _raise(e):
+    raise e
+
+
+def _sqedist(a: list[Column]) -> Column:
+    """SquaredEuclideanFunction: args split into two equal-length vectors."""
+    if len(a) % 2:
+        raise ValueError("sqedist takes two equal-length vectors")
+    h = len(a) // 2
+    return _chain(
+        [(x - y) * (x - y) for x, y in zip(a[:h], a[h:])], lambda x, y: x + y
+    )
+
+
+def _dist(power: float, a: list[Column]) -> Column:
+    """VectorDistanceFunction: Minkowski p-norm between two vectors.
+    power 0 counts differing dimensions (sparseness), 1 = Manhattan,
+    2 = Euclidean, other finite p = (sum |d|^p)^(1/p)."""
+    if len(a) % 2:
+        raise ValueError("dist takes a power then two equal-length vectors")
+    h = len(a) // 2
+    diffs = [x - y for x, y in zip(a[:h], a[h:])]
+    if power == 0.0:
+        return _chain(
+            [(d != 0).cast("int") for d in diffs], lambda x, y: x + y
+        ).cast("double")
+    if power == 1.0:
+        return _chain([F.abs(d) for d in diffs], lambda x, y: x + y)
+    if power == 2.0:
+        return F.sqrt(_chain([d * d for d in diffs], lambda x, y: x + y))
+    s = _chain([F.pow(F.abs(d), F.lit(power)) for d in diffs], lambda x, y: x + y)
+    return F.pow(s, F.lit(1.0 / power))
+
+
+def _haversine(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Unit-sphere haversine distance over RADIAN coordinates
+    (HaversineFunction.java distance())."""
+    dlat, dlon = (lat2 - lat1) / 2, (lon2 - lon1) / 2
+    h = F.sin(dlat) * F.sin(dlat) + (
+        F.cos(lat1) * F.cos(lat2) * F.sin(dlon) * F.sin(dlon)
+    )
+    return 2 * F.asin(F.sqrt(h))
+
+
+def _norm_decode_col() -> Column:
+    """byte315ToFloat(norm_byte) lookup as a 256-entry array literal."""
+    import numpy as np
+
+    from lucene_solr_spark.smallfloat import byte315_to_float
+
+    vals = byte315_to_float(np.arange(256))
+    return F.element_at(
+        F.array(*[F.lit(float(v)) for v in vals]),
+        F.col("norm_byte").cast("int") + 1,
+    )
 
 
 def _chain(args: list[Column], op) -> Column:
@@ -113,7 +210,7 @@ def _chain(args: list[Column], op) -> Column:
 
 
 class _Parser:
-    def __init__(self, text: str, now_epoch_ms: int | None):
+    def __init__(self, text: str, now_epoch_ms: int | None, index=None):
         self.toks: list[tuple[str, str]] = []
         pos = 0
         while pos < len(text):
@@ -127,8 +224,10 @@ class _Parser:
             pos = m.end()
         self.i = 0
         self.now = now_epoch_ms
+        self.index = index
         self._now_cols: set[int] = set()  # id()s of NOW literal columns
         self._str_lits: dict[int, str] = {}  # id(col) -> raw string literal
+        self._num_lits: dict[int, float] = {}  # id(col) -> numeric literal
 
     def peek(self) -> tuple[str, str] | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -141,7 +240,9 @@ class _Parser:
     def expr(self) -> Column:
         kind, val = self.take()
         if kind == "num":
-            return F.lit(float(val) if ("." in val or "e" in val.lower()) else int(val))
+            c = F.lit(float(val) if ("." in val or "e" in val.lower()) else int(val))
+            self._num_lits[id(c)] = float(val)
+            return c
         if kind == "str":
             c = F.lit(val[1:-1])
             self._str_lits[id(c)] = val[1:-1]
@@ -156,6 +257,8 @@ class _Parser:
             return c
         nxt = self.peek()
         if nxt and nxt[0] == "lp":
+            if val.lower() in _INDEX_STAT_FNS:
+                return self._index_stat(val.lower())
             self.take()  # (
             args: list[Column] = []
             while True:
@@ -189,9 +292,73 @@ class _Parser:
                 args = [
                     a if id(a) in self._now_cols else _to_ms(a) for a in args
                 ]
+            if fname == "dist":
+                # VectorDistanceFunction: the first arg is the Minkowski
+                # power and must be a literal (it picks the formula)
+                power = self._num_lits.get(id(args[0]))
+                if power is None:
+                    raise ValueError("dist: power must be a numeric literal")
+                return _dist(power, args[1:])
             return build(args)
         # bare identifier -> field column
         return F.col(val)
+
+    def _raw_args(self) -> list[str]:
+        """Consume '(' raw args ')' as plain strings (for functions whose
+        args are names/literals, not value sources)."""
+        self.take()  # (
+        out: list[str] = []
+        while True:
+            nxt = self.peek()
+            if nxt is None:
+                raise ValueError("unterminated argument list")
+            if nxt[0] == "rp":
+                self.take()
+                return out
+            if nxt[0] == "comma":
+                self.take()
+                continue
+            kind, val = self.take()
+            out.append(val[1:-1] if kind == "str" else val)
+
+    def _index_stat(self, fname: str) -> Column:
+        """Index-statistic value sources (ValueSourceParser.java addParser
+        "docfreq"/"idf"/"maxdoc"/"numdocs"/"sumtotaltermfreq"/
+        "totaltermfreq"): scalar literals resolved against the index's term
+        dictionary — one bounded single-term collect, the same discipline
+        the BM25 scorer uses for query-term stats."""
+        import math
+
+        args = self._raw_args()
+        if self.index is None:
+            raise ValueError(f"{fname}() needs an index= passed to the parser")
+        if fname in ("maxdoc", "numdocs"):
+            # numdocs == maxdoc here: IndexTables carries no deletes (the
+            # store applies delete generations before queries see docs)
+            if len(args) > 0:
+                raise ValueError(f"{fname} takes no arguments")
+            return F.lit(int(self.index.max_doc))
+        if fname in ("sumtotaltermfreq", "sttf"):
+            if len(args) > 1:
+                raise ValueError(f"{fname} takes at most a field argument")
+            return F.lit(int(self.index.sum_total_term_freq))
+        # (field, term) forms; the field names the single indexed text field
+        if len(args) != 2:
+            raise ValueError(f"{fname} takes (field, term), got {args}")
+        term = args[1]
+        row = (
+            self.index.term_stats()
+            .filter(F.col("term") == term)
+            .collect()
+        )
+        df_, cf_ = (int(row[0].df), int(row[0].cf)) if row else (0, 0)
+        if fname == "docfreq":
+            return F.lit(df_)
+        if fname in ("totaltermfreq", "ttf"):
+            return F.lit(cf_)
+        # idf: BM25Similarity.java:65-66, same float64 op order as the scorer
+        n = self.index.max_doc
+        return F.lit(math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5)))
 
 
 def _to_ms(c: Column) -> Column:
@@ -203,16 +370,59 @@ def _to_ms(c: Column) -> Column:
     return F.unix_millis(c.cast("timestamp"))
 
 
-def parse_function_query(text: str, now_epoch_ms: int | None = None) -> Column:
+def parse_function_query(
+    text: str, now_epoch_ms: int | None = None, index=None
+) -> Column:
     """Compile a Solr function-query string to a Catalyst Column.
 
     ``now_epoch_ms`` pins NOW for ``ms(NOW,field)`` — required for
-    determinism (Solr pins NOW per request)."""
-    p = _Parser(text, now_epoch_ms)
+    determinism (Solr pins NOW per request).  ``index`` (IndexTables)
+    enables the index-statistic functions (docfreq/idf/maxdoc/numdocs/
+    sumtotaltermfreq/totaltermfreq), which compile to scalar literals."""
+    p = _Parser(text, now_epoch_ms, index=index)
     out = p.expr()
     if p.peek() is not None:
         raise ValueError(f"trailing tokens from {p.peek()!r}")
     return out
+
+
+def with_termfreq(df, index, term: str, out: str = "termfreq"):
+    """``termfreq(field,term)`` (TermFreqValueSource.java): the raw in-doc
+    frequency of ``term``, 0 where absent.
+
+    Realized as a left join against the postings of that ONE term — the
+    postings side is term-pruned before the join (a predicate-pushdown scan
+    at store scale), so the join ships df(term) rows, never the corpus."""
+    tf = index.postings.filter(F.col("term") == term).select(
+        "docid", F.col("tf").alias("__tf__")
+    )
+    return (
+        df.join(tf, "docid", "left")
+        .withColumn(out, F.coalesce(F.col("__tf__"), F.lit(0)))
+        .drop("__tf__")
+    )
+
+
+def with_ord(df, field: str, out: str = "ord", reverse: bool = False):
+    """``ord(field)`` / ``rord(field)`` (OrdFieldSource.java /
+    ReverseOrdFieldSource.java): the 1-based position of the doc's value in
+    the sorted unique-value list (0 for missing); rord counts from the top.
+
+    The unique-value ranking is a window over the DISTINCT values only —
+    vocabulary-sized, not corpus-sized — broadcast back against the frame.
+    At extreme cardinality swap the broadcast for a sort-merge join; the
+    ranking pass itself stays vocabulary-bounded either way."""
+    from pyspark.sql import Window
+
+    v = "__ordv__"
+    vals = df.select(F.col(field).alias(v)).where(F.col(v).isNotNull()).distinct()
+    order = F.col(v).desc() if reverse else F.col(v).asc()
+    ranked = vals.withColumn(out, F.row_number().over(Window.orderBy(order)))
+    return (
+        df.join(F.broadcast(ranked), df[field] == ranked[v], "left")
+        .withColumn(out, F.coalesce(F.col(out), F.lit(0)))
+        .drop(v)
+    )
 
 
 def with_scale(

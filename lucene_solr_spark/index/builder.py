@@ -73,6 +73,10 @@ class IndexTables:
     sum_total_term_freq: int
     avgdl: float  # float32-rounded, as a Python float
     positions: DataFrame | None = None  # (docid, term, pos, dl_approx) if built
+    # per-index-partition (n_docs, sum_num_terms), collected by the same
+    # stats job that computes max_doc/avgdl — the store's lineage rows read
+    # these instead of running a second aggregate over the docs cache
+    partition_stats: dict | None = None
     # pre-aggregated positions: one row per (index_partition, docid, term)
     # with tf + sorted position array — what the positions codec shuffles
     # (~df rows, not ~cf occurrences); ``positions`` is an exploded view of it
@@ -389,10 +393,22 @@ def build_index(
             F.explode("poss").alias("pos"),
         ).select("index_partition", "docid", "dl_approx", "pos", "term")
 
-    agg = docs_out.agg(
-        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("num_terms"), F.lit(0)).alias("s")
-    ).collect()[0]
-    n, sum_ttf = int(agg["n"]), int(agg["s"])
+    # one stats job, grouped by index partition (a few dozen result rows):
+    # totals derive driver-side, and the per-partition splits feed the
+    # store's lineage rows for free (no second aggregate over the cache)
+    part_rows = (
+        docs_out.groupBy("index_partition")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("num_terms"), F.lit(0)).alias("s"),
+        )
+        .collect()
+    )
+    partition_stats = {
+        int(r["index_partition"]): (int(r["n"]), int(r["s"])) for r in part_rows
+    }
+    n = sum(v[0] for v in partition_stats.values())
+    sum_ttf = sum(v[1] for v in partition_stats.values())
     avgdl = float(np.float32(sum_ttf / n)) if n else 0.0  # BM25Similarity.java:82-87
 
     cached = []
@@ -409,6 +425,7 @@ def build_index(
         avgdl=avgdl,
         positions=positions,
         positions_grouped=positions_grouped,
+        partition_stats=partition_stats,
         cached=tuple(cached),
     )
 

@@ -49,6 +49,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the inversion's collect_list(positions) aggregate is an
+        # ObjectHashAggregate; Spark's default sort-based fallback threshold
+        # is 128 IN-MEMORY KEYS, so any real posting-build task degenerates
+        # to a full sort of the occurrence stream (measured: −26% inversion
+        # wall at 4 executors, −10% at 1, when kept in hash mode).  4M keys
+        # bounds the hash map to ~0.5–1 GB/task; the builder's shuffle
+        # sizing keeps (docs/task × unique terms/doc) under that at any
+        # input scale (keys/task shrinks as shuffle partitions grow), and
+        # beyond the threshold the sort fallback still protects correctness.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
         # columnar-cache batches default to 10k ROWS regardless of row width;
         # the builder caches a per-doc tokenized array (~KBs/row on web pages),
         # and unrolling 10k such rows per task concurrently OOMs the executor.

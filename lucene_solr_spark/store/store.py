@@ -217,21 +217,16 @@ def build_pages_to_store(
         wall = time.perf_counter() - t0
 
         sid = (snap.snapshot_id + 1) if snap else 1
-        per_part = {
-            r["index_partition"]: r
-            for r in idx.docs.groupBy("index_partition")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("num_terms").alias("sum_tf"),
-            )
-            .collect()
-        }
+        # per-partition doc/term counts come from the SAME stats job that
+        # computed max_doc/avgdl inside build_index (partition_stats) — no
+        # second aggregate over the docs cache
+        per_part = idx.partition_stats or {}
         lineage_rows = [
             (
                 int(p),
                 "committed",
-                int(per_part[p]["n_docs"]) if p in per_part else 0,
-                int(per_part[p]["sum_tf"] or 0) if p in per_part else 0,
+                int(per_part[p][0]) if p in per_part else 0,
+                int(per_part[p][1]) if p in per_part else 0,
                 float(wall / len(batch)),
                 sid,
             )

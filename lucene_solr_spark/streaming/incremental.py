@@ -151,12 +151,8 @@ class StreamingIndexer:
             )
         wall = time.perf_counter() - t0
 
-        per_part = {
-            int(r["index_partition"]): (int(r["n"]), int(r["s"] or 0))
-            for r in idx.docs.groupBy("index_partition")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("num_terms").alias("s"))
-            .collect()
-        }
+        # per-partition stats come from build_index's own stats job
+        per_part = dict(idx.partition_stats or {})
         new_bases = dict(bases)
         for p, (n, _) in per_part.items():
             new_bases[p] = new_bases.get(p, 0) + n

@@ -129,6 +129,124 @@ def test_with_scale_range_and_degenerate(spark):
     vals = {r.scaled for r in with_scale(same, F.col("v"), 2.0, 5.0).collect()}
     assert vals == {2.0}
 
+def test_vector_distances(spark):
+    d = spark.createDataFrame(
+        [(1, 1.0, 2.0, 4.0, 6.0)], "id long, x1 double, y1 double, x2 double, y2 double"
+    )
+    # sqedist: 3^2 + 4^2 = 25; dist(2,...) = 5; dist(1,...) = 7
+    assert _vals(d, parse_function_query("sqedist(x1,y1,x2,y2)")) == {1: 25.0}
+    assert _vals(d, parse_function_query("dist(2,x1,y1,x2,y2)")) == {1: 5.0}
+    assert _vals(d, parse_function_query("dist(1,x1,y1,x2,y2)")) == {1: 7.0}
+    # dist(0,...): count of differing dims (sparseness)
+    assert _vals(d, parse_function_query("dist(0,x1,y1,x1,y2)")) == {1: 1.0}
+    # dist(3,...) general Minkowski
+    got = _vals(d, parse_function_query("dist(3,x1,y1,x2,y2)"))
+    assert got[1] == pytest.approx((3**3 + 4**3) ** (1 / 3))
+    with pytest.raises(ValueError, match="power"):
+        parse_function_query("dist(x1,y1,x2,x2,y2)")
+
+
+def test_geodist_and_hsin(spark):
+    # London (51.5074, -0.1278) -> Paris (48.8566, 2.3522) ~ 343.5 km
+    d = spark.createDataFrame(
+        [(1, 51.5074, -0.1278, 48.8566, 2.3522)],
+        "id long, lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    got = _vals(d, parse_function_query("geodist(lat1,lon1,lat2,lon2)"))
+    assert got[1] == pytest.approx(343.5, abs=1.0)
+    # hsin with unit radius over radians == geodist/earth_radius
+    got2 = _vals(
+        d,
+        parse_function_query(
+            "hsin(1,product(lat1,0.017453292519943295),"
+            "product(lon1,0.017453292519943295),"
+            "product(lat2,0.017453292519943295),"
+            "product(lon2,0.017453292519943295))"
+        ),
+    )
+    from lucene_solr_spark.functions.value_sources import EARTH_MEAN_RADIUS_KM
+
+    assert got2[1] * EARTH_MEAN_RADIUS_KM == pytest.approx(got[1], rel=1e-9)
+
+
+def test_index_stat_functions(spark):
+    from lucene_solr_spark.index.builder import build_index
+
+    src = spark.createDataFrame(
+        [(1, "spark index spark"), (2, "index engine"), (3, "spark")],
+        "doc_id long, text string",
+    )
+    idx = build_index(spark, src, key_col="doc_id", docid_col="doc_id",
+                      num_index_partitions=2, persist=False)
+    d = idx.docs.withColumnRenamed("doc_id", "id")
+    assert _vals(d, parse_function_query('docfreq(text,"spark")', index=idx))[1] == 2
+    assert _vals(d, parse_function_query('totaltermfreq(text,"spark")', index=idx))[1] == 3
+    assert _vals(d, parse_function_query("maxdoc()", index=idx))[1] == 3
+    assert _vals(d, parse_function_query("sumtotaltermfreq(text)", index=idx))[1] == 6
+    import math
+
+    got = _vals(d, parse_function_query('idf(text,"engine")', index=idx))
+    assert got[1] == pytest.approx(math.log(1.0 + (3 - 1 + 0.5) / (1 + 0.5)))
+    # unknown term -> df 0, idf of 0-df
+    assert _vals(d, parse_function_query('docfreq(text,"zzz")', index=idx))[1] == 0
+    with pytest.raises(ValueError, match="index"):
+        parse_function_query('docfreq(text,"spark")')
+
+
+def test_norm_value_source(spark):
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.smallfloat import byte315_to_float, encode_norm
+
+    src = spark.createDataFrame(
+        [(1, "one two three four"), (2, "one")], "doc_id long, text string"
+    )
+    idx = build_index(spark, src, key_col="doc_id", docid_col="doc_id",
+                      num_index_partitions=2, persist=False)
+    got = {
+        r.docid: r.v
+        for r in idx.docs.select(
+            "docid", parse_function_query("norm(text)").alias("v")
+        ).collect()
+    }
+    import numpy as np
+
+    for docid, nt in ((1, 4), (2, 1)):
+        expect = float(byte315_to_float(encode_norm(np.array([nt])))[0])
+        assert got[docid] == pytest.approx(expect, rel=1e-7)
+
+
+def test_with_termfreq(spark):
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.functions import with_termfreq
+
+    src = spark.createDataFrame(
+        [(1, "spark index spark"), (2, "index engine"), (3, "spark")],
+        "doc_id long, text string",
+    )
+    idx = build_index(spark, src, key_col="doc_id", docid_col="doc_id",
+                      num_index_partitions=2, persist=False)
+    got = {
+        r.docid: r.termfreq
+        for r in with_termfreq(idx.docs, idx, "spark").collect()
+    }
+    assert got == {1: 2, 2: 0, 3: 1}
+    # termfreq through the parser points at the helper
+    with pytest.raises(ValueError, match="with_termfreq"):
+        parse_function_query('termfreq(text,"spark")')
+
+
+def test_with_ord_and_rord(spark):
+    from lucene_solr_spark.functions import with_ord
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, "c"), (4, "a"), (5, None)], "id long, s string"
+    )
+    got = {r.id: r.ord for r in with_ord(df, "s").collect()}
+    assert got == {1: 2, 2: 1, 3: 3, 4: 1, 5: 0}
+    rgot = {r.id: r.rord for r in with_ord(df, "s", out="rord", reverse=True).collect()}
+    assert rgot == {1: 2, 2: 3, 3: 1, 4: 3, 5: 0}
+
+
 def test_with_scale_targets(spark):
     from pyspark.sql import functions as F
 
