@@ -3404,6 +3404,105 @@ _register_valuesource_queries()
 
 
 # ===========================================================================
+# ClassicSimilarity (TFIDF — Lucene 4.10's default Similarity) and spatial
+# (LatLonType geofilt/bbox) — round-3b additions.
+# ===========================================================================
+
+def _register_classic_and_spatial() -> None:
+    from lucene_solr_spark.oracle.sqlgen import classic_bool_sql
+    from lucene_solr_spark.search.spatial import (
+        calc_box,
+        geodist_km_sql,
+        synthetic_latlon_sql,
+    )
+
+    @_q("classic_tfidf_query", classic_bool_sql(("vector", "stream", "hash")))
+    def classic_tfidf_query(spark, sf_dir):
+        """DefaultSimilarity/TFIDFSimilarity scoring (the reference's DEFAULT
+        similarity, DefaultSimilarity.java:61-139): sqrt-tf, squared idf,
+        queryNorm, norm-byte decode, and the coordination factor over a
+        3-SHOULD disjunction — a genuinely distinct scoring kernel from the
+        BM25 rows (search/classic.py)."""
+        from lucene_solr_spark.search.classic import classic_topk
+
+        return classic_topk(
+            get_index(spark, sf_dir),
+            BooleanQuery.of(should=["vector", "stream", "hash"]),
+            k=10,
+        )
+
+    lat_sql, lon_sql = synthetic_latlon_sql("doc_id")
+    _PT_LAT, _PT_LON, _D = 48.8566, 2.3522, 3000.0
+    dist = geodist_km_sql("g.lat", "g.lon", _PT_LAT, _PT_LON)
+    geofilt_sql = f"""WITH geo AS (
+  SELECT doc_id AS docid, {lat_sql} AS lat, {lon_sql} AS lon FROM documents
+)
+SELECT g.docid, round({dist}, 4) AS score
+FROM geo g
+WHERE {dist} <= {_D!r}
+ORDER BY score ASC, g.docid ASC LIMIT 20"""
+
+    @_q("spatial_geofilt", geofilt_sql)
+    def spatial_geofilt(spark, sf_dir):
+        """{!geofilt} distance-scored (SpatialFilterQParser + LatLonType
+        createSpatialQuery): synthetic deterministic coordinates (integer
+        arithmetic, north rule: no external data), haversine over the
+        spatial4j mean earth radius, inclusive d, closest-first."""
+        from lucene_solr_spark.search.spatial import (
+            geofilt_topk,
+            with_synthetic_latlon,
+        )
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").alias("docid"))
+        )
+        geo = with_synthetic_latlon(docs, "docid", "loc")
+        return geofilt_topk(
+            geo, "loc", f"{_PT_LAT},{_PT_LON}", _D, k=20, score="distance"
+        )
+
+    # bbox with a date-line-crossing box: the two-range longitude disjunction
+    _BPT_LAT, _BPT_LON, _BD = 10.0, 179.5, 2000.0
+    blat_min, blat_max, blon_ranges = calc_box(_BPT_LAT, _BPT_LON, _BD)
+    assert len(blon_ranges) == 2  # the row exists to exercise the wrap
+    lon_pred = " OR ".join(
+        f"(g.lon BETWEEN {lo!r} AND {hi!r})" for lo, hi in blon_ranges
+    )
+    bbox_sql = f"""WITH geo AS (
+  SELECT doc_id AS docid, {lat_sql} AS lat, {lon_sql} AS lon FROM documents
+)
+SELECT g.docid, 1.0 AS score
+FROM geo g
+WHERE g.lat BETWEEN {blat_min!r} AND {blat_max!r} AND ({lon_pred})
+ORDER BY g.docid ASC LIMIT 50"""
+
+    @_q("spatial_bbox", bbox_sql)
+    def spatial_bbox(spark, sf_dir):
+        """{!bbox} across the date line (spatial4j calcBoxByDistFromPtDEG
+        wrap case): the enclosing box splits into two longitude ranges."""
+        from lucene_solr_spark.search.spatial import (
+            bbox_docset,
+            with_synthetic_latlon,
+        )
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").alias("docid"))
+        )
+        geo = with_synthetic_latlon(docs, "docid", "loc")
+        return (
+            bbox_docset(geo, "loc", f"{_BPT_LAT},{_BPT_LON}", _BD)
+            .select("docid", F.lit(1.0).alias("score"))
+            .orderBy(F.col("docid").asc())
+            .limit(50)
+        )
+
+
+_register_classic_and_spatial()
+
+
+# ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
 # pytest and manual rerun) but outside the driver window.  Near-duplicate
@@ -3437,6 +3536,10 @@ _DEFER_LAST = [
     "dedup_exact",              # clean_url_dedup + urp_signature_dedupe (same hash-groupBy survivor shape, both in window); r2 green — slot for highlight_positions_tv
     "text_fingerprint",         # text_quality (same Catalyst projection family) + clean_dedup_lines array pass + hashing property tests; r2 green — slot for suggest_fuzzy_typo
     "more_like_this",           # rerank_query (two-pass derived-query composition) + MLT gate tests; r2 green — slot for synonym_phrase_query
+    # --- round-3b rotation: slots for classic_tfidf_query / spatial_geofilt ---
+    "pages_extraction_invariant",  # pages_boolean_query (its oracle reproduces the same HTMLStrip extraction prelude end-to-end); r2 green
+    "facet_query_multi",        # filter_cache_intersect (DocSet algebra) + facet_field_lang (facet machinery); r2 green
+    "spatial_bbox",             # spatial_geofilt (same LatLonType columns; box is the geofilt prefilter, wrap case pytest-golded)
     # --- long-standing deferrals (near-duplicate demos) ---
     "term_query_tail",          # term_query
     "parsed_phrase_string",     # phrase_query + parsed_query_string

@@ -316,3 +316,62 @@ def matches_cte(terms: tuple[str, ...], mode: str = "any") -> str:
         f"matches AS (SELECT docid FROM tf WHERE term IN ({inlist}) "
         f"GROUP BY docid HAVING count(DISTINCT term) = {len(set(terms))})"
     )
+
+
+def classic_bool_sql(
+    should: tuple[str, ...],
+    k: int = 10,
+    boosts: dict[str, float] | None = None,
+    prelude: str | None = None,
+) -> str:
+    """ClassicSimilarity (TFIDF) boolean-of-SHOULD-terms oracle.
+
+    Mirrors search/classic.classic_topk: idf = ln(N/(df+1)) + 1 and
+    queryNorm = 1/sqrt(sum (idf*boost)^2) computed from ``tstat``/``stats``
+    in fixed clause order; per-term contribution
+    sqrt(tf) * ((idf*boost*qn)*idf) / sqrt(dl_approx); fixed-order addition;
+    coord fold as (matched * 1.0 / maxOverlap).
+    """
+    boosts = boosts or {}
+    terms = list(dict.fromkeys(should))
+    idf_defs = []
+    for i, t in enumerate(terms):
+        df = f"coalesce((SELECT df FROM tstat WHERE term = '{t}'), 0)"
+        idf_defs.append(
+            f"(ln((SELECT n FROM stats) / ({df} + 1.0)) + 1.0) AS i{i}"
+        )
+    ssw = " + ".join(
+        f"(qi.i{i} * {boosts.get(t, 1.0)!r}) * (qi.i{i} * {boosts.get(t, 1.0)!r})"
+        for i, t in enumerate(terms)
+    )
+    tf_cols = ",\n         ".join(
+        f"max(CASE WHEN f.term = '{t}' THEN f.tf END) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    contribs = " + ".join(
+        f"coalesce(sqrt(pv.tf{i}) * ((qw.i{i} * {boosts.get(t, 1.0)!r} * qw.qn)"
+        f" * qw.i{i}) / sqrt(pv.dl_approx), 0.0)"
+        for i, t in enumerate(terms)
+    )
+    ovl = " + ".join(
+        f"(CASE WHEN pv.tf{i} IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(len(terms))
+    )
+    maxov = len(terms)
+    coord = f" * (({ovl}) * 1.0 / {maxov})" if maxov > 1 else ""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""{prelude or PRELUDE},
+qi AS (SELECT {", ".join(idf_defs)}),
+qw AS (SELECT qi.*, 1.0 / sqrt({ssw}) AS qn FROM qi),
+pv AS (
+  SELECT f.docid,
+         {tf_cols},
+         max(d.dl_approx) AS dl_approx
+  FROM tf f JOIN doc d ON d.docid = f.docid
+  WHERE f.term IN ({inlist})
+  GROUP BY f.docid
+)
+SELECT pv.docid,
+       round(({contribs}){coord}, 4) AS score
+FROM pv CROSS JOIN qw
+ORDER BY score DESC, pv.docid ASC LIMIT {k}"""

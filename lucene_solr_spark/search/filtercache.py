@@ -93,6 +93,16 @@ def _local_params_docset(
             incu = params.get("incu", "true").lower() != "false"
             cond = cond & (col <= hi if incu else col < hi)
         return index.docs.filter(cond).select("docid")
+    if qtype in ("geofilt", "bbox"):
+        # SpatialFilterQParser as an fq (the common Solr usage:
+        # fq={!geofilt sfield=loc pt=.. d=..})
+        from lucene_solr_spark.search.spatial import bbox_docset, geofilt_docset
+
+        sfield = params["sfield"]
+        if f"{sfield}_0_coordinate" not in index.docs.columns:
+            raise ValueError(f"undefined spatial field: {sfield!r}")
+        fn = bbox_docset if qtype == "bbox" else geofilt_docset
+        return fn(index.docs, sfield, params["pt"], float(params["d"]))
     raise ValueError(f"unsupported filter qparser: {qtype!r}")
 
 

@@ -653,6 +653,31 @@ def _child_qparser(index, params, body, k, round_dp):
     return _topk(out, k)
 
 
+def _geofilt_qparser(index, params, body, k, round_dp, box_only: bool = False):
+    """SpatialFilterQParserPlugin ({!geofilt} / {!bbox}, solr/core/.../search/
+    SpatialFilterQParser.java:49-91): sfield/pt/d local params over a
+    LatLonType point field (two ``{sfield}_N_coordinate`` docs columns).
+    ``score`` picks the SpatialDistanceQuery mode (none/distance/kilometers/
+    recipDistance)."""
+    from lucene_solr_spark.search.spatial import bbox_docset, geofilt_topk
+
+    sfield = params.get("sfield")
+    if sfield is None:
+        raise ValueError("{!geofilt}/{!bbox} require sfield")
+    lat_c = f"{sfield}_0_coordinate"
+    if lat_c not in index.docs.columns:
+        raise ValueError(f"undefined spatial field: {sfield!r}")
+    pt, d = params["pt"], float(params["d"])
+    boost = float(params.get("boost", 1.0))
+    if box_only:
+        hits = bbox_docset(index.docs, sfield, pt, d)
+        return _topk(_constant_hits(hits, boost), k)
+    return geofilt_topk(
+        index.docs, sfield, pt, d, k=k,
+        score=params.get("score", "none"), boost=boost, round_dp=round_dp,
+    )
+
+
 def qparser_search(
     index: IndexTables,
     q: str,
@@ -706,6 +731,10 @@ def qparser_search(
         return _surround_qparser(index, params, body, k, round_dp)
     if qtype == "join":
         return _join_qparser(index, params, body, k, round_dp)
+    if qtype == "geofilt":
+        return _geofilt_qparser(index, params, body, k, round_dp)
+    if qtype == "bbox":
+        return _geofilt_qparser(index, params, body, k, round_dp, box_only=True)
     if qtype == "boost":
         return _boost_qparser(
             index, params, body, k, round_dp, now_epoch_ms=now_epoch_ms
