@@ -15,6 +15,14 @@ Implemented factories (the common-schema set):
 - ngram_filter          — NGramTokenFilter (char n-grams)
 - english_minimal_stem  — EnglishMinimalStemFilter (plural s-stripping)
 - length_filter         — LengthFilterFactory (min/max token length)
+- ascii_folding_filter  — ASCIIFoldingFilter (Latin accents -> ASCII base)
+- word_delimiter_filter — WordDelimiterFilter (case/numeric/delimiter splits,
+                          possessive strip, catenate/preserve options)
+- trim_filter / pattern_replace_filter / keep_word_filter / stop_filter /
+  reverse_string_filter / truncate_filter / capitalization_filter /
+  limit_token_count_filter — the small utility factories
+(PorterStemFilter lives in analysis/stemmer.py; multi-word synonyms in
+analysis/synonyms.py.)
 """
 
 from __future__ import annotations
@@ -107,3 +115,209 @@ def length_filter(tokens: Column, min_len: int = 1, max_len: int = 255) -> Colum
     return F.filter(
         tokens, lambda t: (F.length(t) >= min_len) & (F.length(t) <= max_len)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3b factory additions: ASCIIFolding, WordDelimiter, and the small
+# utility factories (trim / pattern-replace / keep / stop / reverse /
+# truncate / capitalization / limit).  All stay Column -> Column JVM-side.
+# ---------------------------------------------------------------------------
+
+
+def _build_fold_table() -> tuple[str, str]:
+    """1:1 fold pairs for ASCIIFoldingFilter's Latin ranges: NFD-decomposable
+    letters (strip combining marks) plus the explicit non-decomposable cases
+    from ASCIIFoldingFilter.java's switch (O-slash, eth, stroke letters,
+    dotless i)."""
+    import unicodedata
+
+    src, dst = [], []
+    for cp in range(0x00C0, 0x0250):  # Latin-1 Supplement .. Latin Ext-B head
+        ch = chr(cp)
+        base = "".join(
+            c for c in unicodedata.normalize("NFD", ch)
+            if not unicodedata.combining(c)
+        )
+        if base != ch and len(base) == 1 and ord(base) < 128:
+            src.append(ch)
+            dst.append(base)
+    for ch, r in [
+        ("Ø", "O"), ("ø", "o"),   # Ø ø
+        ("Đ", "D"), ("đ", "d"),   # Đ đ
+        ("Ł", "L"), ("ł", "l"),   # Ł ł
+        ("Ð", "D"), ("ð", "d"),   # Ð ð
+        ("ı", "i"),                     # ı
+        ("Ħ", "H"), ("ħ", "h"),   # Ħ ħ
+        ("Ŧ", "T"), ("ŧ", "t"),   # Ŧ ŧ
+    ]:
+        src.append(ch)
+        dst.append(r)
+    return "".join(src), "".join(dst)
+
+
+_FOLD_SRC, _FOLD_DST = _build_fold_table()
+
+# multi-char expansions (ASCIIFoldingFilter.java ligature/digraph cases)
+_FOLD_MULTI = [
+    ("ß", "ss"), ("Æ", "AE"), ("æ", "ae"),
+    ("Œ", "OE"), ("œ", "oe"), ("Þ", "TH"), ("þ", "th"),
+    ("Ĳ", "IJ"), ("ĳ", "ij"), ("ﬁ", "fi"), ("ﬂ", "fl"),
+]
+
+
+def ascii_folding_filter(tokens: Column) -> Column:
+    """ASCIIFoldingFilter (lucene/analysis/common/.../miscellaneous/
+    ASCIIFoldingFilter.java): fold accented Latin letters to their ASCII
+    base.  Coverage: the NFD-decomposable Latin-1 Supplement / Latin
+    Extended-A/B-head letters plus the explicit stroke/eth/ligature cases —
+    the web-text working set of the reference's full BMP switch.  One
+    ``translate`` (1:1) plus a short literal-replace chain (1:n), all
+    codegen."""
+    def fold(t: Column) -> Column:
+        out = F.translate(t, _FOLD_SRC, _FOLD_DST)
+        for ch, rep in _FOLD_MULTI:
+            out = F.replace(out, F.lit(ch), F.lit(rep))
+        return out
+
+    return F.transform(tokens, fold)
+
+
+def ascii_fold_text(s: str) -> str:
+    """Pure-Python mirror of ascii_folding_filter for goldens."""
+    table = {ord(a): b for a, b in zip(_FOLD_SRC, _FOLD_DST)}
+    s = s.translate(table)
+    for ch, rep in _FOLD_MULTI:
+        s = s.replace(ch, rep)
+    return s
+
+
+_WDF_MARK = "\x01"
+
+
+def word_delimiter_filter(
+    tokens: Column,
+    generate_word_parts: bool = True,
+    generate_number_parts: bool = True,
+    catenate_words: bool = False,
+    catenate_numbers: bool = False,
+    catenate_all: bool = False,
+    preserve_original: bool = False,
+    split_on_case_change: bool = True,
+    split_on_numerics: bool = True,
+    stem_english_possessive: bool = True,
+) -> Column:
+    """WordDelimiterFilter (lucene/analysis/common/.../miscellaneous/
+    WordDelimiterFilter.java): split tokens into subwords at non-alphanumeric
+    delimiters, lower->UPPER case transitions (:splitOnCaseChange), and
+    letter<->digit boundaries (:splitOnNumerics); strip English possessive
+    's; optionally emit catenated word/number/all runs and the original.
+
+    Emission model: the engine's filters are bag-of-terms array transforms
+    (order: original?, subwords, catenations) — position-graph interleaving
+    does not affect term statistics, which is the indexed surface.
+    Catenations emit only when >=2 parts exist (the <2 case would duplicate
+    the generated part).  An upper-run boundary splits before the last
+    capital (HTTPServer -> HTTP, Server), matching the reference."""
+    def parts_of(t: Column) -> Column:
+        s = t
+        if stem_english_possessive:
+            # possessive 's at a subword end (WordDelimiterIterator
+            # endsWithPossessive): before a delimiter or at end-of-token
+            s = F.regexp_replace(s, r"['’]s(?![A-Za-z0-9])", "")
+        if split_on_case_change:
+            s = F.regexp_replace(s, r"(\p{Ll})(\p{Lu})", f"$1{_WDF_MARK}$2")
+            s = F.regexp_replace(s, r"(\p{Lu})(\p{Lu}\p{Ll})", f"$1{_WDF_MARK}$2")
+        if split_on_numerics:
+            s = F.regexp_replace(s, r"([A-Za-z])([0-9])", f"$1{_WDF_MARK}$2")
+            s = F.regexp_replace(s, r"([0-9])([A-Za-z])", f"$1{_WDF_MARK}$2")
+        s = F.regexp_replace(s, f"[^A-Za-z0-9{_WDF_MARK}]+", _WDF_MARK)
+        return F.filter(F.split(s, _WDF_MARK), lambda p: F.length(p) > 0)
+
+    def emit(t: Column) -> Column:
+        parts = parts_of(t)
+        word_parts = F.filter(parts, lambda p: p.rlike("[A-Za-z]"))
+        num_parts = F.filter(parts, lambda p: p.rlike("^[0-9]+$"))
+        out = F.array().cast("array<string>")
+        if preserve_original:
+            out = F.concat(out, F.array(t))
+        if generate_word_parts:
+            out = F.concat(out, word_parts)
+        if generate_number_parts:
+            out = F.concat(out, num_parts)
+        if catenate_words:
+            cat = F.array_join(word_parts, "")
+            out = F.concat(
+                out,
+                F.when(F.size(word_parts) >= 2, F.array(cat)).otherwise(
+                    F.array().cast("array<string>")
+                ),
+            )
+        if catenate_numbers:
+            cat = F.array_join(num_parts, "")
+            out = F.concat(
+                out,
+                F.when(F.size(num_parts) >= 2, F.array(cat)).otherwise(
+                    F.array().cast("array<string>")
+                ),
+            )
+        if catenate_all:
+            cat = F.array_join(parts, "")
+            out = F.concat(
+                out,
+                F.when(F.size(parts) >= 2, F.array(cat)).otherwise(
+                    F.array().cast("array<string>")
+                ),
+            )
+        return out
+
+    return F.flatten(F.transform(tokens, emit))
+
+
+def trim_filter(tokens: Column) -> Column:
+    """TrimFilterFactory: strip leading/trailing whitespace per token."""
+    return F.transform(tokens, lambda t: F.trim(t))
+
+
+def pattern_replace_filter(tokens: Column, pattern: str, replacement: str) -> Column:
+    """PatternReplaceFilterFactory (replace=all): regexp_replace per token."""
+    return F.transform(
+        tokens, lambda t: F.regexp_replace(t, pattern, replacement)
+    )
+
+
+def keep_word_filter(tokens: Column, keep: tuple[str, ...]) -> Column:
+    """KeepWordFilterFactory: keep only tokens in the given set."""
+    return F.filter(tokens, lambda t: t.isin(*keep))
+
+
+def stop_filter(tokens: Column, stopwords: tuple[str, ...]) -> Column:
+    """StopFilterFactory with a custom ``words=`` set (the analyzer chain
+    owns the default English set and its position-gap semantics; this is the
+    standalone factory for custom chains)."""
+    return F.filter(tokens, lambda t: ~t.isin(*stopwords))
+
+
+def reverse_string_filter(tokens: Column) -> Column:
+    """ReverseStringFilterFactory: reverse each token (the leading-wildcard
+    index trick: index reversed terms, rewrite *suffix to prefix search)."""
+    return F.transform(tokens, F.reverse)
+
+
+def truncate_filter(tokens: Column, length: int) -> Column:
+    """TruncateTokenFilterFactory: cap each token at ``length`` chars."""
+    return F.transform(tokens, lambda t: t.substr(F.lit(1), F.lit(length)))
+
+
+def capitalization_filter(tokens: Column) -> Column:
+    """CapitalizationFilterFactory (default onlyFirstWord semantics per
+    token): first letter upper, rest lower."""
+    return F.transform(
+        tokens,
+        lambda t: F.concat(F.upper(t.substr(F.lit(1), F.lit(1))), F.lower(t.substr(F.lit(2), F.length(t)))),
+    )
+
+
+def limit_token_count_filter(tokens: Column, max_count: int) -> Column:
+    """LimitTokenCountFilterFactory: keep only the first ``max_count``
+    tokens (index-size guard for pathological documents)."""
+    return F.slice(tokens, 1, max_count)
