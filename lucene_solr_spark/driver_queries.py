@@ -2965,6 +2965,23 @@ def _register_sloppy_repeats_query():
             get_index(spark, sf_dir), PhraseQuery(("table", "table"), slop=6), k=10
         )
 
+    @_q("multiphrase_mtp")
+    def multiphrase_mtp(spark, sf_dir):
+        """MultiPhraseQuery with multi-term repeats — the hasMultiTermRpts
+        machinery (SloppyPhraseScorer.java:291-307,322-435): slots
+        {table,index} {index,scan} share 'index', so the slots form one
+        repeat group whose init resolves collisions iteratively.  Rows-only
+        (stateful greedy kernel); goldens + differentials in
+        tests/test_multiphrase.py."""
+        from lucene_solr_spark.search.bm25 import multiphrase_topk
+        from lucene_solr_spark.search.query import MultiPhraseQuery
+
+        out = multiphrase_topk(
+            get_index(spark, sf_dir),
+            MultiPhraseQuery((("table", "index"), ("index", "scan")), slop=2),
+        )
+        return out.orderBy(F.desc("score"), F.asc("docid")).limit(10)
+
 
 _register_sloppy_repeats_query()
 
@@ -3599,6 +3616,7 @@ _DEFER_LAST = [
     "return_fields_fl",         # function_query_recip_freshness (fl projection front door)
     "search_with_fq",           # filter_cache_intersect (q+fq composition over it)
     "sloppy_phrase_repeats",    # sloppy_phrase_lucene (rows-only: hasRpts kernel)
+    "multiphrase_mtp",          # sloppy_phrase_repeats (rows-only: hasMultiTermRpts kernel over union streams)
     "clean_redact_pii",         # text_quality (same per-row Catalyst text pass)
     "clean_dedup_lines",        # text_fingerprint (same order-sensitive array pass)
     "text_dup_ngrams",          # text_token_stats (same array-metric pass, bigram variant)

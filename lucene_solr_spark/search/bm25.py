@@ -392,6 +392,31 @@ def lucene_sloppy_freq_rpts(
             for _ in range(j):
                 if not advance(members[j]):
                     return 0.0
+    return _rpts_main_loop(slot_streams, groups, rg, idx, pos, slop)
+
+
+def _rpts_main_loop(
+    slot_streams: list,
+    groups: list[int],
+    rg: dict[int, list[int]],
+    idx: list[int],
+    pos: list[int],
+    slop: int,
+) -> float:
+    """The shared phraseFreq main loop with the advanceRpts collision dance
+    (SloppyPhraseScorer.java:100-186) — identical for the non-MTP and MTP
+    cases; only group construction and the init advance differ."""
+    import heapq
+
+    k = len(slot_streams)
+
+    def advance(i: int) -> bool:
+        idx[i] += 1
+        if idx[i] >= len(slot_streams[i]):
+            return False
+        pos[i] = int(slot_streams[i][idx[i]])
+        return True
+
     end = max(pos)
     heap = [(pos[i], i) for i in range(k)]
     heapq.heapify(heap)
@@ -447,6 +472,102 @@ def lucene_sloppy_freq_rpts(
     if match_length <= slop:
         freq += 1.0 / (1 + match_length)
     return freq
+
+
+def multiphrase_repeat_groups(slot_terms: list[list[str]]) -> tuple[list[int], bool]:
+    """gatherRptGroups for multi-term slots (SloppyPhraseScorer.java:383-435):
+    repeating terms are those appearing in >= 2 slots; slots that share any
+    repeating term union into one group via connected components on the
+    bipartite slot/term graph (unionTermGroups/termGroups :440-480).  Returns
+    (group id per slot, hasMultiTermRpts)."""
+    from collections import Counter
+
+    cnt = Counter(t for terms in slot_terms for t in set(terms))
+    rpt_terms = {t for t, c in cnt.items() if c >= 2}
+    groups = [-1] * len(slot_terms)
+    if not rpt_terms:
+        return groups, False
+    has_mtp = any(
+        len(terms) > 1 and any(t in rpt_terms for t in terms)
+        for terms in slot_terms
+    )
+    # connected components: union slots through shared repeating terms
+    parent = list(range(len(slot_terms)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    by_term: dict[str, list[int]] = {}
+    for i, terms in enumerate(slot_terms):
+        for t in terms:
+            if t in rpt_terms:
+                by_term.setdefault(t, []).append(i)
+    for members in by_term.values():
+        for j in members[1:]:
+            parent[find(j)] = find(members[0])
+    roots: dict[int, int] = {}
+    for i, terms in enumerate(slot_terms):
+        if any(t in rpt_terms for t in terms):
+            r = find(i)
+            groups[i] = roots.setdefault(r, len(roots))
+    return groups, has_mtp
+
+
+def lucene_sloppy_freq_mtp(
+    slot_streams: list, groups: list[int], slop: int
+) -> float:
+    """SloppyPhraseScorer.phraseFreq with hasMultiTermRpts — the formerly
+    out-of-scope case (SloppyPhraseScorer.java:291-307 advanceRepeatGroups
+    MTP branch).  ``slot_streams`` are the per-slot UNION streams (merged
+    adjusted positions of all the slot's terms, ascending); groups from
+    multiphrase_repeat_groups.  Init cannot pre-compute advance counts (some
+    members may not collide), so it iterates: for each group member in offset
+    order, while it collides with a member, advance the lesser of the two;
+    a collision resolving backwards (rptInd < i) restarts that member."""
+    k = len(slot_streams)
+    idx = [0] * k
+    pos = [int(s[0]) for s in slot_streams]
+
+    def advance(i: int) -> bool:
+        idx[i] += 1
+        if idx[i] >= len(slot_streams[i]):
+            return False
+        pos[i] = int(slot_streams[i][idx[i]])
+        return True
+
+    rg: dict[int, list[int]] = {}
+    for i, g in enumerate(groups):
+        if g >= 0:
+            rg.setdefault(g, []).append(i)
+
+    def collide(i: int) -> int:
+        for j in rg[groups[i]]:
+            if j != i and pos[j] + j == pos[i] + i:
+                return j
+        return -1
+
+    # advanceRepeatGroups, MTP branch (:291-307)
+    for members in rg.values():
+        i = 0
+        while i < len(members):
+            incr = 1
+            m = members[i]
+            while True:
+                j = collide(m)
+                if j < 0:
+                    break
+                tgt = m if (pos[m], m) < (pos[j], j) else j
+                if not advance(tgt):
+                    return 0.0
+                # rptInd of tgt within this group
+                if members.index(tgt) < i:
+                    incr = 0
+                    break
+            i += incr
+    return _rpts_main_loop(slot_streams, groups, rg, idx, pos, slop)
 
 
 def sloppy_phrase_lucene_topk(
@@ -538,6 +659,78 @@ def sloppy_phrase_lucene_topk(
     # idfExplain sums over the query's TermStatistics[] — one entry PER
     # PHRASE SLOT, repeats included (PhraseWeight builds stats per position)
     return _idf_sum_bm25_topk(index, hits, terms, round_dp)
+
+
+def multiphrase_topk(index: IndexTables, q, round_dp: int = 4) -> DataFrame:
+    """MultiPhraseQuery (MultiPhraseQuery.java): each phrase position holds
+    one or more terms (synonym-expanded phrases).  Exact SloppyPhraseScorer
+    semantics for every case, including the formerly out-of-scope
+    hasMultiTermRpts machinery:
+
+    - each slot's position stream is the sorted union of its terms'
+      postings (UnionDocsAndPositionsEnum, MultiPhraseQuery.java:487-544 —
+      duplicates retained), adjusted by the slot offset;
+    - no repeating terms -> the initSimple loop; single-term repeats -> the
+      j-advance init; multi-term repeats -> the iterative collide-resolve
+      init (advanceRepeatGroups MTP branch, SloppyPhraseScorer.java:291-307);
+    - idf sums over the DISTINCT terms of the whole query in sorted order
+      (MultiPhraseWeight's TreeSet<Term> allTerms).
+
+    Shape matches the sloppy-phrase kernel: one positions-table pivot over
+    the query's distinct terms, Arrow-batched per-doc kernel on candidate
+    docs only (every slot must have >= 1 posting), BM25 tail."""
+    from pyspark.sql.functions import pandas_udf
+
+    if index.positions is None:
+        raise ValueError("index built without positions")
+    slot_terms = [sorted(set(s)) for s in q.slots]
+    if len(slot_terms) < 2:
+        raise ValueError("multi-phrase needs >= 2 slots")
+    slop = int(q.slop)
+    groups, has_mtp = multiphrase_repeat_groups(slot_terms)
+    has_rpts = any(g >= 0 for g in groups)
+
+    dterms = sorted({t for terms in slot_terms for t in terms})
+    tpos = {t: j for j, t in enumerate(dterms)}
+    slot_dterm = [[tpos[t] for t in terms] for terms in slot_terms]
+
+    pos = index.positions.filter(F.col("term").isin(dterms))
+    piv = pos.groupBy("docid", "dl_approx").agg(
+        *[
+            F.sort_array(
+                F.collect_list(F.when(F.col("term") == t, F.col("pos")))
+            ).alias(f"_t{j}")
+            for j, t in enumerate(dterms)
+        ]
+    )
+    for terms in slot_terms:
+        # candidate docs carry >= 1 posting for EVERY slot
+        piv = piv.filter(
+            sum(F.size(f"_t{tpos[t]}") for t in terms) > 0
+        )
+
+    @pandas_udf("double")
+    def _freq(streams: pd.Series) -> pd.Series:
+        def one(raws):
+            slot_streams = []
+            for i, djs in enumerate(slot_dterm):
+                merged = sorted(
+                    int(p) - i for j in djs for p in raws[j]
+                )
+                if not merged:
+                    return 0.0
+                slot_streams.append(merged)
+            if has_mtp:
+                return lucene_sloppy_freq_mtp(slot_streams, list(groups), slop)
+            if has_rpts:
+                return lucene_sloppy_freq_rpts(slot_streams, list(groups), slop)
+            return lucene_sloppy_freq(slot_streams, slop)
+
+        return streams.map(one)
+
+    arrs = F.array(*[F.col(f"_t{j}") for j in range(len(dterms))])
+    hits = piv.withColumn("tf", _freq(arrs)).filter(F.col("tf") > 0)
+    return _idf_sum_bm25_topk(index, hits, dterms, round_dp)
 
 
 def _sloppy_dispatch(

@@ -28,6 +28,17 @@ class PhraseQuery:
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery:
+    """MultiPhraseQuery (lucene/core/.../search/MultiPhraseQuery.java): a
+    phrase whose positions each hold one OR MORE terms (synonym-expanded
+    phrases).  ``slots`` is one tuple of alternative terms per position."""
+
+    slots: tuple[tuple[str, ...], ...]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PrefixQuery:
     prefix: str
     boost: float = 1.0
