@@ -2921,6 +2921,44 @@ FROM documents ORDER BY docid ASC LIMIT 20""",
 _register_return_fields_query()
 
 
+def _register_collapse_fq_query():
+    @_q(
+        "qparser_collapse_fq",
+        f"""{PRELUDE},
+scored AS (
+  SELECT f.docid, {bool_case_cols(['table'])}
+  {scored_from()}
+  WHERE f.term IN ('table')
+  GROUP BY f.docid
+),
+ranked AS (
+  SELECT s.docid, round(coalesce(s0, 0.0), 4) AS score,
+         row_number() OVER (
+           PARTITION BY d2.lang
+           ORDER BY round(coalesce(s0, 0.0), 4) DESC, s.docid ASC
+         ) AS rn
+  FROM scored s JOIN documents d2 ON d2.doc_id = s.docid
+  WHERE d2.lang IS NOT NULL
+)
+SELECT docid, score FROM ranked WHERE rn = 1
+ORDER BY score DESC, docid ASC LIMIT 10""",
+    )
+    def qparser_collapse_fq(spark, sf_dir):
+        """fq={!collapse field=lang} as a PostFilter over a scored q
+        (CollapsingQParserPlugin.java:60-120): one doc per lang — the
+        highest-scoring, docid-asc tie-break; docs with null group value
+        dropped (nullPolicy=ignore)."""
+        from lucene_solr_spark.search.filtercache import search_filtered
+
+        return search_filtered(
+            get_index(spark, sf_dir), "table",
+            fqs=["{!collapse field=lang}"], k=10,
+        )
+
+
+_register_collapse_fq_query()
+
+
 def _register_search_filtered_query():
     @_q(
         "search_with_fq",
@@ -3621,6 +3659,7 @@ _DEFER_LAST = [
     "clean_dedup_lines",        # text_fingerprint (same order-sensitive array pass)
     "text_dup_ngrams",          # text_token_stats (same array-metric pass, bigram variant)
     "search_with_frange_fq",    # search_with_fq (qparser-typed fq variant)
+    "qparser_collapse_fq",      # collapse_by_source (same window collapse) + search_with_fq (PostFilter composition)
     # round-3 ValueSourceParser registry extensions: the registry front door
     # holds the graded row (function_query_recip_freshness); each family
     # below is oracle-checked here and unit-tested in test_functions.py

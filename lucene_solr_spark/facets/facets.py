@@ -327,3 +327,25 @@ def terms_component(
         else [F.col("df").desc(), F.col("term").asc()]
     )
     return t.orderBy(*order).limit(limit)
+
+
+def group_queries(
+    frames: dict[str, DataFrame], k_per_group: int = 10
+) -> DataFrame:
+    """group.query (Grouping.java CommandQuery:912-975): each named query
+    defines a group; the response holds each group's top-k scored docs.
+    ``frames`` maps group name -> a scored (docid, score) frame; output is
+    (group_query, docid, score) ordered per group by score desc / docid asc.
+    Groups are independent top-ks — Spark unions the bounded heads, so no
+    group's size leaks into another's plan."""
+    out = None
+    for name, df in frames.items():
+        head = (
+            df.orderBy(F.col("score").desc(), F.col("docid").asc())
+            .limit(k_per_group)
+            .select(F.lit(name).alias("group_query"), "docid", "score")
+        )
+        out = head if out is None else out.unionAll(head)
+    if out is None:
+        raise ValueError("group.query needs >= 1 query")
+    return out

@@ -244,13 +244,22 @@ def search_filtered(
     if isinstance(q, CompositeQuery) or not isinstance(q, BooleanQuery):
         raise ValueError("search_filtered supports term-boolean main queries")
     scored = _boolean_topk(index, q, k, round_dp)  # unlimited scored set
+    # {!collapse} is a PostFilter (CollapsingQParserPlugin.java:60-120
+    # implements PostFilter, cost >= 100): it transforms the SCORED result
+    # set after the DocSet filters, never producing a DocSet itself.
+    collapse_fqs = [f for f in fqs if f.lstrip().startswith("{!collapse")]
+    fqs = [f for f in fqs if f not in collapse_fqs]
     if cache is not None:
-        filt = cache.filtered(fqs, now_epoch_ms=now_epoch_ms)
+        filt = (
+            cache.filtered(fqs, now_epoch_ms=now_epoch_ms)
+            if fqs
+            else index.docs.select("docid")
+        )
     else:
         # one-shot: build the processed filter lazily — no persist/count
         # jobs, no cache bookkeeping (smallest-first needs sizes, which only
         # the cache tracks; AQE reorders uncached joins at runtime)
-        if not fqs:
+        if not fqs and not collapse_fqs:
             raise ValueError("search_filtered needs >= 1 fq")
         filt = None
         negs = []
@@ -264,8 +273,39 @@ def search_filtered(
             filt = index.docs.select("docid")
         for df in negs:
             filt = filt.join(df, "docid", "left_anti")
-    return (
-        scored.join(filt, "docid", "left_semi")
-        .orderBy(F.col("score").desc(), F.col("docid").asc())
-        .limit(k)
-    )
+    out = scored.join(filt, "docid", "left_semi")
+    for cfq in collapse_fqs:
+        out = _apply_collapse(index, out, cfq)
+    return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
+def _apply_collapse(index: IndexTables, scored: DataFrame, fq: str) -> DataFrame:
+    """fq={!collapse field=... [min=|max=numfield]} (CollapsingQParserPlugin):
+    keep one doc per group value — highest score (docid-asc tie-break) by
+    default, or the group's min/max of a numeric docvalues field.  Docs with
+    a null group value are dropped (nullPolicy=ignore, the default).  One
+    window pass over the already-scored set."""
+    from lucene_solr_spark.facets.facets import collapse
+    from lucene_solr_spark.search.qparsers import parse_local_params
+
+    qtype, params, _body = parse_local_params(fq)
+    assert qtype == "collapse"
+    field = params.get("field")
+    if field is None or field not in index.docs.columns:
+        raise ValueError(f"collapse needs a docvalues field, got {field!r}")
+    sel_min, sel_max = params.get("min"), params.get("max")
+    withg = scored.join(
+        index.docs.select("docid", field), "docid"
+    ).filter(F.col(field).isNotNull())
+    if sel_min or sel_max:
+        sel = sel_min or sel_max
+        if sel not in index.docs.columns:
+            raise ValueError(f"collapse selector field not in docs: {sel!r}")
+        withg = withg.join(index.docs.select("docid", sel), "docid")
+        order = [
+            F.col(sel).asc() if sel_min else F.col(sel).desc(),
+            F.col("docid").asc(),
+        ]
+        return collapse(withg, field, order).drop(field, sel)
+    order = [F.col("score").desc(), F.col("docid").asc()]
+    return collapse(withg, field, order).drop(field)

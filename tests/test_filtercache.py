@@ -137,3 +137,98 @@ def test_frange_fq_pinned_now(index):
     fc.docset(fq, now_epoch_ms=1_000)
     assert fc.stats()["hits"] == 1
     fc.clear()
+
+
+# --- round-3b: {!collapse} post-filter + group.query ---
+
+
+def test_collapse_postfilter_by_score(spark, index):
+    """fq={!collapse field=lang}: one doc per lang, the highest-scoring one
+    (CollapsingQParserPlugin default selector)."""
+    from lucene_solr_spark.search.filtercache import search_filtered
+
+    got = search_filtered(
+        index, "table", fqs=["{!collapse field=lang}"], k=50
+    ).collect()
+    assert got
+    # group uniqueness
+    langs = {}
+    doc_lang = {
+        r.docid: r.lang for r in index.docs.select("docid", "lang").collect()
+    }
+    for r in got:
+        lg = doc_lang[r.docid]
+        assert lg not in langs, (lg, r)
+        langs[lg] = (r.docid, r.score)
+    # each kept doc is the group's best (score desc, docid asc)
+    from lucene_solr_spark.search import BooleanQuery, search
+
+    allhits = search(index, BooleanQuery.of(must=["table"]), k=10**6).collect()
+    best = {}
+    for r in sorted(allhits, key=lambda r: (-r.score, r.docid)):
+        lg = doc_lang[r.docid]
+        best.setdefault(lg, (r.docid, r.score))
+    for lg, pair in langs.items():
+        assert best[lg] == pair
+
+
+def test_collapse_min_selector(spark, index):
+    """{!collapse field=lang min=n_chars}: keep the group's shortest doc."""
+    from lucene_solr_spark.search.filtercache import search_filtered
+
+    got = search_filtered(
+        index, "table", fqs=["{!collapse field=lang min=n_chars}"], k=50
+    ).collect()
+    assert got
+    from lucene_solr_spark.search import BooleanQuery, search
+
+    meta = {
+        r.docid: (r.lang, r.n_chars)
+        for r in index.docs.select("docid", "lang", "n_chars").collect()
+    }
+    allhits = search(index, BooleanQuery.of(must=["table"]), k=10**6).collect()
+    best = {}
+    for r in sorted(allhits, key=lambda r: (meta[r.docid][1], r.docid)):
+        best.setdefault(meta[r.docid][0], r.docid)
+    assert {meta[r.docid][0]: r.docid for r in got} == best
+
+
+def test_collapse_composes_with_docset_fq(spark, index):
+    from lucene_solr_spark.search.filtercache import search_filtered
+
+    got = search_filtered(
+        index, "table",
+        fqs=["{!term f=lang}en", "{!collapse field=source}"], k=50,
+    ).collect()
+    doc_meta = {
+        r.docid: (r.lang, r.source)
+        for r in index.docs.select("docid", "lang", "source").collect()
+    }
+    assert got
+    seen = set()
+    for r in got:
+        lang, src = doc_meta[r.docid]
+        assert lang == "en"
+        assert src not in seen
+        seen.add(src)
+
+
+def test_group_queries(spark, index):
+    from lucene_solr_spark.facets.facets import group_queries
+    from lucene_solr_spark.search import BooleanQuery, search
+
+    frames = {
+        "q_table": search(index, BooleanQuery.of(must=["table"]), k=10**6),
+        "q_vector": search(index, BooleanQuery.of(must=["vector"]), k=10**6),
+    }
+    out = group_queries(frames, k_per_group=3).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.group_query, []).append((r.docid, r.score))
+    assert set(by_group) == {"q_table", "q_vector"}
+    for name, frame in frames.items():
+        want = [
+            (r.docid, r.score)
+            for r in frame.orderBy(F.desc("score"), F.asc("docid")).limit(3).collect()
+        ]
+        assert sorted(by_group[name]) == sorted(want)
