@@ -95,3 +95,119 @@ def chain(*processors):
         return df
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Atomic updates + optimistic concurrency (round 3b).
+#
+# Reference: DistributedUpdateProcessor.getUpdatedDocument
+# (solr/core/src/java/org/apache/solr/update/processor/
+# DistributedUpdateProcessor.java:1020-1090) merges {"set"/"add"/"remove"/
+# "inc"} field modifiers onto the stored document fetched via RealTimeGet;
+# versionAdd (:760-900) enforces the _version_ contract.  The Spark analog
+# merges a whole UPDATE BATCH against the stored docs frame in one join —
+# callers compose the merged frame with store.update_documents (delete+add).
+# ---------------------------------------------------------------------------
+
+
+class VersionConflictError(ValueError):
+    """HTTP 409 analog (SolrException CONFLICT in versionAdd)."""
+
+
+_ATOMIC_OPS = ("set", "inc", "add", "remove")
+
+
+def atomic_merge(
+    existing: DataFrame,
+    updates: DataFrame,
+    ops: dict[str, str],
+    key_col: str = "url",
+) -> DataFrame:
+    """Merge an update batch onto stored documents with per-field modifiers.
+
+    ``ops`` maps field -> one of set/inc/add/remove (each update column
+    applies ONE modifier for the whole batch — the columnar form of the
+    per-document modifier maps; heterogeneous per-row ops are two batches).
+    Unlisted stored fields carry over unchanged; a key with no stored doc
+    creates one (Solr's atomic-update-on-absent-doc behavior), with inc
+    treating the missing old value as 0 and add as an empty list.
+
+    Semantics per DistributedUpdateProcessor.getUpdatedDocument:
+      set    -> replace (null update value = keep old, matching a field
+                omitted from the SolrInputDocument; Solr's set-to-null
+                REMOVAL is expressed by remove on a scalar here)
+      inc    -> old + delta (numeric)
+      add    -> append value(s) to the multivalued field
+      remove -> drop exact value(s) from the multivalued field
+    """
+    for f, op in ops.items():
+        if op not in _ATOMIC_OPS:
+            raise ValueError(f"unknown atomic op {op!r} for field {f!r}")
+        if f not in updates.columns:
+            raise ValueError(f"update batch missing column {f!r}")
+    e, u = existing.alias("e"), updates.alias("u")
+    joined = u.join(e, key_col, "left")
+    cols = [F.col(f"u.{key_col}").alias(key_col)]
+    carried = [
+        c for c in existing.columns if c != key_col and c not in ops
+    ]
+    for c in carried:
+        cols.append(F.col(f"e.{c}").alias(c))
+    for f, op in ops.items():
+        old = F.col(f"e.{f}") if f in existing.columns else F.lit(None)
+        new = F.col(f"u.{f}")
+        if op == "set":
+            merged = F.coalesce(new, old)
+        elif op == "inc":
+            merged = F.coalesce(old, F.lit(0)) + F.coalesce(new, F.lit(0))
+        elif op == "add":
+            base = F.coalesce(old, F.array().cast("array<string>"))
+            merged = F.when(new.isNull(), base).otherwise(
+                F.concat(base, F.array(new.cast("string")))
+            )
+        else:  # remove
+            base = F.coalesce(old, F.array().cast("array<string>"))
+            merged = F.when(new.isNull(), base).otherwise(
+                F.array_remove(base, new.cast("string"))
+            )
+        cols.append(merged.alias(f))
+    return joined.select(*cols)
+
+
+def check_versions(
+    existing: DataFrame,
+    updates: DataFrame,
+    key_col: str = "url",
+    version_col: str = "_version_",
+) -> None:
+    """Optimistic concurrency gate (versionAdd,
+    DistributedUpdateProcessor.java:760-900):
+
+      update _version_ >  1 -> stored doc must exist with EXACTLY that version
+      update _version_ == 1 -> stored doc must exist (any version)
+      update _version_ <  0 -> stored doc must NOT exist
+      update _version_ == 0 / null -> no check
+
+    Raises VersionConflictError naming up to 5 conflicting keys.  One
+    bounded action (the conflict set is empty in the happy path)."""
+    if version_col not in updates.columns:
+        return
+    e = existing.select(
+        F.col(key_col), F.col(version_col).alias("_stored_v")
+    ) if version_col in existing.columns else existing.select(
+        F.col(key_col), F.lit(None).cast("long").alias("_stored_v")
+    )
+    u = updates.select(F.col(key_col), F.col(version_col).alias("_want_v"))
+    j = u.join(e, key_col, "left")
+    want, stored = F.col("_want_v"), F.col("_stored_v")
+    conflict = (
+        ((want > 1) & (stored.isNull() | (stored != want)))
+        | ((want == 1) & stored.isNull())
+        | ((want < 0) & stored.isNotNull())
+    )
+    bad = j.filter(conflict).select(key_col).limit(5).collect()
+    if bad:
+        keys = [r[0] for r in bad]
+        raise VersionConflictError(
+            f"version conflict on {len(keys)}+ docs, e.g. {keys}"
+        )
