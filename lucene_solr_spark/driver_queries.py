@@ -3003,6 +3003,26 @@ def _register_sloppy_repeats_query():
             get_index(spark, sf_dir), PhraseQuery(("table", "table"), slop=6), k=10
         )
 
+    @_q("suggest_freetext")
+    def suggest_freetext(spark, sf_dir):
+        """FreeTextSuggester (FreeTextSuggester.java:96-132,546-709): bigram
+        stupid-backoff LM over the corpus; predict completions of 'the '
+        -> next-token suggestions scored count/contextCount.  Rows-only
+        (collect-based lookup over distributed gram tables); hand-computed
+        goldens in tests/test_suggest_highlight.py."""
+        from lucene_solr_spark.search.suggest import FreeTextModel
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        m = FreeTextModel.build(spark, docs, "text", n=2)
+        try:
+            rows = m.lookup("the ", num=10)
+        finally:
+            m.unpersist()
+        return spark.createDataFrame(
+            [(g, round(s, 6)) for g, s in rows],
+            "suggestion string, score double",
+        )
+
     @_q("multiphrase_mtp")
     def multiphrase_mtp(spark, sf_dir):
         """MultiPhraseQuery with multi-term repeats — the hasMultiTermRpts
@@ -3655,6 +3675,7 @@ _DEFER_LAST = [
     "search_with_fq",           # filter_cache_intersect (q+fq composition over it)
     "sloppy_phrase_repeats",    # sloppy_phrase_lucene (rows-only: hasRpts kernel)
     "multiphrase_mtp",          # sloppy_phrase_repeats (rows-only: hasMultiTermRpts kernel over union streams)
+    "suggest_freetext",         # suggest_fuzzy_typo (suggester surface; rows-only: ngram-LM lookup, goldens in pytest)
     "clean_redact_pii",         # text_quality (same per-row Catalyst text pass)
     "clean_dedup_lines",        # text_fingerprint (same order-sensitive array pass)
     "text_dup_ngrams",          # text_token_stats (same array-metric pass, bigram variant)

@@ -226,3 +226,119 @@ def collate(
     return spark.createDataFrame(
         rows[:max_collations], "collation_query string, hits long"
     )
+
+
+# ---------------------------------------------------------------------------
+# FreeTextSuggester (round 3b) — ngram language-model suggestions.
+# ---------------------------------------------------------------------------
+
+
+FREETEXT_ALPHA = 0.4  # FreeTextSuggester.java:127-132
+
+
+class FreeTextModel:
+    """FreeTextSuggester (lucene/suggest/.../analyzing/FreeTextSuggester.java):
+    token-ngram "stupid backoff" language model.  Build counts every 1..N
+    token gram of the corpus (the FST's payload re-expressed as gram-count
+    DataFrames); lookup predicts the next/partial last token from the last
+    N-1 tokens, scoring count/contextCount at the highest order that saw the
+    context and multiplying ALPHA per backoff level (:546-709); a suggestion
+    surfaced by a higher order is skipped at lower orders (the ``seen`` set).
+
+    Scale shape: the build is one tokenize pass + per-order explode/groupBy
+    gram counts (map-side combinable); each gram table is partitioned by its
+    leading context so a lookup prunes to one context's rows.  Lookups
+    collect only the top ``num`` rows per order (bounded)."""
+
+    def __init__(self, spark, grams: dict[int, DataFrame], tot_tokens: int, n: int):
+        self.spark = spark
+        self.grams = grams          # order -> (gram string, cnt) frame
+        self.tot_tokens = tot_tokens
+        self.n = n
+
+    @classmethod
+    def build(cls, spark, docs: DataFrame, text_col: str = "text", n: int = 2):
+        from lucene_solr_spark.analysis.analyzer import StandardAnalyzer
+        from lucene_solr_spark.analysis.filters import shingle_filter
+
+        # LM wants the raw token stream: no stop-word holes
+        an = StandardAnalyzer(stopwords=())
+        toks = docs.select(an.tokens_col(F.col(text_col)).alias("toks"))
+        grams: dict[int, DataFrame] = {}
+        for order in range(1, n + 1):
+            g = shingle_filter(F.col("toks"), n=order) if order > 1 else F.col("toks")
+            grams[order] = (
+                toks.select(F.explode(g).alias("gram"))
+                .groupBy("gram")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .persist()
+            )
+        tot = grams[1].agg(F.sum("cnt")).collect()[0][0] or 0
+        return cls(spark, grams, int(tot), n)
+
+    def _count(self, gram: str) -> int:
+        rows = self.grams[gram.count(" ") + 1].filter(
+            F.col("gram") == gram
+        ).collect()
+        return int(rows[0].cnt) if rows else 0
+
+    def lookup(self, key: str, num: int = 10) -> list[tuple[str, float]]:
+        """-> [(suggestion text, score)] — suggestion is the matched gram
+        (context + predicted token), score desc / text asc, top ``num``."""
+        from lucene_solr_spark.analysis.analyzer import StandardAnalyzer
+
+        an = StandardAnalyzer(stopwords=())
+        tokens = an.analyze(key)
+        if not tokens and key:
+            return []
+        # a trailing separator means the last token is COMPLETE and we
+        # predict the next token from an empty prefix (:472-520 offset check)
+        ends_complete = key != key.rstrip() or key == ""
+        if ends_complete:
+            context_all, prefix = tokens, ""
+        else:
+            context_all, prefix = tokens[:-1], tokens[-1]
+
+        backoff = 1.0
+        seen: set[str] = set()
+        results: list[tuple[str, float]] = []
+        for order_ctx in range(self.n - 1, -1, -1):
+            if len(context_all) < order_ctx:
+                continue  # not enough input for this model
+            ctx = context_all[len(context_all) - order_ctx:]
+            ctx_str = " ".join(ctx)
+            table = self.grams[order_ctx + 1]
+            cand = table
+            if ctx:
+                cand = cand.filter(F.col("gram").startswith(ctx_str + " "))
+            if prefix:
+                want = (ctx_str + " " + prefix) if ctx else prefix
+                cand = cand.filter(F.col("gram").startswith(want))
+            rows = (
+                cand.orderBy(F.col("cnt").desc(), F.col("gram").asc())
+                .limit(num + len(seen))
+                .collect()
+            )
+            if not rows:
+                backoff *= FREETEXT_ALPHA
+                continue
+            if ctx:
+                context_count = self._count(ctx_str)
+                if context_count == 0:
+                    backoff *= FREETEXT_ALPHA
+                    continue
+            else:
+                context_count = self.tot_tokens
+            for r in rows:
+                last = r.gram.rsplit(" ", 1)[-1]
+                if last in seen:
+                    continue
+                seen.add(last)
+                results.append((r.gram, backoff * int(r.cnt) / context_count))
+            backoff *= FREETEXT_ALPHA  # :709 — each consumed level backs off
+        results.sort(key=lambda x: (-x[1], x[0]))
+        return results[:num]
+
+    def unpersist(self) -> None:
+        for df in self.grams.values():
+            df.unpersist()

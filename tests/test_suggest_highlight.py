@@ -261,3 +261,64 @@ def test_suggest_fuzzy(spark, sf_dir):
     # below minFuzzyLength matching is exact-prefix
     short = suggest_fuzzy(idx, "ve", k=5).collect()
     assert all(r.suggestion.startswith("ve") and r.distance == 0 for r in short)
+
+
+# --- FreeTextSuggester (round 3b) ---
+
+
+@pytest.fixture(scope="module")
+def freetext(spark):
+    from lucene_solr_spark.search.suggest import FreeTextModel
+
+    docs = spark.createDataFrame(
+        [
+            ("foo bar foo baz",),
+            ("foo bar bar",),
+            ("qux foo bar",),
+        ],
+        "text string",
+    )
+    m = FreeTextModel.build(spark, docs, "text", n=2)
+    yield m
+    m.unpersist()
+
+
+def test_freetext_bigram_prediction(freetext):
+    """'foo ' -> next token from the bigram model: context 'foo' count 4,
+    'foo bar' 3x, 'foo baz' 1x -> scores 0.75 and 0.25."""
+    got = freetext.lookup("foo ", num=5)
+    assert got[0] == ("foo bar", pytest.approx(3 / 4))
+    assert got[1] == ("foo baz", pytest.approx(1 / 4))
+
+
+def test_freetext_prefix_completion(freetext):
+    """'foo b' keeps the bigram context and filters by last-token prefix."""
+    got = freetext.lookup("foo b", num=5)
+    assert [g for g, _ in got] == ["foo bar", "foo baz"]
+
+
+def test_freetext_backoff_to_unigram(freetext):
+    """Unseen context 'zzz' backs off to unigrams with ALPHA=0.4:
+    score = 0.4 * count/totTokens (totTokens=10)."""
+    got = freetext.lookup("zzz b", num=5)
+    want_bar = 0.4 * 4 / 10   # 'bar' occurs 4x of 10 tokens
+    want_baz = 0.4 * 1 / 10
+    assert got[0] == ("bar", pytest.approx(want_bar))
+    assert ("baz", pytest.approx(want_baz)) in [
+        (g, pytest.approx(s)) for g, s in got
+    ]
+
+
+def test_freetext_seen_dedup_across_orders(freetext):
+    """A token suggested by the bigram model is not re-added by the unigram
+    backoff (the seen set, FreeTextSuggester.java:552-556)."""
+    got = freetext.lookup("foo b", num=10)
+    lasts = [g.rsplit(" ", 1)[-1] for g, _ in got]
+    assert len(lasts) == len(set(lasts))
+
+
+def test_freetext_empty_prefix_vs_partial(freetext):
+    """'foo' (no trailing space) treats 'foo' itself as the partial token:
+    unigram completions of 'foo' only."""
+    got = freetext.lookup("foo", num=5)
+    assert all(g.startswith("foo") for g, _ in got)
