@@ -2921,6 +2921,49 @@ FROM documents ORDER BY docid ASC LIMIT 20""",
 _register_return_fields_query()
 
 
+def _register_handler_select_query():
+    @_q(
+        "handler_select",
+        f"""{PRELUDE},
+scored AS (
+  SELECT f.docid, {bool_case_cols(['table'])}
+  {scored_from()}
+  WHERE f.term IN ('table')
+  GROUP BY f.docid
+),
+filtered AS (
+  SELECT s.docid, round(coalesce(s0, 0.0), 4) AS score
+  FROM scored s JOIN documents d ON d.doc_id = s.docid
+  WHERE d.lang = 'en'
+)
+SELECT f.docid, f.score, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM filtered f JOIN documents d ON d.doc_id = f.docid
+ORDER BY n_chars ASC, f.docid ASC LIMIT 10""",
+    )
+    def handler_select(spark, sf_dir):
+        """The /select facade end-to-end (SearchHandler.handleRequestBody
+        component pipeline, SearchHandler.java:169-253): q=table +
+        fq={!term f=lang}en + sort=n_chars asc + fl — one request through
+        handler.select, semantics identical to the composed operators."""
+        from lucene_solr_spark.handler import select
+
+        out = select(
+            get_index(spark, sf_dir),
+            {
+                "q": "table",
+                "fq": ["{!term f=lang}en"],
+                "sort": "n_chars asc",
+                "rows": 10,
+                "fl": "docid, score, n_chars",
+                "numFound": False,
+            },
+        )
+        return out["response"]
+
+
+_register_handler_select_query()
+
+
 def _register_collapse_fq_query():
     @_q(
         "qparser_collapse_fq",
@@ -3681,6 +3724,7 @@ _DEFER_LAST = [
     "text_dup_ngrams",          # text_token_stats (same array-metric pass, bigram variant)
     "search_with_frange_fq",    # search_with_fq (qparser-typed fq variant)
     "qparser_collapse_fq",      # collapse_by_source (same window collapse) + search_with_fq (PostFilter composition)
+    "handler_select",           # search_with_fq + sort_by_field + return_fields_fl (the /select composition of graded parts)
     # round-3 ValueSourceParser registry extensions: the registry front door
     # holds the graded row (function_query_recip_freshness); each family
     # below is oracle-checked here and unit-tested in test_functions.py

@@ -1,0 +1,258 @@
+"""The /select request facade — SearchHandler's component pipeline as one
+dict-in / dict-out call.
+
+Reference flow (SURVEY §3.1): SolrDispatchFilter routes ``/select`` to
+SearchHandler.handleRequestBody (solr/core/.../component/SearchHandler.java:
+169-253), which runs the component pipeline — QueryComponent (q/fq/sort/
+start/rows/fl), FacetComponent, HighlightComponent, the grouping path — over
+one SolrQueryRequest.  This module is that front door for the Spark engine:
+a reference user's request params run unchanged semantics end-to-end.
+
+Supported params (the common-params working set, CommonParams.java /
+FacetParams.java / HighlightParams.java):
+
+  q                query string; ``{!type ...}`` local-params dispatch via
+                   the QParser registry, classic grammar otherwise
+  fq               list of filter queries (DocSet intersect; {!collapse}
+                   post-filter composes; filters never score)
+  sort             "score desc" (default) or "field asc|desc, ..." over
+                   docvalues columns; docid-asc final tie-break
+  start, rows      result window (offset paging)
+  fl               return-fields spec (renames, function pseudo-fields, *)
+  facet.field      list of fields -> (facet_term, facet_count) frames
+  facet.query      {label: query string} -> counts over the filtered set
+  hl, hl.fl        highlighting over the stored text of the result page
+  group.field,     grouped results: top group.limit docs per group value
+  group.limit
+
+Returns ``{"response": DataFrame, "num_found": int, "facet_fields": {...},
+"facet_queries": DataFrame|None, "highlighting": DataFrame|None,
+"grouped": DataFrame|None}``.
+
+Scale shape: the scored set is computed once; facets/grouping/highlighting
+are independent consumers of that one frame (Spark re-derives each plan from
+the same lineage — at cluster scale a ``.persist()`` of the filtered scored
+set amortizes the consumers, which ``select(..., persist=True)`` does).
+Highlighting joins the k-row page broadcast into the stored-fields scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lucene_solr_spark.index.builder import IndexTables
+
+_MAX_ROWS = (1 << 31) - 1
+
+
+def _query_terms(parsed) -> list[str]:
+    """Terms of a parsed query tree (HighlightComponent derives highlight
+    terms from the rewritten query — Highlighter's QueryTermExtractor)."""
+    from lucene_solr_spark.search.parser import CompositeQuery
+    from lucene_solr_spark.search.query import BooleanQuery, PhraseQuery, TermQuery
+
+    if isinstance(parsed, CompositeQuery):
+        out = _query_terms(parsed.boolean)
+        for sub in (*parsed.must_specials, *parsed.should_specials):
+            out.extend(_query_terms(sub))
+        return out
+    if isinstance(parsed, BooleanQuery):
+        return [t.term for t in (*parsed.must, *parsed.should)]
+    if isinstance(parsed, TermQuery):
+        return [parsed.term]
+    if isinstance(parsed, PhraseQuery):
+        return list(parsed.terms)
+    return []
+
+
+def _parse_sort(spec: str | None) -> list:
+    """'field asc|desc, ...' -> ordering columns; 'score desc' is the
+    default; docid asc is always the final tie-break (HitQueue docID order,
+    QueryComponent sort-spec parsing)."""
+    cols = []
+    for part in (spec or "score desc").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        toks = part.split()
+        name = toks[0]
+        direction = toks[1].lower() if len(toks) > 1 else "asc"
+        c = F.col(name)
+        cols.append(c.desc() if direction == "desc" else c.asc())
+    cols.append(F.col("docid").asc())
+    return cols
+
+
+def _scored_set(index: IndexTables, q: str, now_epoch_ms: int | None) -> DataFrame:
+    """The UNLIMITED scored set for the main query (getDocListNC computes the
+    full DocList; windows apply later)."""
+    from lucene_solr_spark.search.bm25 import search, search_parsed
+    from lucene_solr_spark.search.qparsers import qparser_search
+    from lucene_solr_spark.search.query import MatchAllQuery
+
+    if q.strip() == "*:*":
+        return search(index, MatchAllQuery(), k=_MAX_ROWS)
+    if q.lstrip().startswith("{!"):
+        return qparser_search(
+            index, q, k=_MAX_ROWS, now_epoch_ms=now_epoch_ms
+        )
+    return search_parsed(index, q, k=_MAX_ROWS)
+
+
+def select(
+    index: IndexTables,
+    params: dict,
+    stored: DataFrame | None = None,
+    now_epoch_ms: int | None = None,
+    persist: bool = False,
+) -> dict:
+    """Run a /select-style request over the index.  ``stored`` supplies the
+    stored-fields frame for fl fields and highlighting (defaults to
+    ``index.docs``)."""
+    from lucene_solr_spark.search.filtercache import (
+        _apply_collapse,
+        _parse_filter,
+    )
+    from lucene_solr_spark.search.parser import parse_query
+
+    q = params.get("q", "*:*")
+    stored = stored if stored is not None else index.docs
+
+    scored = _scored_set(index, q, now_epoch_ms)
+
+    # --- fq composition (getProcessedFilter; {!collapse} is a PostFilter) ---
+    fqs = params.get("fq", []) or []
+    if isinstance(fqs, str):
+        fqs = [fqs]
+    collapse_fqs = [f for f in fqs if f.lstrip().startswith("{!collapse")]
+    for fq in fqs:
+        if fq in collapse_fqs:
+            continue
+        kind, df = _parse_filter(index, fq, now_epoch_ms=now_epoch_ms)
+        how = "left_anti" if kind == "neg" else "left_semi"
+        scored = scored.join(df, "docid", how)
+    for cfq in collapse_fqs:
+        scored = _apply_collapse(index, scored, cfq)
+    if persist:
+        scored = scored.persist()
+
+    # --- sort + window (start/rows) ---
+    sort_spec = params.get("sort")
+    order = _parse_sort(sort_spec)
+    needs_fields = [
+        c.strip().split()[0]
+        for c in (sort_spec or "").split(",")
+        if c.strip() and c.strip().split()[0] not in ("score", "docid")
+    ]
+    page = scored
+    if needs_fields:
+        page = page.join(
+            stored.select("docid", *dict.fromkeys(needs_fields)), "docid"
+        )
+    start = int(params.get("start", 0))
+    rows = int(params.get("rows", 10))
+    # TakeOrderedAndProject bounds the head FIRST; the offset window then
+    # ranks only those <= start+rows rows (offset paging; deep paging
+    # belongs to cursorMark — bm25.search after=)
+    head = page.orderBy(*order).limit(start + rows)
+    w = Window.orderBy(*order)
+    head = (
+        head.withColumn("_ord", F.row_number().over(w))
+        .where(F.col("_ord") > start)
+        .select("docid", "score", "_ord")
+    )
+
+    # --- fl projection ---
+    fl = params.get("fl")
+    if fl:
+        from lucene_solr_spark.search.returnfields import return_fields
+
+        extra = [c for c in stored.columns if c != "docid"]
+        enriched = head.join(stored.select("docid", *extra), "docid")
+        response = return_fields(
+            enriched.orderBy("_ord").drop("_ord"), fl, now_epoch_ms=now_epoch_ms
+        )
+    else:
+        response = head.orderBy("_ord").drop("_ord")
+    page = head  # downstream consumers (highlighting) use the ranked page
+
+    out: dict = {"response": response, "num_found": None}
+    if params.get("numFound", True):
+        out["num_found"] = scored.count()
+
+    # --- facets over the FILTERED full set (FacetComponent) ---
+    facet_fields = params.get("facet.field", []) or []
+    if isinstance(facet_fields, str):
+        facet_fields = [facet_fields]
+    if facet_fields:
+        from lucene_solr_spark.facets.facets import facet_field
+
+        base = scored.join(
+            stored.select("docid", *dict.fromkeys(facet_fields)), "docid"
+        )
+        out["facet_fields"] = {
+            f: facet_field(base, f, limit=int(params.get("facet.limit", 20)))
+            for f in facet_fields
+        }
+    else:
+        out["facet_fields"] = {}
+
+    fquery = params.get("facet.query") or {}
+    if fquery:
+        rows_fc = []
+        for label, fqstr in fquery.items():
+            cnt = scored.join(
+                _scored_set(index, fqstr, now_epoch_ms).select("docid"),
+                "docid",
+                "left_semi",
+            ).count()
+            rows_fc.append((label, cnt))
+        spark = SparkSession.getActiveSession()
+        out["facet_queries"] = spark.createDataFrame(
+            rows_fc, "facet_query string, facet_count long"
+        )
+    else:
+        out["facet_queries"] = None
+
+    # --- highlighting of the result page (HighlightComponent) ---
+    if str(params.get("hl", "")).lower() in ("true", "on", "1"):
+        from lucene_solr_spark.search.highlight import highlight_fragment_multi
+
+        qs = q.strip()
+        terms = (
+            []
+            if qs == "*:*" or qs.startswith("{!")
+            else [t.lower() for t in _query_terms(parse_query(qs))]
+        )
+        if not terms:
+            raise ValueError("hl needs a term query (hl over {!..}/*:* unsupported)")
+        if "text" not in stored.columns:
+            raise ValueError(
+                "hl needs a stored-fields frame carrying (docid, text) — "
+                "pass select(..., stored=documents_frame)"
+            )
+        snip = highlight_fragment_multi(F.col("text"), terms)
+        out["highlighting"] = (
+            stored.select("docid", "text")
+            .join(F.broadcast(page.select("docid", "score")), "docid")
+            .select("docid", snip.alias("snippet"))
+        )
+    else:
+        out["highlighting"] = None
+
+    # --- grouping (group.field) ---
+    gfield = params.get("group.field")
+    if gfield:
+        from lucene_solr_spark.facets.facets import group_topk
+
+        glimit = int(params.get("group.limit", 1))
+        base = scored.join(stored.select("docid", gfield), "docid")
+        out["grouped"] = group_topk(
+            base, gfield, [F.col("score").desc(), F.col("docid").asc()], k=glimit
+        )
+    else:
+        out["grouped"] = None
+
+    return out
