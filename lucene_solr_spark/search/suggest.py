@@ -342,3 +342,82 @@ class FreeTextModel:
     def unpersist(self) -> None:
         for df in self.grams.values():
             df.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# WordBreakSpellChecker (round 3b) — break/combine suggestions.
+# ---------------------------------------------------------------------------
+
+
+def suggest_word_breaks(
+    index: IndexTables,
+    term: str,
+    max_suggestions: int = 5,
+    min_break_length: int = 1,
+    min_freq: int = 1,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks (lucene/suggest/.../spell/
+    WordBreakSpellChecker.java:95-170, maxChanges=1): split a mistyped
+    compound into two dictionary words ('timeout' -> 'time out').
+
+    All len-1 split candidates of one term are a tiny literal frame; ONE
+    semi-joined pass over the term dictionary validates both halves
+    (df >= minSuggestionFrequency); ranking is summed frequency desc
+    (NUM_CHANGES_THEN_SUMMED_FREQUENCY with a single change level), then
+    the split text asc."""
+    spark = index.docs.sparkSession
+    cands = [
+        (term[:i], term[i:])
+        for i in range(min_break_length, len(term) - min_break_length + 1)
+    ]
+    if not cands:
+        return spark.createDataFrame([], "suggestion string, freq long")
+    c = spark.createDataFrame(cands, "left string, right string")
+    stats = index.term_stats().select("term", "df")
+    out = (
+        c.join(F.broadcast(stats.withColumnRenamed("df", "df_l")),
+               c.left == F.col("term")).drop("term")
+        .join(F.broadcast(stats.withColumnRenamed("df", "df_r")),
+              F.col("right") == F.col("term")).drop("term")
+        .where((F.col("df_l") >= min_freq) & (F.col("df_r") >= min_freq))
+        .select(
+            F.concat_ws(" ", "left", "right").alias("suggestion"),
+            (F.col("df_l") + F.col("df_r")).cast("long").alias("freq"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("suggestion").asc())
+        .limit(max_suggestions)
+    )
+    return out
+
+
+def suggest_word_combinations(
+    index: IndexTables,
+    terms: list[str],
+    max_suggestions: int = 5,
+    max_combine_length: int = 20,
+    min_freq: int = 1,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordCombinations (:172-240): adjacent
+    query terms whose concatenation is a dictionary word ('time out' ->
+    'timeout'), ranked by the combined word's frequency desc."""
+    spark = index.docs.sparkSession
+    cands = [
+        (i, terms[i] + terms[i + 1])
+        for i in range(len(terms) - 1)
+        if len(terms[i] + terms[i + 1]) <= max_combine_length
+    ]
+    if not cands:
+        return spark.createDataFrame([], "position int, suggestion string, freq long")
+    c = spark.createDataFrame(cands, "position int, combined string")
+    stats = index.term_stats().select("term", "df")
+    return (
+        c.join(F.broadcast(stats), c.combined == F.col("term"))
+        .where(F.col("df") >= min_freq)
+        .select(
+            "position",
+            F.col("combined").alias("suggestion"),
+            F.col("df").cast("long").alias("freq"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("position").asc())
+        .limit(max_suggestions)
+    )

@@ -322,3 +322,47 @@ def test_freetext_empty_prefix_vs_partial(freetext):
     unigram completions of 'foo' only."""
     got = freetext.lookup("foo", num=5)
     assert all(g.startswith("foo") for g, _ in got)
+
+
+# --- WordBreakSpellChecker (round 3b) ---
+
+
+@pytest.fixture(scope="module")
+def wb_index(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "time out happens when the timeout fires"),
+            (2, "time flies and the clock ticks"),
+            (3, "timeout and timeout again with time to spare"),
+            (4, "out and about"),
+        ],
+        "doc_id long, text string",
+    )
+    return build_index(
+        spark, docs, key_col="doc_id", docid_col="doc_id", num_index_partitions=2
+    )
+
+
+def test_word_breaks(wb_index):
+    from lucene_solr_spark.search.suggest import suggest_word_breaks
+
+    got = [(r.suggestion, r.freq) for r in suggest_word_breaks(wb_index, "timeout").collect()]
+    # 'time' df=3, 'out' df=2 -> 'time out' freq 5; no other split is valid
+    assert got == [("time out", 5)]
+
+
+def test_word_breaks_none(wb_index):
+    from lucene_solr_spark.search.suggest import suggest_word_breaks
+
+    assert suggest_word_breaks(wb_index, "zzzyyy").collect() == []
+
+
+def test_word_combinations(wb_index):
+    from lucene_solr_spark.search.suggest import suggest_word_combinations
+
+    got = [
+        (r.position, r.suggestion, r.freq)
+        for r in suggest_word_combinations(wb_index, ["time", "out", "fires"]).collect()
+    ]
+    # 'timeout' df=2 from adjacent pair at position 0; 'outfires' absent
+    assert got == [(0, "timeout", 2)]
