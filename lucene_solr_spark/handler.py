@@ -67,22 +67,61 @@ def _query_terms(parsed) -> list[str]:
     return []
 
 
-def _parse_sort(spec: str | None) -> list:
-    """'field asc|desc, ...' -> ordering columns; 'score desc' is the
-    default; docid asc is always the final tie-break (HitQueue docID order,
-    QueryComponent sort-spec parsing)."""
-    cols = []
-    for part in (spec or "score desc").split(","):
+def _split_sort(spec: str | None) -> list[tuple[str, str]]:
+    """'key asc|desc, ...' -> [(key, dir)]; keys may be function-query
+    strings with commas inside parens (sort=geodist(lat,lon,48.8,2.3) asc —
+    SortSpecParsing.parseSortSpec handles the same shapes)."""
+    spec = (spec or "score desc").strip()
+    parts, depth, cur = [], 0, []
+    for ch in spec:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    out = []
+    for part in parts:
         part = part.strip()
         if not part:
             continue
-        toks = part.split()
-        name = toks[0]
-        direction = toks[1].lower() if len(toks) > 1 else "asc"
-        c = F.col(name)
+        toks = part.rsplit(None, 1)
+        if len(toks) == 2 and toks[1].lower() in ("asc", "desc"):
+            out.append((toks[0], toks[1].lower()))
+        else:
+            out.append((part, "asc"))
+    return out
+
+
+def _parse_sort(spec: str | None, now_epoch_ms: int | None = None) -> tuple[list, list[str]]:
+    """-> (ordering columns, stored field names the ordering needs); 'score
+    desc' is the default; a key containing '(' compiles as a function query
+    (sort by function, ValueSourceParser); docid asc is always the final
+    tie-break (HitQueue docID order)."""
+    cols, fields = [], []
+    for name, direction in _split_sort(spec):
+        if "(" in name:
+            from lucene_solr_spark.functions import parse_function_query
+
+            c = parse_function_query(name, now_epoch_ms=now_epoch_ms)
+            import re as _re
+
+            fields.extend(
+                t
+                for t in _re.findall(r"[A-Za-z_][A-Za-z0-9_]*", name)
+                if t not in ("score", "docid")
+            )
+        else:
+            c = F.col(name)
+            if name not in ("score", "docid"):
+                fields.append(name)
         cols.append(c.desc() if direction == "desc" else c.asc())
     cols.append(F.col("docid").asc())
-    return cols
+    return cols, fields
 
 
 def _scored_set(index: IndexTables, q: str, now_epoch_ms: int | None) -> DataFrame:
@@ -140,17 +179,15 @@ def select(
 
     # --- sort + window (start/rows) ---
     sort_spec = params.get("sort")
-    order = _parse_sort(sort_spec)
+    order, needs = _parse_sort(sort_spec, now_epoch_ms=now_epoch_ms)
     needs_fields = [
-        c.strip().split()[0]
-        for c in (sort_spec or "").split(",")
-        if c.strip() and c.strip().split()[0] not in ("score", "docid")
+        f
+        for f in dict.fromkeys(needs)
+        if f in stored.columns and f not in ("docid", "score")
     ]
     page = scored
     if needs_fields:
-        page = page.join(
-            stored.select("docid", *dict.fromkeys(needs_fields)), "docid"
-        )
+        page = page.join(stored.select("docid", *needs_fields), "docid")
     start = int(params.get("start", 0))
     rows = int(params.get("rows", 10))
     # TakeOrderedAndProject bounds the head FIRST; the offset window then

@@ -144,3 +144,38 @@ def test_utility_factories(spark):
     assert _run(
         spark, ["a", "b", "c"], lambda t: limit_token_count_filter(t, 2)
     ) == ["a", "b"]
+
+
+# --- CharFilters (pre-tokenizer) ---
+
+
+def test_mapping_char_filter(spark):
+    from lucene_solr_spark.analysis.charfilters import mapping_char_filter
+    from lucene_solr_spark.analysis.analyzer import StandardAnalyzer
+
+    df = spark.createDataFrame([("c++ and c#m fussball",)], "text string")
+    mapped = mapping_char_filter(
+        F.col("text"), {"c++": "cplusplus", "c#": "csharp", "ß": "ss"}
+    )
+    got = df.select(StandardAnalyzer().tokens_col(mapped).alias("t")).head().t
+    assert got == ["cplusplus", "csharpm", "fussball"]
+
+
+def test_mapping_longest_match_first(spark):
+    from lucene_solr_spark.analysis.charfilters import mapping_char_filter
+
+    df = spark.createDataFrame([("abc ab",)], "text string")
+    got = df.select(
+        mapping_char_filter(F.col("text"), {"ab": "X", "abc": "Y"}).alias("t")
+    ).head().t
+    assert got == "Y X"  # 'abc' wins over 'ab' at the same start
+
+
+def test_pattern_replace_char_filter(spark):
+    from lucene_solr_spark.analysis.charfilters import pattern_replace_char_filter
+
+    df = spark.createDataFrame([("a-b a--b",)], "text string")
+    got = df.select(
+        pattern_replace_char_filter(F.col("text"), "-+", " ").alias("t")
+    ).head().t
+    assert got == "a b a b"

@@ -135,3 +135,14 @@ def test_qparser_front_door(index):
         r.docid: r.lang for r in index.docs.select("docid", "lang").collect()
     }
     assert all(langs[r.docid] == "en" for r in out["response"].collect())
+
+
+def test_sort_by_function(index):
+    """sort=div(n_chars,2) asc — sort-by-function (SortSpecParsing +
+    ValueSourceParser): compiles the function over stored fields."""
+    out = select(index, {"q": "table", "sort": "div(n_chars,2.0) asc", "rows": 8})
+    got = [r.docid for r in out["response"].collect()]
+    meta = {
+        r.docid: r.n_chars for r in index.docs.select("docid", "n_chars").collect()
+    }
+    assert got == sorted(got, key=lambda d: (meta[d] / 2.0, d))
