@@ -3620,6 +3620,135 @@ ORDER BY g.docid ASC LIMIT 50"""
 _register_classic_and_spatial()
 
 
+def _register_classification_and_lm() -> None:
+    from lucene_solr_spark.oracle.sqlgen import lm_dirichlet_sql, lm_jm_sql
+
+    @_q("lmdirichlet_query", lm_dirichlet_sql(("vector", "stream", "hash")))
+    def lmdirichlet_query(spark, sf_dir):
+        """LMDirichletSimilarity top-k (LMDirichletSimilarity.java:65-69,
+        mu=2000): per-term ln(1 + tf/(mu*p)) + ln(mu/(dl+mu)) clipped at 0,
+        p(t|C)=(cf+1)/(F+1), coord/queryNorm=1 (Similarity.java:122-141)."""
+        from lucene_solr_spark.search.lm import lm_dirichlet_topk
+
+        return lm_dirichlet_topk(
+            get_index(spark, sf_dir),
+            BooleanQuery.of(should=["vector", "stream", "hash"]),
+            k=10,
+        )
+
+    @_q("lmjm_query", lm_jm_sql(("table", "merge")))
+    def lmjm_query(spark, sf_dir):
+        """LMJelinekMercerSimilarity top-k (LMJelinekMercerSimilarity.java:
+        53-58, lambda=0.7): ln(1 + ((1-lambda)*tf/dl)/(lambda*p))."""
+        from lucene_solr_spark.search.lm import lm_jelinek_mercer_topk
+
+        return lm_jelinek_mercer_topk(
+            get_index(spark, sf_dir),
+            BooleanQuery.of(should=["table", "merge"]),
+            k=10,
+        )
+
+    _NB_MAX = 25
+    @_q(
+        "classify_naive_bayes",
+        f"""{PRELUDE},
+wc AS (
+  SELECT f.term, d2.lang AS cls, count(*) AS wc
+  FROM tf f JOIN documents d2 ON d2.doc_id = f.docid
+  WHERE d2.lang IS NOT NULL
+  GROUP BY 1, 2
+),
+cstat AS (
+  SELECT lang AS cls, count(*) AS nc FROM documents
+  WHERE lang IS NOT NULL GROUP BY 1
+),
+gl AS (
+  SELECT (SELECT count(*) FROM tf) * 1.0
+           / (SELECT count(DISTINCT docid) FROM tf) AS avguniq,
+         (SELECT count(*) FROM documents WHERE lang IS NOT NULL) AS dwc
+),
+dl2 AS (SELECT docid, sum(tf) AS dl FROM tf WHERE docid <= {_NB_MAX} GROUP BY 1),
+contrib AS (
+  SELECT f.docid, w.cls, f.term, f.tf * ln(w.wc + 1.0) AS s
+  FROM tf f JOIN wc w ON w.term = f.term
+  WHERE f.docid <= {_NB_MAX}
+),
+percls AS (
+  SELECT docid, cls, list_reduce(list(s ORDER BY term), (a, b) -> a + b) AS lsum
+  FROM contrib GROUP BY 1, 2
+),
+clval AS (
+  SELECT d.docid, c.cls,
+         (ln(c.nc) - ln(g.dwc)) + coalesce(p.lsum, 0.0)
+           - d.dl * ln(g.avguniq * c.nc + g.dwc) AS v
+  FROM dl2 d CROSS JOIN cstat c CROSS JOIN gl g
+  LEFT JOIN percls p ON p.docid = d.docid AND p.cls = c.cls
+)
+SELECT docid, cls AS assigned_class, round(10.0 / abs(v), 4) AS score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY docid ORDER BY v DESC, cls ASC) AS rn
+  FROM clval
+)
+WHERE rn = 1 ORDER BY docid ASC""",
+    )
+    def classify_naive_bayes(spark, sf_dir):
+        """SimpleNaiveBayesClassifier (SimpleNaiveBayesClassifier.java:
+        137-213) batch-classifying docs 0..25 by lang: prior + regrouped
+        add-1-smoothed log-likelihood, argmax with smallest-class ties,
+        score = 10/|max| (java :153)."""
+        from lucene_solr_spark.classification import naive_bayes_classify
+
+        return naive_bayes_classify(
+            get_index(spark, sf_dir), class_col="lang", max_docid=_NB_MAX
+        )
+
+    @_q(
+        "classify_knn",
+        f"""{PRELUDE},
+qterms AS (
+  SELECT f.term
+  FROM tf f JOIN tstat s ON s.term = f.term CROSS JOIN stats st
+  WHERE f.docid = 0
+  ORDER BY f.tf * ln(1.0 + (st.n - s.df + 0.5) / (s.df + 0.5)) DESC, f.term ASC
+  LIMIT 3
+),
+neighbors AS (
+  SELECT docid,
+         round(list_reduce(list(s ORDER BY term), (a, b) -> a + b), 4) AS score
+  FROM (
+    SELECT f.docid, f.term, {score_cols_sql()} AS s
+    {scored_from()}
+    WHERE f.term IN (SELECT term FROM qterms)
+  )
+  GROUP BY docid
+  ORDER BY score DESC, docid ASC LIMIT 10
+),
+votes AS (
+  SELECT d.lang AS cls, count(*) AS votes
+  FROM neighbors nb JOIN documents d ON d.doc_id = nb.docid
+  GROUP BY 1
+)
+SELECT CAST(0 AS BIGINT) AS docid, cls AS assigned_class,
+       round(votes / 10.0, 4) AS score
+FROM votes ORDER BY votes DESC, cls ASC LIMIT 1""",
+    )
+    def classify_knn(spark, sf_dir):
+        """KNearestNeighborClassifier (KNearestNeighborClassifier.java:
+        81-121) for doc 0: MLT top-3 terms -> top-10 BM25 neighbors (self
+        included, java :85-94) -> majority lang, score = votes/k; vote ties
+        pinned to smallest class (reference HashMap order is
+        nondeterministic)."""
+        from lucene_solr_spark.classification import knn_classify
+
+        return knn_classify(
+            get_index(spark, sf_dir), docid=0, class_col="lang",
+            k=10, max_query_terms=3,
+        )
+
+
+_register_classification_and_lm()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -3654,6 +3783,11 @@ _DEFER_LAST = [
     "dedup_exact",              # clean_url_dedup + urp_signature_dedupe (same hash-groupBy survivor shape, both in window); r2 green — slot for highlight_positions_tv
     "text_fingerprint",         # text_quality (same Catalyst projection family) + clean_dedup_lines array pass + hashing property tests; r2 green — slot for suggest_fuzzy_typo
     "more_like_this",           # rerank_query (two-pass derived-query composition) + MLT gate tests; r2 green — slot for synonym_phrase_query
+    # --- round-3c rotation: slots for the classification + LM-similarity rows ---
+    "text_quality",             # text_gopher_filter (same codegen text-metric projection family, thresholds over the same signals); r2 green — slot for classify_naive_bayes
+    "pivot_lang_source",        # facet_field_lang (same hash-agg facet machinery; pivot nests it) + stats_facet_lineitem (facet-combined agg); r2 green — slot for lmdirichlet_query
+    "group_top2_orders_per_priority",  # collapse_by_source (same window best-per-group kernel; grouping generalizes to top-N) + expand_component tests; r2 green — slot for classify_knn
+    "lmjm_query",               # lmdirichlet_query (same LM frame, smoothing variant)
     # --- round-3b rotation: slots for classic_tfidf_query / spatial_geofilt ---
     "pages_extraction_invariant",  # pages_boolean_query (its oracle reproduces the same HTMLStrip extraction prelude end-to-end); r2 green
     "facet_query_multi",        # filter_cache_intersect (DocSet algebra) + facet_field_lang (facet machinery); r2 green

@@ -375,3 +375,86 @@ SELECT pv.docid,
        round(({contribs}){coord}, 4) AS score
 FROM pv CROSS JOIN qw
 ORDER BY score DESC, pv.docid ASC LIMIT {k}"""
+
+
+def _lm_pv(terms: list[str]) -> str:
+    tf_cols = ",\n         ".join(
+        f"max(CASE WHEN f.term = '{t}' THEN f.tf END) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""qp AS (SELECT {", ".join(
+        f"((coalesce((SELECT cf FROM tstat WHERE term = '{t}'), 0) + 1.0)"
+        f" / ((SELECT coalesce(sum(dl), 0) FROM doclen) + 1.0)) AS p{i}"
+        for i, t in enumerate(terms)
+    )}),
+pv AS (
+  SELECT f.docid,
+         {tf_cols},
+         max(d.dl_approx) AS dl_approx
+  FROM tf f JOIN doc d ON d.docid = f.docid
+  WHERE f.term IN ({inlist})
+  GROUP BY f.docid
+)"""
+
+
+def lm_dirichlet_sql(
+    should: tuple[str, ...],
+    mu: float = 2000.0,
+    k: int = 10,
+    boosts: dict[str, float] | None = None,
+    prelude: str | None = None,
+) -> str:
+    """LMDirichletSimilarity boolean-of-SHOULD-terms oracle.
+
+    Mirrors search/lm.lm_dirichlet_topk: p(t|C) = (cf+1)/(F+1) from
+    tstat/doclen, per-term s = boost*(ln(1 + tf/(mu*p)) + ln(mu/(dl+mu)))
+    clipped at 0 (LMDirichletSimilarity.java:65-69), coord/queryNorm = 1,
+    fixed-order addition, round before ordering, docid tie-break.
+    """
+    boosts = boosts or {}
+    terms = list(dict.fromkeys(should))
+    s_defs = ",\n       ".join(
+        f"{boosts.get(t, 1.0)!r} * (ln(1.0 + pv.tf{i} / ({mu!r} * qp.p{i}))"
+        f" + ln({mu!r} / (pv.dl_approx + {mu!r}))) AS s{i}"
+        for i, t in enumerate(terms)
+    )
+    total = " + ".join(
+        f"(CASE WHEN sx.tf{i} IS NULL THEN 0.0"
+        f" WHEN sx.s{i} > 0 THEN sx.s{i} ELSE 0.0 END)"
+        for i in range(len(terms))
+    )
+    return f"""{prelude or PRELUDE},
+{_lm_pv(terms)},
+sx AS (
+  SELECT pv.*,
+       {s_defs}
+  FROM pv CROSS JOIN qp
+)
+SELECT sx.docid, round({total}, 4) AS score
+FROM sx
+ORDER BY score DESC, sx.docid ASC LIMIT {k}"""
+
+
+def lm_jm_sql(
+    should: tuple[str, ...],
+    lam: float = 0.7,
+    k: int = 10,
+    boosts: dict[str, float] | None = None,
+    prelude: str | None = None,
+) -> str:
+    """LMJelinekMercerSimilarity oracle (LMJelinekMercerSimilarity.java:53-58):
+    score = boost * ln(1 + ((1-lambda)*tf/docLen) / (lambda*p))."""
+    boosts = boosts or {}
+    terms = list(dict.fromkeys(should))
+    total = " + ".join(
+        f"coalesce({boosts.get(t, 1.0)!r} * ln(1.0 +"
+        f" ((1.0 - {lam!r}) * pv.tf{i} / pv.dl_approx)"
+        f" / ({lam!r} * qp.p{i})), 0.0)"
+        for i, t in enumerate(terms)
+    )
+    return f"""{prelude or PRELUDE},
+{_lm_pv(terms)}
+SELECT pv.docid, round({total}, 4) AS score
+FROM pv CROSS JOIN qp
+ORDER BY score DESC, pv.docid ASC LIMIT {k}"""
