@@ -88,6 +88,27 @@ def get_stemmed_index(spark: SparkSession, sf_dir: str) -> IndexTables:
     return _INDEX_CACHE[key]
 
 
+def get_phonetic_index(spark: SparkSession, sf_dir: str) -> IndexTables:
+    """documents indexed through a phonetic chain (tokenizer -> lowercase ->
+    stop -> PhoneticFilter[Soundex, inject=false]): every term replaced by
+    its Soundex code via the vocabulary-level term map
+    (analysis/phonetic.py)."""
+    from lucene_solr_spark.analysis.phonetic import soundex_map
+
+    key = sf_dir + "#phonetic"
+    if key not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _INDEX_CACHE[key] = build_index(
+            spark,
+            docs,
+            key_col="doc_id",
+            docid_col="doc_id",
+            num_index_partitions=8,
+            term_map=soundex_map,
+        )
+    return _INDEX_CACHE[key]
+
+
 def get_mv_index(spark: SparkSession, sf_dir: str) -> IndexTables:
     """documents as a multiValued text field: each text split at a word
     boundary into two values, indexed with multivalued=True (per-value
@@ -205,6 +226,26 @@ def stemmed_term_query(spark, sf_dir):
     'table'), so it retrieves every 'table' document with df/tf merged
     across inflections.  Query terms analyze through the same chain."""
     return search(get_stemmed_index(spark, sf_dir), porter_stem("tables"), k=10)
+
+
+def _register_phonetic_query():
+    from lucene_solr_spark.oracle.sqlgen import phonetic_prelude_sql
+
+    @_q(
+        "phonetic_match_query",
+        bool_sql(must=("M620",), prelude=phonetic_prelude_sql()),
+    )
+    def phonetic_match_query(spark, sf_dir):
+        """PhoneticFilter[Soundex] end-to-end (lucene/analysis/phonetic/.../
+        PhoneticFilter.java:36-100, inject=false): the query word 'merge'
+        encodes to M620, matching every term that folds to the same code —
+        df/tf merged across sound-alikes, BM25 over the folded stats."""
+        from lucene_solr_spark.analysis.phonetic import soundex
+
+        return search(get_phonetic_index(spark, sf_dir), soundex("merge"), k=10)
+
+
+_register_phonetic_query()
 
 
 @_q("multivalued_field_query", bool_sql(must=("merge",)))
@@ -3788,6 +3829,7 @@ _DEFER_LAST = [
     "pivot_lang_source",        # facet_field_lang (same hash-agg facet machinery; pivot nests it) + stats_facet_lineitem (facet-combined agg); r2 green — slot for lmdirichlet_query
     "group_top2_orders_per_priority",  # collapse_by_source (same window best-per-group kernel; grouping generalizes to top-N) + expand_component tests; r2 green — slot for classify_knn
     "lmjm_query",               # lmdirichlet_query (same LM frame, smoothing variant)
+    "phonetic_match_query",     # stemmed_term_query (same vocabulary-level term_map index technique; encoder swapped) — soundex goldens in tests/test_phonetic.py
     # --- round-3b rotation: slots for classic_tfidf_query / spatial_geofilt ---
     "pages_extraction_invariant",  # pages_boolean_query (its oracle reproduces the same HTMLStrip extraction prelude end-to-end); r2 green
     "facet_query_multi",        # filter_cache_intersect (DocSet algebra) + facet_field_lang (facet machinery); r2 green

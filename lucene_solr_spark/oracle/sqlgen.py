@@ -120,14 +120,14 @@ tstat AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY 1)"""
 PRELUDE = prelude_sql("SELECT doc_id AS docid, text FROM documents")
 
 
-def porter_stem_values(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    """Render the (term, stem) VALUES rows for the documents vocabulary at
+def vocab_map_values(fn, sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Render (term, fn(term)) VALUES rows over the documents vocabulary at
     the driver's pinned grading scale (the correctness gate always runs at
     sf0.01; the Spark side is sf-agnostic because it derives the same map
-    from whatever vocabulary it actually sees)."""
+    from whatever vocabulary it actually sees).  Shared by the Porter-stem
+    and phonetic (Soundex) preludes — the term dictionary crosses the
+    engines as DATA, like the norm-byte range table."""
     import duckdb
-
-    from lucene_solr_spark.analysis.stemmer import porter_stem
 
     con = duckdb.connect()
     vocab = [
@@ -139,7 +139,7 @@ def porter_stem_values(sf_dir: str = "/root/testdata/sf0.01") -> str:
 WHERE t <> '' AND length(t) BETWEEN 1 AND 255 AND lower(t) NOT IN {_STOP}"""
         ).fetchall()
     ]
-    pairs = sorted((v, porter_stem(v)) for v in vocab)
+    pairs = sorted((v, fn(v)) for v in vocab)
     rows = [
         f"('{a}', '{b}')".replace("\\", "")
         for a, b in pairs
@@ -148,6 +148,12 @@ WHERE t <> '' AND length(t) BETWEEN 1 AND 255 AND lower(t) NOT IN {_STOP}"""
     if not rows:  # VALUES needs >= 1 row; a no-op sentinel never matches
         rows = ["('', '')"]
     return ",\n         ".join(rows)
+
+
+def porter_stem_values(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    from lucene_solr_spark.analysis.stemmer import porter_stem
+
+    return vocab_map_values(porter_stem, sf_dir)
 
 
 def synonym_contraction_prelude_sql(
@@ -228,6 +234,17 @@ def stemmed_prelude_sql(doc_source: str = "SELECT doc_id AS docid, text FROM doc
     dictionary (the ``text_en`` chain: tokenizer -> lowercase -> stop ->
     porter)."""
     return "WITH " + _prelude_body(doc_source, stem_values=porter_stem_values())
+
+
+def phonetic_prelude_sql(doc_source: str = "SELECT doc_id AS docid, text FROM documents") -> str:
+    """PRELUDE variant whose tok CTE maps terms through the Soundex code
+    dictionary (PhoneticFilterFactory with encoder=Soundex, inject=false —
+    every token replaced by its code)."""
+    from lucene_solr_spark.analysis.phonetic import soundex
+
+    return "WITH " + _prelude_body(
+        doc_source, stem_values=vocab_map_values(soundex)
+    )
 
 
 def score_cols_sql() -> str:
