@@ -1402,6 +1402,19 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
             .orderBy("vec_id_a", "vec_id_b")
         )
 
+    @_q("emb_ivf_ann", T.ivf_topk_sql(n_centroids=8, n_probe=2, query_id=0, k=10))
+    def emb_ivf_ann(spark, sf_dir):
+        """IVF-flat ANN (FAISS-style coarse quantizer, public knowledge):
+        one Lloyd round over deterministic init, grid-quantized centroid
+        means, final assignment, 2-probe exact cosine — the second scale
+        path next to sign-LSH (textops/similarity.py scale note)."""
+        from lucene_solr_spark.textops.similarity import ivf_topk, ivf_train
+
+        e = _emb(spark, sf_dir)
+        cents = ivf_train(e, n_centroids=8, iters=1)
+        return ivf_topk(e, _qvec(spark, sf_dir), cents, k=10, n_probe=2,
+                        exclude_id=0)
+
     @_q("media_metadata", T.media_metadata_sql(max_docid=50))
     def media_metadata_q(spark, sf_dir):
         from lucene_solr_spark.pages import pages_from_documents
@@ -3830,6 +3843,7 @@ _DEFER_LAST = [
     "group_top2_orders_per_priority",  # collapse_by_source (same window best-per-group kernel; grouping generalizes to top-N) + expand_component tests; r2 green — slot for classify_knn
     "lmjm_query",               # lmdirichlet_query (same LM frame, smoothing variant)
     "phonetic_match_query",     # stemmed_term_query (same vocabulary-level term_map index technique; encoder swapped) — soundex goldens in tests/test_phonetic.py
+    "emb_ivf_ann",              # emb_lsh_ann (same probe-restricted exact-cosine shape; quantizer swapped LSH->IVF) — numpy differential in tests/test_ivf.py
     # --- round-3b rotation: slots for classic_tfidf_query / spatial_geofilt ---
     "pages_extraction_invariant",  # pages_boolean_query (its oracle reproduces the same HTMLStrip extraction prelude end-to-end); r2 green
     "facet_query_multi",        # filter_cache_intersect (DocSet algebra) + facet_field_lang (facet machinery); r2 green

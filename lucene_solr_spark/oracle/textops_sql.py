@@ -353,3 +353,77 @@ def sample_frames_sql(n_frames: int = 2, max_docid: int = 20) -> str:
 SELECT url, i AS frame_idx, md5(html || '|frame' || CAST(i AS VARCHAR)) AS frame_sha
 FROM d CROSS JOIN unnest(range({n_frames})) AS t(i)
 ORDER BY url, frame_idx"""
+
+
+def ivf_topk_sql(
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    query_id: int = 0,
+    k: int = 10,
+) -> str:
+    """IVF-flat ANN oracle: the whole pipeline — deterministic init
+    (vec_id < C), one Lloyd round with grid-quantized means, final
+    assignment, probe selection, exact cosine inside probed cells — derived
+    from the parquet alone, mirroring textops/similarity.ivf_train/ivf_topk
+    formula-for-formula ((dxx - 2*dxc) + dcc distances, floor(x*1e6 + 0.5)
+    integer component sums, (sq/n)/1e6 means, smallest-cid ties)."""
+    dist = (
+        "(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b}))"
+        " + list_dot_product({b}, {b})"
+    )
+    d_ec0 = dist.format(a="e.v", b="c0.cv")
+    d_ec1 = dist.format(a="e.v", b="c1.cv")
+    d_qc1 = dist.format(a="q.qv", b="c1.cv")
+    return f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_centroids}),
+a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c0.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {d_ec0} ASC, c0.cid ASC
+           ) AS rn
+    FROM e CROSS JOIN c0
+  ) WHERE rn = 1
+),
+comp AS (
+  SELECT cid, d,
+         CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qq
+  FROM (
+    SELECT a0.cid,
+           unnest(range(1, len(em.embedding) + 1)) AS d,
+           unnest(em.embedding) AS x
+    FROM embeddings em JOIN a0 ON a0.vec_id = em.vec_id
+  )
+),
+cm AS (
+  SELECT cid, list((sq / n) / 1000000.0 ORDER BY d) AS cv
+  FROM (SELECT cid, d, sum(qq) AS sq, count(*) AS n FROM comp GROUP BY 1, 2)
+  GROUP BY cid
+),
+c1 AS (
+  SELECT c0.cid, coalesce(cm.cv, c0.cv) AS cv
+  FROM c0 LEFT JOIN cm ON cm.cid = c0.cid
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c1.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {d_ec1} ASC, c1.cid ASC
+           ) AS rn
+    FROM e CROSS JOIN c1
+  ) WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_id}),
+probe AS (
+  SELECT cid FROM c1 CROSS JOIN q
+  ORDER BY {d_qc1} ASC, cid ASC LIMIT {n_probe}
+)
+SELECT e.vec_id,
+       round(list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+             4) AS cosine
+FROM e JOIN a1 ON a1.vec_id = e.vec_id CROSS JOIN q
+WHERE a1.cid IN (SELECT cid FROM probe) AND e.vec_id <> {query_id}
+ORDER BY cosine DESC, e.vec_id ASC LIMIT {k}"""
