@@ -3803,6 +3803,50 @@ FROM votes ORDER BY votes DESC, cls ASC LIMIT 1""",
 _register_classification_and_lm()
 
 
+def _register_clustering() -> None:
+    _CL_TERMS = ("table", "merge")
+    _not_in = ", ".join(f"'{t}'" for t in _CL_TERMS)
+
+    @_q(
+        "cluster_results_query",
+        f"""{PRELUDE},
+main AS (
+  {bool_sql(should=_CL_TERMS, k=30, as_cte="main")}
+),
+cand AS (
+  SELECT f.docid, f.term,
+         f.tf * ln(1.0 + (CAST(st.n AS DOUBLE) - s.df + 0.5) / (s.df + 0.5)) AS w
+  FROM tf f JOIN main m ON m.docid = f.docid
+  JOIN tstat s ON s.term = f.term CROSS JOIN stats st
+  WHERE f.term NOT IN ({_not_in})
+),
+lab AS (
+  SELECT docid, term AS label FROM (
+    SELECT *, row_number() OVER (PARTITION BY docid ORDER BY w DESC, term ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT label, count(*) AS size, list(docid ORDER BY docid) AS docids
+FROM lab GROUP BY label
+ORDER BY size DESC, label ASC""",
+    )
+    def cluster_results_query(spark, sf_dir):
+        """ClusteringComponent surface (solr/contrib/clustering/.../
+        ClusteringComponent.java:58-220): cluster the top-30 result window
+        of q='table merge' by each doc's dominant non-query tf*idf term
+        (the Carrot2 Lingo/STC algorithms are out of scope; the component
+        contract — result window -> labeled doc clusters — is the
+        operator)."""
+        from lucene_solr_spark.search.clustering import cluster_results
+
+        return cluster_results(
+            get_index(spark, sf_dir), list(_CL_TERMS), rows=30
+        )
+
+
+_register_clustering()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -3844,6 +3888,7 @@ _DEFER_LAST = [
     "lmjm_query",               # lmdirichlet_query (same LM frame, smoothing variant)
     "phonetic_match_query",     # stemmed_term_query (same vocabulary-level term_map index technique; encoder swapped) — soundex goldens in tests/test_phonetic.py
     "emb_ivf_ann",              # emb_lsh_ann (same probe-restricted exact-cosine shape; quantizer swapped LSH->IVF) — numpy differential in tests/test_ivf.py
+    "cluster_results_query",    # classify_knn (same MLT interesting-term gate) + facet_field_lang (hash-agg grouping) over an in-window scored set
     # --- round-3b rotation: slots for classic_tfidf_query / spatial_geofilt ---
     "pages_extraction_invariant",  # pages_boolean_query (its oracle reproduces the same HTMLStrip extraction prelude end-to-end); r2 green
     "facet_query_multi",        # filter_cache_intersect (DocSet algebra) + facet_field_lang (facet machinery); r2 green
