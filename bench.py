@@ -94,7 +94,37 @@ def run(sf_dir: str, cpus: str) -> dict:
         "dedup_near_pairs": lambda: near_dup_pairs(docs_src, threshold=0.8),
         "simhash_all": lambda: simhash(docs_src),
         "ann_cosine_topk": lambda: cosine_topk(emb, qv, k=10, exclude_id=0),
+        "classic_tfidf": lambda: _classic(),
+        "lm_dirichlet": lambda: _lm(),
+        "ivf_ann": lambda: _ivf(),
+        "classify_nb": lambda: _nb(),
+        "cluster_results": lambda: _cluster(),
     }
+
+    def _classic():
+        from lucene_solr_spark.search.classic import classic_topk
+        return classic_topk(idx, BooleanQuery.of(should=["vector", "stream", "hash"]), k=10)
+
+    def _lm():
+        from lucene_solr_spark.search.lm import lm_dirichlet_topk
+        return lm_dirichlet_topk(idx, BooleanQuery.of(should=["vector", "stream", "hash"]), k=10)
+
+    _ivf_cents = None
+
+    def _ivf():
+        nonlocal _ivf_cents
+        from lucene_solr_spark.textops.similarity import ivf_topk, ivf_train
+        if _ivf_cents is None:
+            _ivf_cents = ivf_train(emb, n_centroids=8, iters=1)
+        return ivf_topk(emb, qv, _ivf_cents, k=10, n_probe=2, exclude_id=0)
+
+    def _nb():
+        from lucene_solr_spark.classification import naive_bayes_classify
+        return naive_bayes_classify(idx, "lang", max_docid=100)
+
+    def _cluster():
+        from lucene_solr_spark.search.clustering import cluster_results
+        return cluster_results(idx, ["table", "merge"], rows=30)
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
