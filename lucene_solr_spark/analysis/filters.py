@@ -321,3 +321,60 @@ def limit_token_count_filter(tokens: Column, max_count: int) -> Column:
     """LimitTokenCountFilterFactory: keep only the first ``max_count``
     tokens (index-size guard for pathological documents)."""
     return F.slice(tokens, 1, max_count)
+
+
+def common_grams_filter(tokens: Column, common_words: tuple[str, ...]) -> Column:
+    """CommonGramsFilter (lucene/analysis/common/.../commongrams/
+    CommonGramsFilter.java:36-130, index mode): every unigram, and after
+    each token that forms a qualifying bigram with its successor (either
+    word common) the '_'-joined gram — "the fox" -> [the, the_fox, fox]
+    (the gram rides at the same position, type=gram; this array form keeps
+    the emission order, position overlay is the index chain's concern)."""
+    c = F.array(*[F.lit(w) for w in common_words])
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
+
+    def emit(i):
+        t = F.element_at(tokens, i)
+        nxt = F.element_at(tokens, i + 1)
+        qual = (i < n) & (
+            F.array_contains(c, t) | F.array_contains(c, nxt)
+        )
+        return F.when(
+            qual, F.array(t, F.concat_ws("_", t, nxt))
+        ).otherwise(F.array(t))
+
+    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.flatten(F.transform(idx, emit))
+    )
+
+
+def common_grams_query_filter(
+    tokens: Column, common_words: tuple[str, ...]
+) -> Column:
+    """CommonGramsQueryFilter (CommonGramsQueryFilter.java:40-110): the
+    query-side form — each non-final position emits its qualifying gram
+    (else its unigram); the final unigram is dropped when the preceding
+    gram already contains it.  "the quick brown" -> [the_quick, quick,
+    brown]; "quick the brown" -> [quick_the, the_brown]; goldens from
+    CommonGramsFilterTest.testCommonGramsQueryFilter."""
+    c = F.array(*[F.lit(w) for w in common_words])
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
+
+    def qual(i):
+        return F.array_contains(c, F.element_at(tokens, i)) | F.array_contains(
+            c, F.element_at(tokens, i + 1)
+        )
+
+    def emit(i):
+        t = F.element_at(tokens, i)
+        gram = F.concat_ws("_", t, F.element_at(tokens, i + 1))
+        non_final = F.when(qual(i), F.array(gram)).otherwise(F.array(t))
+        final = F.when((i > 1) & qual(i - 1), F.array().cast("array<string>")
+                       ).otherwise(F.array(t))
+        return F.when(i < n, non_final).otherwise(final)
+
+    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.flatten(F.transform(idx, emit))
+    )

@@ -52,3 +52,50 @@ def test_gopher_filter_thresholds_are_knobs(spark):
         df, min_tokens=10, min_stop_hits=0, max_dup_2gram=1.0
     ).collect()[0]
     assert not strict.keep and loose.keep
+
+
+# --- CommonGrams (goldens from CommonGramsFilterTest.java:89-238) ---
+
+def _cg(spark, mode, words, common=("of", "the", "s")):
+    from lucene_solr_spark.analysis.filters import (
+        common_grams_filter,
+        common_grams_query_filter,
+    )
+    from pyspark.sql import functions as F
+
+    fn = common_grams_filter if mode == "index" else common_grams_query_filter
+    df = spark.createDataFrame([(words,)], "toks array<string>")
+    return df.select(fn(F.col("toks"), common).alias("out")).first().out
+
+
+def test_common_grams_index_mode(spark):
+    assert _cg(spark, "index", ["the", "fox"]) == ["the", "the_fox", "fox"]
+    assert _cg(spark, "index", ["fox", "of"]) == ["fox", "fox_of", "of"]
+    assert _cg(spark, "index", ["brown", "fox"]) == ["brown", "fox"]
+    assert _cg(spark, "index", ["quick", "brown", "the"]) == [
+        "quick", "brown", "brown_the", "the"
+    ]
+    assert _cg(spark, "index", ["the"]) == ["the"]
+    assert _cg(spark, "index", []) == []
+
+
+def test_common_grams_query_mode(spark):
+    cases = {
+        ("brown", "fox"): ["brown", "fox"],
+        ("the", "fox"): ["the_fox"],
+        ("fox", "of"): ["fox_of"],
+        ("of", "the"): ["of_the"],
+        ("the",): ["the"],
+        ("foo",): ["foo"],
+        ("quick", "brown", "fox"): ["quick", "brown", "fox"],
+        ("quick", "brown", "the"): ["quick", "brown_the"],
+        ("quick", "the", "brown"): ["quick_the", "the_brown"],
+        ("fox", "of", "the"): ["fox_of", "of_the"],
+        ("the", "quick", "brown"): ["the_quick", "quick", "brown"],
+        ("the", "fox", "of"): ["the_fox", "fox_of"],
+        ("of", "the", "fox"): ["of_the", "the_fox"],
+        ("of", "the", "of"): ["of_the", "the_of"],
+    }
+    for words, want in cases.items():
+        got = _cg(spark, "query", list(words))
+        assert got == want, (words, got, want)
