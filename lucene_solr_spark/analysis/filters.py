@@ -21,6 +21,8 @@ Implemented factories (the common-schema set):
 - trim_filter / pattern_replace_filter / keep_word_filter / stop_filter /
   reverse_string_filter / truncate_filter / capitalization_filter /
   limit_token_count_filter — the small utility factories
+- common_grams_filter / common_grams_query_filter — CommonGramsFilter
+  index/query modes (phrase acceleration over frequent words)
 (PorterStemFilter lives in analysis/stemmer.py; multi-word synonyms in
 analysis/synonyms.py.)
 """
