@@ -248,17 +248,21 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(vec_id, cid): nearest centroid by squared L2, ties to smallest cid
-    (strict < never displaces an earlier centroid)."""
+    (first array index achieving the min never displaces an earlier
+    centroid).  The argmin is a flat C-element distance array —
+    ``array_position(dists, array_min(dists))`` — NOT a nested
+    when/otherwise chain: chaining references the running ``best`` twice
+    per step, doubling the Catalyst expression tree per centroid (O(2^C)
+    analysis/codegen).  The flat form is O(C*dims); the documented swap
+    for C≈2^10+ is the same argmin in an Arrow kernel over a broadcast
+    centroid matrix."""
     vec = F.col(vec_col)
-    best = F.struct(
-        _sq_dist_col(vec, cents[0]).alias("dist"), F.lit(0).alias("cid")
-    )
-    for i in range(1, len(cents)):
-        di = _sq_dist_col(vec, cents[i])
-        best = F.when(
-            di < best["dist"], F.struct(di.alias("dist"), F.lit(i).alias("cid"))
-        ).otherwise(best)
-    return emb.select(F.col(id_col).alias("vec_id"), best["cid"].alias("cid"))
+    dists = F.array(*[_sq_dist_col(vec, c) for c in cents])
+    tmp = emb.select(F.col(id_col).alias("vec_id"), dists.alias("_dists"))
+    cid = (
+        F.array_position(F.col("_dists"), F.array_min(F.col("_dists"))) - 1
+    ).cast("int")
+    return tmp.select("vec_id", cid.alias("cid"))
 
 
 def ivf_topk(
