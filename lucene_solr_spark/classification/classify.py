@@ -79,8 +79,11 @@ def naive_bayes_classify(
         .groupBy("cls").agg(F.count("*").alias("nc")).collect()
     }
     docs_with_class = sum(cstats.values())  # countDocsWithClass (java :98-113)
-    sum_doc_freq = post.count()  # number of (term, doc) pairs
-    doc_count_text = post.select("docid").distinct().count()
+    _tstats = post.agg(
+        F.count("*").alias("n"), F.count_distinct("docid").alias("nd")
+    ).first()
+    sum_doc_freq = _tstats.n  # number of (term, doc) pairs
+    doc_count_text = _tstats.nd
     avg_unique = sum_doc_freq / doc_count_text  # java :183-186
 
     per_class = []  # (cls, prior, ln_den) in ascending class order
