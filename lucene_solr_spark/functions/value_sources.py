@@ -108,6 +108,11 @@ FUNCTIONS: dict[str, tuple[int, int, callable]] = {
     "or": (2, 99, lambda a: _chain(a, lambda x, y: x.cast("boolean") | y.cast("boolean"))),
     # date: ms(a[,b]) in milliseconds (DateValueSourceParser)
     "ms": (1, 2, lambda a: (a[0] - a[1]) if len(a) == 2 else a[0]),
+    # constants (ValueSourceParser.java addParser("pi"/"e"/"true"/"false"))
+    "pi": (0, 0, lambda a: F.lit(3.141592653589793)),
+    "e": (0, 0, lambda a: F.lit(2.718281828459045)),
+    "true": (0, 0, lambda a: F.lit(True)),
+    "false": (0, 0, lambda a: F.lit(False)),
     # string distance (StrDistanceFunction, 'edit' == normalized Levenshtein)
     "strdist": (2, 3, lambda a: _lev_sim(a[0], a[1])),
     # vector/geo distances (DistanceFunction group, ValueSourceParser.java:

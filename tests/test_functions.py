@@ -255,3 +255,16 @@ def test_with_scale_targets(spark):
     df = spark.createDataFrame([(1, 0), (2, 50), (3, 100)], "id int, v int")
     out = {r.id: r.scaled for r in with_scale(df, F.col("v"), 10.0, 20.0).collect()}
     assert out == {1: 10.0, 2: 15.0, 3: 20.0}
+
+
+def test_constant_value_sources(spark, df):
+    """pi()/e()/true()/false() (ValueSourceParser.java:577-588,664-676)."""
+    assert _vals(df, parse_function_query("product(pi(),2)")) == {
+        1: pytest.approx(2 * math.pi), 2: pytest.approx(2 * math.pi)
+    }
+    assert _vals(df, parse_function_query("ln(e())")) == {
+        1: pytest.approx(1.0), 2: pytest.approx(1.0)
+    }
+    assert _vals(df, parse_function_query("if(true(),1,2)")) == {1: 1, 2: 1}
+    assert _vals(df, parse_function_query("if(false(),1,2)")) == {1: 2, 2: 2}
+    assert _vals(df, parse_function_query("not(false())")) == {1: True, 2: True}
