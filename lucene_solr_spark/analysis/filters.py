@@ -305,6 +305,60 @@ def reverse_string_filter(tokens: Column) -> Column:
     return F.transform(tokens, F.reverse)
 
 
+REVERSE_MARKER = "\u0001"  # ReverseStringFilter.START_OF_HEADING_MARKER
+
+
+def reversed_wildcard_filter(
+    tokens: Column, with_original: bool = True, marker: str = REVERSE_MARKER
+) -> Column:
+    """ReversedWildcardFilter (solr/core/src/java/org/apache/solr/analysis/
+    ReversedWildcardFilter.java:55-81): each token becomes marker-prefixed
+    reversed form (append marker then reverse the buffer — the marker lands
+    FIRST), emitted BEFORE the original when ``with_original`` (the filter
+    saves the original's state and replays it at positionIncrement 0 —
+    goldens TestReversedWildcardFilterFactory.java:62-79).  Spark's string
+    ``reverse`` iterates code points, matching the reference's
+    surrogate-pair-preserving reverse (java :85-150)."""
+    rev = lambda t: F.concat(F.lit(marker), F.reverse(t))  # noqa: E731
+    if not with_original:
+        return F.transform(tokens, rev)
+    return F.flatten(F.transform(tokens, lambda t: F.array(rev(t), t)))
+
+
+def should_reverse(
+    token: str,
+    max_pos_asterisk: int = 2,
+    max_pos_question: int = 1,
+    min_trailing: int = 2,
+    max_fraction_asterisk: float = 0.0,
+) -> bool:
+    """ReversedWildcardFilterFactory.shouldReverse (java :103-140): whether a
+    wildcard query token gains from the reversed index — leading '?' / '*'
+    inside the max positions, or a '*' in the leading fraction, with at
+    least ``min_trailing`` chars after the last wildcard.  Defaults are the
+    factory's (maxPosAsterisk=2, maxPosQuestion=1, minTrailing=2,
+    maxFractionAsterisk disabled); gate goldens from
+    TestReversedWildcardFilterFactory.java:160-171."""
+    pos_q = token.find("?")
+    pos_a = token.find("*")
+    if pos_q == -1 and pos_a == -1:
+        return False
+    last_pos = max(token.rfind("?"), token.rfind("*"))
+    if pos_q != -1:
+        pos = min(pos_q, pos_a) if pos_a != -1 else pos_q
+    else:
+        pos = pos_a
+    if len(token) - last_pos < min_trailing:
+        return False
+    if pos_q != -1 and pos_q < max_pos_question:
+        return True
+    if pos_a != -1 and pos_a < max_pos_asterisk:
+        return True
+    return bool(
+        max_fraction_asterisk > 0.0 and pos < len(token) * max_fraction_asterisk
+    )
+
+
 def truncate_filter(tokens: Column, length: int) -> Column:
     """TruncateTokenFilterFactory: cap each token at ``length`` chars."""
     return F.transform(tokens, lambda t: t.substr(F.lit(1), F.lit(length)))

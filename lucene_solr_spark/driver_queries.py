@@ -445,6 +445,23 @@ def fuzzy_query(spark, sf_dir):
 
 
 @_q(
+    "reversed_wildcard_query",
+    f"{PRELUDE}\n" + _CS_EXP_SQL.format(pred="reverse(term) LIKE 'gni%'"),
+)
+def reversed_wildcard_query(spark, sf_dir):
+    """Leading wildcard through the ReversedWildcardFilterFactory gate
+    (solr/core/src/java/org/apache/solr/analysis/
+    ReversedWildcardFilterFactory.java:103-140): *ing reverses to a literal
+    prefix on the reversed term dictionary — a StartsWith range probe
+    instead of a full |V| LIKE scan.  The oracle states the same match set
+    as reverse(term) LIKE 'gni%' (the marker is a shared constant prefix on
+    both sides, so it cancels)."""
+    from lucene_solr_spark.search import ReversedWildcardQuery
+
+    return search(get_index(spark, sf_dir), ReversedWildcardQuery("*ing"), k=10)
+
+
+@_q(
     "term_range_query",
     f"{PRELUDE}\n" + _CS_EXP_SQL.format(pred="term >= 'sa' AND term <= 'sd'"),
 )
@@ -3893,6 +3910,8 @@ _DEFER_LAST = [
     "pages_extraction_invariant",  # pages_boolean_query (its oracle reproduces the same HTMLStrip extraction prelude end-to-end); r2 green
     "facet_query_multi",        # filter_cache_intersect (DocSet algebra) + facet_field_lang (facet machinery); r2 green
     "spatial_bbox",             # spatial_geofilt (same LatLonType columns; box is the geofilt prefilter, wrap case pytest-golded)
+    # --- round-3d rotation: slot for reversed_wildcard_query ---
+    "fuzzy_query",              # reversed_wildcard_query (same bounded multi-term rewrite + constant-score semi-join; matcher swapped levenshtein->reversed-prefix); r1+r2 green
     # --- long-standing deferrals (near-duplicate demos) ---
     "term_query_tail",          # term_query
     "parsed_phrase_string",     # phrase_query + parsed_query_string

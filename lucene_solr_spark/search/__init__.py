@@ -6,6 +6,7 @@ from lucene_solr_spark.search.query import (
     PrefixQuery,
     RangeQuery,
     RegexpQuery,
+    ReversedWildcardQuery,
     TermQuery,
     WildcardQuery,
 )
@@ -19,7 +20,8 @@ from lucene_solr_spark.search.qparsers import qparser_search
 
 __all__ = [
     "BooleanQuery", "FuzzyQuery", "MatchAllQuery", "PhraseQuery",
-    "PrefixQuery", "RangeQuery", "RegexpQuery", "TermQuery", "WildcardQuery",
+    "PrefixQuery", "RangeQuery", "RegexpQuery", "ReversedWildcardQuery",
+    "TermQuery", "WildcardQuery",
     "SCORE_TEMPLATE", "score_expr_sql", "search", "term_scores",
     "qparser_search",
 ]

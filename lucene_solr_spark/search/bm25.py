@@ -40,6 +40,7 @@ from lucene_solr_spark.search.query import (
     PrefixQuery,
     RangeQuery,
     RegexpQuery,
+    ReversedWildcardQuery,
     TermQuery,
     WildcardQuery,
 )
@@ -88,6 +89,12 @@ class TooManyClauses(ValueError):
     expanded past MAX_CLAUSE_COUNT dictionary terms."""
 
 
+def _wildcard_like(pattern: str) -> str:
+    """Lucene wildcard -> SQL LIKE ( * -> %, ? -> _ )."""
+    like = pattern.replace("%", r"\%").replace("_", r"\_")
+    return like.replace("*", "%").replace("?", "_")
+
+
 def _matched_terms_df(index: IndexTables, q) -> DataFrame:
     """MultiTermQuery rewrite as a DataFrame: the dictionary terms matching a
     prefix/wildcard/regexp/fuzzy/range query (MultiTermQuery.java's TermsEnum
@@ -99,9 +106,33 @@ def _matched_terms_df(index: IndexTables, q) -> DataFrame:
         return t.filter(F.col("term").startswith(q.prefix))
     if isinstance(q, WildcardQuery):
         # Lucene wildcard -> SQL LIKE ( * -> %, ? -> _ )
-        like = q.pattern.replace("%", r"\%").replace("_", r"\_")
-        like = like.replace("*", "%").replace("?", "_")
-        return t.filter(F.col("term").like(like))
+        return t.filter(F.col("term").like(_wildcard_like(q.pattern)))
+    if isinstance(q, ReversedWildcardQuery):
+        # ReversedWildcardFilterFactory query processing: when shouldReverse
+        # fires, match the char-reversed pattern (marker first, like the
+        # indexed form marker+reverse(term)) so the leading wildcard becomes
+        # a literal prefix — LIKE 'lit%...' is a StartsWith under Catalyst,
+        # a dictionary-range probe instead of a full |V| scan.  The reversed
+        # dictionary is a vocabulary-level projection here; at corpus scale
+        # it persists as a second sorted term-dictionary column (the
+        # withOriginal=true analog, paid in |V| not in postings).
+        from lucene_solr_spark.analysis.filters import (
+            REVERSE_MARKER, should_reverse,
+        )
+
+        if should_reverse(
+            q.pattern, q.max_pos_asterisk, q.max_pos_question,
+            q.min_trailing, q.max_fraction_asterisk,
+        ):
+            rev_pat = REVERSE_MARKER + q.pattern[::-1]
+            rev = t.select(
+                "term",
+                F.concat(F.lit(REVERSE_MARKER), F.reverse("term")).alias("rterm"),
+            )
+            return rev.filter(F.col("rterm").like(_wildcard_like(rev_pat))).select(
+                "term"
+            )
+        return t.filter(F.col("term").like(_wildcard_like(q.pattern)))
     if isinstance(q, RegexpQuery):
         # Lucene RegexpQuery is a FULL match over the term (AutomatonQuery
         # semantics) — anchor the pattern; rlike alone is substring search
@@ -1279,7 +1310,7 @@ def search(
         query = BooleanQuery.of(must=[query])
     if isinstance(query, TermQuery):
         query = BooleanQuery(must=(query,))
-    if isinstance(query, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, RangeQuery)):
+    if isinstance(query, (PrefixQuery, WildcardQuery, ReversedWildcardQuery, RegexpQuery, FuzzyQuery, RangeQuery)):
         if rewrite == "constant_score":
             # semi-join rewrite: the expanded term set never hits the driver
             boost = float(getattr(query, "boost", 1.0))
@@ -1367,7 +1398,7 @@ def search_parsed(
             if q.boost != 1.0:
                 p = p.select("docid", (F.col("score") * F.lit(q.boost)).alias("score"))
             return p
-        if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, RangeQuery)):
+        if isinstance(q, (PrefixQuery, WildcardQuery, ReversedWildcardQuery, RegexpQuery, FuzzyQuery, RangeQuery)):
             boost = float(getattr(q, "boost", 1.0))
             return _matched_docset(index, q).select(
                 "docid", F.lit(boost).alias("score")

@@ -53,6 +53,24 @@ class WildcardQuery:
 
 
 @dataclass(frozen=True)
+class ReversedWildcardQuery:
+    """Wildcard routed through the ReversedWildcardFilterFactory gate
+    (solr/core/src/java/org/apache/solr/analysis/
+    ReversedWildcardFilterFactory.java:103-140 shouldReverse): when the
+    wildcard is leading-ish, the pattern is reversed (marker-first) and
+    matched against the reversed term dictionary, turning a full-dictionary
+    scan into a literal-prefix LIKE that Catalyst rewrites to StartsWith."""
+
+    pattern: str  # Lucene wildcard: * and ?
+    boost: float = 1.0
+    field: str | None = None
+    max_pos_asterisk: int = 2
+    max_pos_question: int = 1
+    min_trailing: int = 2
+    max_fraction_asterisk: float = 0.0
+
+
+@dataclass(frozen=True)
 class RegexpQuery:
     pattern: str
     boost: float = 1.0
