@@ -3035,6 +3035,39 @@ ORDER BY n_chars ASC, f.docid ASC LIMIT 10""",
 _register_handler_select_query()
 
 
+def _register_handler_export_query():
+    @_q(
+        "handler_export",
+        f"""{PRELUDE}
+SELECT m.docid, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM (SELECT DISTINCT docid FROM tf WHERE term = 'table') m
+JOIN documents d ON d.doc_id = m.docid
+WHERE d.n_chars >= 150
+ORDER BY n_chars DESC, m.docid ASC""",
+    )
+    def handler_export(spark, sf_dir):
+        """/export: the FULL sorted result set, no rows window, no scoring
+        (ExportQParserPlugin.java {!xport} RankQuery +
+        SortingResponseWriter.java:72-192 full sorted emission) — one
+        unbounded range-partitioned Spark sort instead of the reference's
+        30,000-doc partial-sort batches."""
+        from lucene_solr_spark.handler import export
+
+        df = export(
+            get_index(spark, sf_dir),
+            {
+                "q": "table",
+                "fq": "{!frange l=150}n_chars",
+                "sort": "n_chars desc",
+                "fl": "docid,lang,n_chars",
+            },
+        )
+        return df.select("docid", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+_register_handler_export_query()
+
+
 def _register_collapse_fq_query():
     @_q(
         "qparser_collapse_fq",
@@ -3979,6 +4012,7 @@ _DEFER_LAST = [
     "search_with_frange_fq",    # search_with_fq (qparser-typed fq variant)
     "qparser_collapse_fq",      # collapse_by_source (same window collapse) + search_with_fq (PostFilter composition)
     "handler_select",           # search_with_fq + sort_by_field + return_fields_fl (the /select composition of graded parts)
+    "handler_export",           # cursor_mark_page2 (same field-sorted collector discipline, unbounded variant) + search_with_frange_fq (the fq path)
     # round-3 ValueSourceParser registry extensions: the registry front door
     # holds the graded row (function_query_recip_freshness); each family
     # below is oracle-checked here and unit-tested in test_functions.py

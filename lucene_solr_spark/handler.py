@@ -293,3 +293,77 @@ def select(
         out["grouped"] = None
 
     return out
+
+
+_EXPORT_TYPES = ("int", "bigint", "float", "double", "string")
+
+
+def export(
+    index: IndexTables,
+    params: dict,
+    stored: DataFrame | None = None,
+    now_epoch_ms: int | None = None,
+) -> DataFrame:
+    """The /export handler: rq={!xport} + wt=xsort — the FULL sorted result
+    set, streamed (no rows window, no scoring).
+
+    Reference: ExportQParserPlugin.java (the {!xport} RankQuery marks every
+    hit in per-segment FixedBitSets) + SortingResponseWriter.java:72-192
+    (re-sorts and emits the set in 30,000-doc partial-sort batches because
+    one node cannot hold the full sort).  Contract enforced identically:
+    sort is required (:81-89), scoring is unsupported (:92-93,114-115), fl
+    is required (:105-108), and export fields must be docvalues-backed
+    int/float/long/double/string (:262).
+
+    Spark-first: the hand-rolled batch machinery IS Spark's distributed
+    sort — range-partitioned Tungsten external sort over the matched set,
+    each partition streaming to the sink; no 30k queue, no driver
+    materialization.  Returns the sorted DataFrame (docid tie-break last,
+    HitQueue discipline)."""
+    q = params.get("q", "*:*")
+    stored = stored if stored is not None else index.docs
+
+    sort_spec = params.get("sort")
+    if not sort_spec:
+        raise ValueError("No sort criteria was provided.")
+    if "score" in [n for n, _ in _split_sort(sort_spec)]:
+        raise ValueError("Scoring is not currently supported with xsort.")
+
+    fl = params.get("fl")
+    if not fl:
+        raise ValueError("export field list (fl) must be specified.")
+    fields = [f.strip() for f in str(fl).split(",") if f.strip()]
+    if "score" in fields:
+        raise ValueError("Scoring is not currently supported with xsort.")
+    typed = dict(stored.dtypes)
+    for f in fields:
+        if f == "docid":
+            continue
+        if f not in typed:
+            raise ValueError(f"export field {f!r} is not a stored field")
+        if typed[f] not in _EXPORT_TYPES:
+            raise ValueError(
+                "Export fields must either be one of the following types: "
+                f"int,float,long,double,string (got {f}:{typed[f]})"
+            )
+
+    matched = _scored_set(index, q, now_epoch_ms).select("docid")
+    fqs = params.get("fq", []) or []
+    if isinstance(fqs, str):
+        fqs = [fqs]
+    if fqs:
+        from lucene_solr_spark.search.filtercache import _parse_filter
+
+        for fq in fqs:
+            kind, df = _parse_filter(index, fq, now_epoch_ms=now_epoch_ms)
+            how = "left_anti" if kind == "neg" else "left_semi"
+            matched = matched.join(df, "docid", how)
+
+    order, needs = _parse_sort(sort_spec, now_epoch_ms=now_epoch_ms)
+    need_cols = [
+        c
+        for c in dict.fromkeys(list(needs) + [f for f in fields if f != "docid"])
+        if c in stored.columns and c != "docid"
+    ]
+    full = matched.join(stored.select("docid", *need_cols), "docid")
+    return full.orderBy(*order).select(*(["docid"] + [f for f in fields if f != "docid"]))
