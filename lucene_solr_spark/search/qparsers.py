@@ -55,7 +55,22 @@ parent         BlockJoinParentQParserPlugin          child body rolls up to the
                                                      (ScoreMode via score=)
 child          BlockJoinChildQParserPlugin           parent body fans out to
                                                      children with parent score
+func           FunctionQParserPlugin.java:32-42      FunctionQuery: score = the
+                                                     compiled function Column
+lucenePlusSort OldLuceneQParserPlugin.java           deprecated 'query; sort'
+                                                     syntax -> sorted emission
+dismax         DisMaxQParserPlugin.java              qf/tie over a
+                                                     MultiFieldIndex
+edismax        ExtendedDismaxQParserPlugin.java      dismax + mm/pf/ps
+rerank         ReRankQParserPlugin.java              window re-score main +
+                                                     weight*rerank
 =============  ====================================  =============================
+
+Registry status vs QParserPlugin.standardPlugins (java :40-67): all 26 names
+covered — 24 directly above; ``collapsing`` executes as the fq PostFilter it
+is ({!collapse} via filtercache._apply_collapse, CollapsingQParserPlugin's
+only supported position); ``xport`` is the /export handler front door
+(handler.export — the {!xport} RankQuery's full-hit-set semantics).
 
 Scale shape: every handler stays on the engine's distributed paths — constant
 -score filters are semi-joins or docvalues predicates pushed to the scan,
@@ -376,6 +391,119 @@ def _boost_qparser(index, params, body, k, round_dp, now_epoch_ms=None):
         "docid", F.round(F.col("score") * bcol, round_dp).alias("score")
     )
     return _topk(joined, k)
+
+
+def _func_qparser(index, params, body, k, round_dp, now_epoch_ms=None):
+    """FunctionQParserPlugin.java:32-42 (FunctionQuery): every doc scores
+    the compiled function value — a pure Catalyst projection over the
+    docvalues columns, TakeOrderedAndProject top-k."""
+    from lucene_solr_spark.functions import parse_function_query
+
+    col = parse_function_query(body, now_epoch_ms=now_epoch_ms)
+    out = index.docs.select(
+        "docid", F.round(col.cast("double"), round_dp).alias("score")
+    )
+    return _topk(out, k)
+
+
+def _lucene_plus_sort_qparser(index, params, body, k, round_dp):
+    """OldLuceneQParserPlugin.java (lucenePlusSort): the deprecated
+    'query; sort' syntax — body splits at the last ';' into a classic-grammar
+    query and a sort spec applied to the result emission order."""
+    from lucene_solr_spark.handler import _parse_sort
+    from lucene_solr_spark.search.bm25 import search_parsed
+
+    qstr, _, sortspec = body.rpartition(";")
+    if not qstr.strip():  # no ';' -> plain lucene behavior
+        return search_parsed(index, body, k=k, round_dp=round_dp)
+    scored = search_parsed(index, qstr.strip(), k=(1 << 31) - 1, round_dp=round_dp)
+    order, needs = _parse_sort(sortspec.strip() or None)
+    need_cols = [c for c in dict.fromkeys(needs) if c in index.docs.columns]
+    if need_cols:
+        scored = scored.join(index.docs.select("docid", *need_cols), "docid")
+    return scored.orderBy(*order).select("docid", "score").limit(k)
+
+
+def _parse_qf(spec: str) -> dict[str, float]:
+    """DisMaxQParser ``qf`` spec: 'field^boost field ...' -> {field: boost}
+    (SolrPluginUtils.parseFieldBoosts)."""
+    out: dict[str, float] = {}
+    for part in str(spec).split():
+        name, _, b = part.partition("^")
+        out[name] = float(b) if b else 1.0
+    if not out:
+        raise ValueError("dismax/edismax need qf=<field^boost ...>")
+    return out
+
+
+def _require_multifield(index, name: str):
+    if not hasattr(index, "fields"):
+        raise ValueError(
+            f"{{!{name}}} needs a MultiFieldIndex (per-field postings); "
+            "got a single-field IndexTables"
+        )
+
+
+def _dismax_qparser(index, params, body, k, round_dp):
+    """DisMaxQParserPlugin.java / DisMaxQParser.java:113-150: user query
+    terms scored per field, folded max + tie*rest across qf fields, with
+    mm over the SHOULD clauses."""
+    from lucene_solr_spark.index.fields import dismax_fields
+
+    _require_multifield(index, "dismax")
+    qf = _parse_qf(params.get("qf", ""))
+    terms = [t for t in body.split() if t]
+    return dismax_fields(
+        index, terms, qf, tie=float(params.get("tie", 0.0)), k=k,
+        round_dp=round_dp,
+    )
+
+
+def _edismax_qparser(index, params, body, k, round_dp, now_epoch_ms=None):
+    """ExtendedDismaxQParserPlugin: dismax + mm spec + pf/ps phrase boost."""
+    from lucene_solr_spark.index.fields import edismax_fields
+
+    _require_multifield(index, "edismax")
+    qf = _parse_qf(params.get("qf", ""))
+    pf = _parse_qf(params["pf"]) if params.get("pf") else None
+    terms = [t for t in body.split() if t]
+    return edismax_fields(
+        index, terms, qf, pf=pf, tie=float(params.get("tie", 0.0)),
+        mm=str(params.get("mm", "0%")), ps=int(params.get("ps", 0)),
+        k=k, round_dp=round_dp, now_epoch_ms=now_epoch_ms,
+    )
+
+
+def _rerank_qparser(index, params, body, k, round_dp):
+    """ReRankQParserPlugin.java: the top reRankDocs of the main query are
+    re-scored main + reRankWeight * rerank-query score (the rest of the
+    window keeps its main score)."""
+    from lucene_solr_spark.search.bm25 import rerank
+    from lucene_solr_spark.search.parser import CompositeQuery, parse_query
+
+    if "reRankQuery" not in params:
+        raise ValueError("rerank qparser needs reRankQuery=<query>")
+
+    def _terms_of(s: str) -> list[str]:
+        parsed = parse_query(s)
+        if isinstance(parsed, TermQuery):
+            return [parsed.term]
+        if isinstance(parsed, CompositeQuery) or not isinstance(
+            parsed, BooleanQuery
+        ):
+            raise ValueError("rerank supports plain term boolean queries")
+        return [t.term for t in (*parsed.must, *parsed.should)]
+
+    out = rerank(
+        index,
+        _terms_of(body),
+        _terms_of(params["reRankQuery"]),
+        rerank_weight=float(params.get("reRankWeight", 2.0)),
+        window=int(params.get("reRankDocs", 200)),
+        k=k,
+        round_dp=round_dp,
+    )
+    return out.select("docid", F.col("rerank_score").alias("score"))
 
 
 def _match_docset_for_string(index: IndexTables, body: str) -> DataFrame:
@@ -711,6 +839,20 @@ def qparser_search(
         from lucene_solr_spark.search.bm25 import search_parsed
 
         return search_parsed(index, body, k=k, round_dp=round_dp)
+    if qtype == "lucenePlusSort":
+        return _lucene_plus_sort_qparser(index, params, body, k, round_dp)
+    if qtype == "func":
+        return _func_qparser(
+            index, params, body, k, round_dp, now_epoch_ms=now_epoch_ms
+        )
+    if qtype == "dismax":
+        return _dismax_qparser(index, params, body, k, round_dp)
+    if qtype == "edismax":
+        return _edismax_qparser(
+            index, params, body, k, round_dp, now_epoch_ms=now_epoch_ms
+        )
+    if qtype == "rerank":
+        return _rerank_qparser(index, params, body, k, round_dp)
     if qtype == "term":
         return _term_qparser(index, params, body, k, round_dp)
     if qtype == "terms":
