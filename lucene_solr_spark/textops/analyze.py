@@ -151,3 +151,118 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.col(id_col).alias("docid"),
         F.pmod(total, F.lit(FP_MOD)).alias("fingerprint"),
     )
+
+
+# --- BPE-ish token counting (GPT-2 pretokenizer, public: openai/gpt-2
+# encoder.py pat) ------------------------------------------------------------
+#
+#   's|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+
+#
+# The (?!\S) lookahead (a whitespace run sheds its LAST char into the next
+# token) is Java-regex-fine but not RE2/DuckDB-expressible; for the oracle
+# the match COUNT decomposes exactly.  A maximal whitespace run of length n
+# followed by a token char contributes: one token for its first n-1 chars
+# (the backtracked \s+(?!\S) match) when n >= 2, plus one token for its LAST
+# char unless that char is a literal space (only ' ' merges into the
+# ` ?\p{L}+`-family alternatives); a trailing run is always exactly one
+# token.  So:
+#   count = |base matches|
+#         + |matches of \s{2,}\S|        (the n-1 tokens)
+#         + |matches of [^\S ]\S|        (non-space last-char tokens)
+#         + (1 if the text ends in whitespace)
+# Differential-tested against the pure-Python spec tokenizer below.
+
+BPE_PRETOKEN_BASE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+)
+
+
+def bpe_pretoken_count_expr(text: Column) -> Column:
+    base = F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_BASE), F.lit(0)))
+    shed = F.size(F.regexp_extract_all(text, F.lit(r"\s{2,}\S"), F.lit(0)))
+    hard = F.size(F.regexp_extract_all(text, F.lit(r"[^\S ]\S"), F.lit(0)))
+    trail = F.when(text.rlike(r"\s$"), F.lit(1)).otherwise(F.lit(0))
+    return F.when(text.isNull(), F.lit(0)).otherwise(base + shed + hard + trail)
+
+
+def bpe_token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(docid, n_ws_tokens, n_bpe_pretokens, bpe_per_ws): the cost estimator
+    a training-data pipeline budgets with — whitespace words vs BPE-ish
+    pretokens (the GPT-2 pretokenizer's units, an upper bound on merged BPE
+    tokens per word)."""
+    text = F.col(text_col)
+    ws = F.size(F.filter(F.split(text, " "), lambda t: t != ""))
+    ws = F.when(text.isNull(), F.lit(0)).otherwise(ws)
+    d = df.select(
+        F.col(id_col).alias("docid"),
+        ws.alias("n_ws_tokens"),
+        bpe_pretoken_count_expr(text).alias("n_bpe_pretokens"),
+    )
+    ratio = F.when(
+        F.col("n_ws_tokens") > 0,
+        F.col("n_bpe_pretokens") / F.col("n_ws_tokens").cast("double"),
+    ).otherwise(0.0)
+    return d.select(
+        "docid", "n_ws_tokens", "n_bpe_pretokens",
+        F.round(ratio, 4).alias("bpe_per_ws"),
+    )
+
+
+def bpe_pretokenize_py(text: str) -> list[str]:
+    """Pure-Python GPT-2 pretokenizer (spec implementation with the real
+    lookahead, unicodedata categories for \\p{L}/\\p{N}) — the independent
+    oracle the Spark formula is differential-tested against."""
+    import unicodedata
+
+    def is_l(c: str) -> bool:
+        return unicodedata.category(c).startswith("L")
+
+    def is_n(c: str) -> bool:
+        return unicodedata.category(c).startswith("N")
+
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        for c in ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d"):
+            if text.startswith(c, i):
+                out.append(c)
+                i += len(c)
+                break
+        else:
+            j = i
+            has_sp = text[j] == " " if j < n else False
+            k = j + 1 if has_sp else j
+            if k < n and is_l(text[k]):
+                e = k
+                while e < n and is_l(text[e]):
+                    e += 1
+                out.append(text[j:e]); i = e
+            elif k < n and is_n(text[k]):
+                e = k
+                while e < n and is_n(text[e]):
+                    e += 1
+                out.append(text[j:e]); i = e
+            elif k < n and not text[k].isspace() and not is_l(text[k]) and not is_n(text[k]):
+                e = k
+                while e < n and not text[e].isspace() and not is_l(text[e]) and not is_n(text[e]):
+                    e += 1
+                out.append(text[j:e]); i = e
+            elif text[i].isspace():
+                e = i
+                while e < n and text[e].isspace():
+                    e += 1
+                # \s+(?!\S): keep the last space for the next token when a
+                # non-space follows and the run is >= 2; a 1-space run before
+                # non-space never matched this branch but the ` ?X+`
+                # alternatives above already consumed it, so reaching here
+                # with e == i+1 and e < n means an isolated space before a
+                # char no alternative takes — emit it alone like `\s+`
+                if e < n and e - i >= 2:
+                    out.append(text[i:e - 1]); i = e - 1
+                else:
+                    out.append(text[i:e]); i = e
+            else:
+                out.append(text[i]); i += 1
+    return out
