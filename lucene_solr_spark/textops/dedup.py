@@ -80,11 +80,13 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_perm: int = 8, k: int = SHINGLE_K,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(docid, mh0..mh{P-1}): per-permutation minimum of the portable hash of
     shingle||'#'||perm.  Docs with < k tokens get no signature (no shingles).
-    """
-    sh = shingles(df, id_col, text_col, k)
+    ``shingles_df`` lets a pipeline share one shingle frame across the
+    signature and verify stages instead of re-tokenizing the corpus."""
+    sh = shingles_df if shingles_df is not None else shingles(df, id_col, text_col, k)
     aggs = [
         F.min(hash64_col(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"mh{j}")
         for j in range(num_perm)
@@ -97,16 +99,18 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate pair
     (docid_a < docid_b).  bands*rows_per_band must equal the signature width.
-    """
-    pieces = []
+
+    The (docid, bucket) frame is ONE projection exploding a bands-element
+    bucket array — not a union of per-band selects, which would re-run the
+    signature aggregate ``bands`` times."""
+    band_buckets = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}").cast("string")
                 for r in range(rows_per_band)]
-        bucket = hash64_col(F.concat_ws("|", F.lit(str(b)), *cols))
-        pieces.append(sigs.select("docid", bucket.alias("bucket")))
-    buckets = pieces[0]
-    for p in pieces[1:]:
-        buckets = buckets.unionAll(p)
+        band_buckets.append(hash64_col(F.concat_ws("|", F.lit(str(b)), *cols)))
+    buckets = sigs.select(
+        "docid", F.explode(F.array(*band_buckets)).alias("bucket")
+    )
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     return (
@@ -120,10 +124,11 @@ def minhash_lsh_candidates(
 def jaccard_pairs(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     text_col: str = "text", k: int = SHINGLE_K,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for given candidate pairs:
     (docid_a, docid_b, jaccard).  Joins touch only candidate docs."""
-    sh = shingles(df, id_col, text_col, k)
+    sh = shingles_df if shingles_df is not None else shingles(df, id_col, text_col, k)
     sizes = sh.groupBy("docid").agg(F.count(F.lit(1)).alias("n"))
     sh_a = sh.select(F.col("docid").alias("docid_a"), "shingle")
     sh_b = sh.select(F.col("docid").alias("docid_b"), "shingle")
@@ -152,11 +157,23 @@ def jaccard_pairs(
 def near_dup_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_perm: int = 8, bands: int = 4, threshold: float = 0.5,
+    persist_shingles: bool = True,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified with exact Jaccard >= threshold."""
-    sigs = minhash_signatures(df, id_col, text_col, num_perm)
+    """MinHash-LSH candidates verified with exact Jaccard >= threshold.
+
+    The shingle frame (tokenize + explode + distinct — the pipeline's most
+    expensive scan) is computed ONCE and shared by the signature and verify
+    stages; ``persist_shingles`` caches it MEMORY_AND_DISK so the two
+    consumers don't re-tokenize the corpus (at 10^12 docs the equivalent is
+    checkpointing the shingle/signature tables between stages)."""
+    sh = shingles(df, id_col, text_col)
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingles_df=sh)
     cands = minhash_lsh_candidates(sigs, bands, num_perm // bands)
-    j = jaccard_pairs(df, cands, id_col, text_col)
+    j = jaccard_pairs(df, cands, id_col, text_col, shingles_df=sh)
     return j.where(F.col("jaccard") >= threshold)
 
 
