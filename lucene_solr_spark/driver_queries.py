@@ -3068,6 +3068,52 @@ ORDER BY n_chars DESC, m.docid ASC""",
 _register_handler_export_query()
 
 
+_BPE_BASE_SQL = (
+    r"''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+)
+
+
+@_q(
+    "text_bpe_tokens",
+    f"""SELECT doc_id AS docid,
+  len(list_filter(str_split(coalesce(text,''), ' '), x -> x <> '')) AS n_ws_tokens,
+  (len(regexp_extract_all(coalesce(text,''), '{_BPE_BASE_SQL}'))
+   + len(regexp_extract_all(coalesce(text,''), '\\s{{2,}}\\S'))
+   + len(regexp_extract_all(coalesce(text,''), '[^\\S ]\\S'))
+   + CASE WHEN regexp_matches(coalesce(text,''), '\\s$') THEN 1 ELSE 0 END
+  ) AS n_bpe_pretokens,
+  round(CASE WHEN len(list_filter(str_split(coalesce(text,''), ' '), x -> x <> '')) > 0
+        THEN (len(regexp_extract_all(coalesce(text,''), '{_BPE_BASE_SQL}'))
+              + len(regexp_extract_all(coalesce(text,''), '\\s{{2,}}\\S'))
+              + len(regexp_extract_all(coalesce(text,''), '[^\\S ]\\S'))
+              + CASE WHEN regexp_matches(coalesce(text,''), '\\s$') THEN 1 ELSE 0 END
+             ) / CAST(len(list_filter(str_split(coalesce(text,''), ' '), x -> x <> '')) AS DOUBLE)
+        ELSE 0.0 END, 4) AS bpe_per_ws
+FROM documents ORDER BY docid ASC LIMIT 30""",
+)
+def text_bpe_tokens(spark, sf_dir):
+    """BPE-ish token counting (GPT-2 pretokenizer pattern): the per-doc
+    token-budget estimator a training pipeline runs corpus-wide — one
+    codegen projection, no shuffle."""
+    from lucene_solr_spark.textops.analyze import bpe_token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_token_stats(docs).orderBy(F.asc("docid")).limit(30)
+
+
+@_q(
+    "qparser_func",
+    "SELECT doc_id AS docid, round(CAST(n_chars AS DOUBLE) / 100.0, 4) AS score "
+    "FROM documents ORDER BY score DESC, docid ASC LIMIT 10",
+)
+def qparser_func(spark, sf_dir):
+    """{!func} front door (FunctionQParserPlugin.java:32-42): score IS the
+    compiled function value — a Catalyst projection, no postings touched."""
+    from lucene_solr_spark.search.qparsers import qparser_search
+
+    return qparser_search(get_index(spark, sf_dir), "{!func}div(n_chars,100)", k=10)
+
+
 def _register_collapse_fq_query():
     @_q(
         "qparser_collapse_fq",
@@ -4013,6 +4059,8 @@ _DEFER_LAST = [
     "qparser_collapse_fq",      # collapse_by_source (same window collapse) + search_with_fq (PostFilter composition)
     "handler_select",           # search_with_fq + sort_by_field + return_fields_fl (the /select composition of graded parts)
     "handler_export",           # cursor_mark_page2 (same field-sorted collector discipline, unbounded variant) + search_with_frange_fq (the fq path)
+    "qparser_func",             # function_query_recip_freshness (same compiler; {!func} is the registry front door)
+    "text_bpe_tokens",          # text_token_stats (same codegen token-count projection family; GPT-2 pretokenizer variant, lookahead decomposition differential-tested in tests/test_bpe_tokens.py)
     # round-3 ValueSourceParser registry extensions: the registry front door
     # holds the graded row (function_query_recip_freshness); each family
     # below is oracle-checked here and unit-tested in test_functions.py
