@@ -208,6 +208,35 @@ def select(
 
         extra = [c for c in stored.columns if c != "docid"]
         enriched = head.join(stored.select("docid", *extra), "docid")
+        if "[explain]" in fl:
+            # ExplainAugmenterFactory: join a per-doc explanation string
+            # built from the BM25 decomposition of the query's own terms
+            # (DebugComponent -> SolrIndexSearcher.explain)
+            from lucene_solr_spark.search.explain import explain_scores
+
+            qs = q.strip()
+            terms = (
+                []
+                if qs == "*:*" or qs.startswith("{!")
+                else [t.lower() for t in _query_terms(parse_query(qs))]
+            )
+            if not terms:
+                raise ValueError("[explain] needs a term query")
+            exp = explain_scores(index, terms)
+            line = F.format_string(
+                "%s: score=%.4f (tf=%d df=%d idf=%.4f tfNorm=%.4f)",
+                "term", "score", "tf", "df", "idf", "tf_norm",
+            )
+            exp_doc = (
+                exp.withColumn("_line", line)
+                .groupBy("docid")
+                .agg(
+                    F.concat_ws(
+                        "; ", F.array_sort(F.collect_list("_line"))
+                    ).alias("[explain]")
+                )
+            )
+            enriched = enriched.join(exp_doc, "docid", "left")
         response = return_fields(
             enriched.orderBy("_ord").drop("_ord"), fl, now_epoch_ms=now_epoch_ms
         )

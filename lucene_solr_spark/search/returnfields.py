@@ -11,6 +11,14 @@ Spark shape: the whole fl spec compiles to ONE ``select`` projection —
 column pruning reaches the Parquet scan (ReadSchema lists only the fl
 sources), and function pseudo-fields are codegen'd Catalyst expressions from
 the same registry the func QParser uses.
+
+Doc transformers (solr/core/src/java/org/apache/solr/response/transform/
+TransformerFactory.java:95-103 defaultFactories): ``[docid]``
+(DocIdAugmenterFactory — here the engine docid IS the stable id),
+``[value v=.. t=..]`` (ValueAugmenterFactory — a typed constant column),
+and ``[explain]`` (ExplainAugmenterFactory — resolved by handler.select,
+which holds the query context; the projection here just passes the
+pre-joined column through).
 """
 
 from __future__ import annotations
@@ -31,9 +39,9 @@ def _split_entries(fl: str) -> list[str]:
     buf: list[str] = []
     depth = 0
     for ch in fl:
-        if ch == "(":
+        if ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
             if depth < 0:
                 raise ValueError(f"unbalanced parens in fl: {fl!r}")
@@ -67,6 +75,31 @@ def parse_return_fields(
             if alias:
                 raise ValueError("'*' cannot be aliased")
             out.append(("*", "*"))
+        elif body.startswith("["):
+            if not body.endswith("]"):
+                raise ValueError(f"bad transformer entry: {entry!r}")
+            inner = body[1:-1].strip()
+            tname, _, targs = inner.partition(" ")
+            if tname == "docid":
+                out.append((alias or "[docid]", F.col("docid")))
+            elif tname == "value":
+                kv = dict(
+                    p.split("=", 1) for p in targs.split() if "=" in p
+                )
+                if "v" not in kv:
+                    raise ValueError("[value] needs v=<literal>")
+                t = kv.get("t", "str")
+                cast = {"int": "long", "float": "double", "double": "double",
+                        "date": "string", "str": "string"}.get(t, "string")
+                out.append(
+                    (alias or "[value]", F.lit(kv["v"]).cast(cast))
+                )
+            elif tname == "explain":
+                # resolved upstream: handler.select joins the explanation
+                # column before projecting
+                out.append((alias or "[explain]", F.col("[explain]")))
+            else:
+                raise ValueError(f"unknown doc transformer: {body!r}")
         elif "(" in body:
             if not alias:
                 raise ValueError(f"function pseudo-field needs alias: {body!r}")

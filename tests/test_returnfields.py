@@ -68,3 +68,36 @@ def test_star_dedupes_explicit(frame):
     out = return_fields(frame, "*, score")
     assert out.columns.count("score") == 1
     assert set(out.columns) == set(frame.columns)
+
+
+def test_doc_transformers(spark):
+    """[docid] / [value] (TransformerFactory.java:95-103 defaultFactories)."""
+    from lucene_solr_spark.search.returnfields import return_fields
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(3, 1.5, "en")], "docid long, score double, lang string")
+    out = return_fields(df, "lang, [docid], src:[value v=web t=str], n:[value v=7 t=int]")
+    r = out.first()
+    assert out.columns == ["lang", "[docid]", "src", "n"]
+    assert (r["lang"], r["[docid]"], r["src"], r["n"]) == ("en", 3, "web", 7)
+
+
+def test_explain_transformer_via_handler(spark):
+    from lucene_solr_spark.handler import select
+    from lucene_solr_spark.index.builder import build_index
+
+    docs = spark.createDataFrame(
+        [(0, "grand table scan"), (1, "table merge"), (2, "stream hash")],
+        "doc_id long, text string",
+    )
+    idx = build_index(spark, docs, key_col="doc_id", docid_col="doc_id",
+                      num_index_partitions=2)
+    out = select(idx, {"q": "table", "rows": 5, "fl": "docid, score, [explain]"})
+    rows = out["response"].collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["[explain]"].startswith("table: score=")
+        assert "tf=" in r["[explain]"] and "df=" in r["[explain]"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="term query"):
+        select(idx, {"q": "*:*", "rows": 2, "fl": "docid, [explain]"})
