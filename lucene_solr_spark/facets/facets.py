@@ -349,3 +349,30 @@ def group_queries(
     if out is None:
         raise ValueError("group.query needs >= 1 query")
     return out
+
+
+def group_func(
+    results: DataFrame,
+    func: str,
+    order_by: list[Column],
+    k: int = 1,
+    offset: int = 0,
+    now_epoch_ms: int | None = None,
+) -> DataFrame:
+    """group.func (Grouping.java CommandFunc:912-975, grouped by a
+    ValueSource — the FunctionQuery's value per doc): identical window
+    machinery to group.field, keyed on the compiled function Column.
+    ``results`` must carry the columns the function references.  Output adds
+    ``group_value`` (the function's value for the group)."""
+    from lucene_solr_spark.functions import parse_function_query
+
+    gcol = parse_function_query(func, now_epoch_ms=now_epoch_ms)
+    keyed = results.withColumn("group_value", gcol)
+    w = Window.partitionBy("group_value").orderBy(*order_by)
+    return (
+        keyed.withColumn("group_rank", F.row_number().over(w))
+        .where(
+            (F.col("group_rank") > offset) & (F.col("group_rank") <= offset + k)
+        )
+        .drop("group_rank")
+    )

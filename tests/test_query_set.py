@@ -114,3 +114,27 @@ def test_fixture_query_set_wand_subsample(index, oracle):
         if got != want:
             failures.append((qid, spec, got[:3], want[:3]))
     assert not failures, f"WAND diverges on {len(failures)}: {failures[:5]}"
+
+
+def test_group_func(spark):
+    """group.func (Grouping.java CommandFunc): group by a function value."""
+    from lucene_solr_spark.facets.facets import group_func
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 3.0, 101), (1, 2.0, 155), (2, 1.0, 199), (3, 5.0, 250), (4, 4.0, 260)],
+        "docid long, score double, n_chars long",
+    )
+    # bucket = floor(n_chars/100): {1: docs 0,1,2} {2: docs 3,4}
+    out = group_func(
+        df, "floor(div(n_chars,100))",
+        [F.col("score").desc(), F.col("docid").asc()], k=2,
+    ).collect()
+    got = sorted((r.group_value, r.docid) for r in out)
+    assert got == [(1, 0), (1, 1), (2, 3), (2, 4)]
+    # offset skips the best row within each group
+    out2 = group_func(
+        df, "floor(div(n_chars,100))",
+        [F.col("score").desc(), F.col("docid").asc()], k=1, offset=1,
+    ).collect()
+    assert sorted((r.group_value, r.docid) for r in out2) == [(1, 1), (2, 4)]
