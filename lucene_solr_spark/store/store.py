@@ -564,3 +564,23 @@ def load_index(
     if deleted is None:
         object.__setattr__(index, "_compressed", compressed)
     return index
+
+
+def delete_by_query(
+    spark: SparkSession, root: str, q: str, now_epoch_ms: int | None = None
+) -> Snapshot:
+    """Solr deleteByQuery with a full query string
+    (DirectUpdateHandler2.deleteByQuery — the DBQ path): the body routes
+    through the same parser/qparser machinery as an fq, so term / boolean /
+    multi-term / {!type} bodies all resolve; matching docids become one
+    delete generation.  Pure-negative bodies delete the complement
+    (everything EXCEPT the matches), like a filter would select it."""
+    from lucene_solr_spark.search.filtercache import _parse_filter
+
+    idx = open_index(spark, root, apply_deletes=False)
+    kind, df = _parse_filter(idx, q, now_epoch_ms=now_epoch_ms)
+    if kind == "neg":
+        matching = idx.docs.select("docid").join(df, "docid", "left_anti")
+    else:
+        matching = df.select("docid")
+    return delete_docids(spark, root, matching.distinct())

@@ -209,3 +209,31 @@ def test_realtime_get_sees_update_and_delete(spark, pages, stream_store):
     delete_by_key(spark, stream_store, [kept])
     left = realtime_get(spark, stream_store, [victim, kept])
     assert [r.url for r in left.collect()] == [victim]
+
+
+def test_delete_by_query_boolean_and_qparser(spark, batch_store):
+    """DBQ with a boolean body and a {!type} body (DirectUpdateHandler2
+    .deleteByQuery routes any query string)."""
+    from lucene_solr_spark.search import BooleanQuery
+    from lucene_solr_spark.store import load_index
+    from lucene_solr_spark.store.store import delete_by_query
+
+    before = load_index(spark, batch_store)
+    victims = {
+        r.docid
+        for r in before.postings.filter(F.col("term").isin(["table", "merge"]))
+        .groupBy("docid").agg(F.count_distinct("term").alias("n"))
+        .where(F.col("n") == 2).collect()
+    }
+    assert victims, "fixture needs table AND merge docs"
+
+    delete_by_query(spark, batch_store, "+table +merge")
+    after = load_index(spark, batch_store)
+    assert after.docs.filter(F.col("docid").isin(list(victims))).count() == 0
+    # non-victims still searchable
+    assert _topk(after, BooleanQuery.of(must=["table"], must_not=["merge"]))
+
+    # {!prefix} body routes through the qparser registry
+    n_before = after.docs.count()
+    delete_by_query(spark, batch_store, "{!prefix f=text}zz_nonexistent")
+    assert load_index(spark, batch_store).docs.count() == n_before
