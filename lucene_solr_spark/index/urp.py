@@ -211,3 +211,65 @@ def check_versions(
         raise VersionConflictError(
             f"version conflict on {len(keys)}+ docs, e.g. {keys}"
         )
+
+
+def lang_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    input_field: str = "text",
+    lang_field: str = "language_s",
+    threshold: int = 1,
+    fallback: str = "und",
+    overwrite: bool = False,
+) -> DataFrame:
+    """LanguageIdentifierUpdateProcessor (solr/contrib/langid/src/java/org/
+    apache/solr/update/processor/LanguageIdentifierUpdateProcessor.java:
+    60-130,199-260): detect the input field's language into ``lang_field``;
+    evidence below ``threshold`` takes the ``fallback`` value; an existing
+    non-null ``lang_field`` is kept unless ``overwrite`` (java :221-233
+    langField-already-set branch).  Detection is the engine's lexicon-marker
+    heuristic (textops.analyze.language_id — one codegen projection; the
+    reference's Tika/langdetect profiles are its pluggable analog)."""
+    from lucene_solr_spark.textops.analyze import language_id
+
+    pred = language_id(df, id_col=id_col, text_col=input_field).select(
+        F.col("docid").alias(id_col),
+        F.when(F.col("evidence") >= threshold, F.col("pred_lang"))
+        .otherwise(F.lit(fallback))
+        .alias("_detected"),
+    )
+    out = df.join(pred, id_col, "left")
+    if lang_field in df.columns and not overwrite:
+        keep = F.coalesce(F.col(lang_field), F.col("_detected"))
+    else:
+        keep = F.col("_detected")
+    return out.withColumn(lang_field, keep).drop("_detected")
+
+
+def timestamp_field(
+    df: DataFrame, now_epoch_ms: int, field: str = "timestamp"
+) -> DataFrame:
+    """TimestampUpdateProcessorFactory: stamp each doc missing ``field``
+    with the request's pinned NOW (determinism requires an explicit NOW,
+    the same discipline as ms(NOW,...) function queries)."""
+    stamp = F.timestamp_millis(F.lit(now_epoch_ms))
+    if field in df.columns:
+        return df.withColumn(field, F.coalesce(F.col(field), stamp))
+    return df.withColumn(field, stamp)
+
+
+def uuid_field(df: DataFrame, key_col: str, field: str = "id") -> DataFrame:
+    """UUIDUpdateProcessorFactory analog with a deterministic twist: the
+    reference mints random UUIDs; a distributed re-runnable pipeline needs
+    idempotence, so the UUID is version-3-style — derived from the md5 of
+    the unique key (same doc -> same id on every replay)."""
+    h = F.md5(F.col(key_col).cast("string"))
+    uuid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("3"), F.substring(h, 14, 3)),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    return df.withColumn(field, uuid)

@@ -53,3 +53,41 @@ def test_field_mutators_chain(docs):
     assert out[2].lang == "und" and out[1].lang == "en"
     assert out[4].text_copy == "different entirely"
     assert out[0].text_length == len("The same text")  # length measured at its chain position
+
+
+def test_lang_id_processor(spark):
+    """solr/contrib/langid LanguageIdentifierUpdateProcessor semantics."""
+    from lucene_solr_spark.index.urp import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox and the lazy dog", None),
+            (1, "der schnelle braune fuchs und der hund", None),
+            (2, "zz qq xx", None),                # no evidence -> fallback
+            (3, "the the the", "fr"),             # existing value kept
+        ],
+        "doc_id long, text string, language_s string",
+    )
+    out = {r.doc_id: r.language_s for r in lang_id(df).collect()}
+    assert out[0] == "en" and out[1] == "de"
+    assert out[2] == "und"
+    assert out[3] == "fr"  # not overwritten
+    out2 = {r.doc_id: r.language_s for r in lang_id(df, overwrite=True).collect()}
+    assert out2[3] == "en"
+
+
+def test_timestamp_and_uuid_processors(spark):
+    from lucene_solr_spark.index.urp import timestamp_field, uuid_field
+
+    df = spark.createDataFrame([(0, "u/a"), (1, "u/b")], "doc_id long, url string")
+    now = 1_700_000_000_000
+    ts = timestamp_field(df, now)
+    vals = {r.doc_id: r.timestamp for r in ts.collect()}
+    assert vals[0] == vals[1] and vals[0].year == 2023
+
+    u1 = {r.doc_id: r.id for r in uuid_field(df, "url").collect()}
+    u2 = {r.doc_id: r.id for r in uuid_field(df, "url").collect()}
+    assert u1 == u2                      # deterministic across replays
+    assert u1[0] != u1[1]
+    import re
+    assert re.fullmatch(r"[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}", u1[0])
