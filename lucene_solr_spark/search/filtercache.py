@@ -280,11 +280,14 @@ def search_filtered(
 
 
 def _apply_collapse(index: IndexTables, scored: DataFrame, fq: str) -> DataFrame:
-    """fq={!collapse field=... [min=|max=numfield]} (CollapsingQParserPlugin):
-    keep one doc per group value — highest score (docid-asc tie-break) by
-    default, or the group's min/max of a numeric docvalues field.  Docs with
-    a null group value are dropped (nullPolicy=ignore, the default).  One
-    window pass over the already-scored set."""
+    """fq={!collapse field=... [min=|max=numfield] [nullPolicy=...]}
+    (CollapsingQParserPlugin): keep one doc per group value — highest score
+    (docid-asc tie-break) by default, or the group's min/max of a numeric
+    docvalues field.  nullPolicy (CollapsingQParserPlugin.java NULL_IGNORE/
+    NULL_EXPAND/NULL_COLLAPSE): ``ignore`` drops null-group docs (default),
+    ``expand`` passes every null-group doc through uncollapsed,
+    ``collapse`` folds all nulls into one group.  One window pass over the
+    already-scored set."""
     from lucene_solr_spark.facets.facets import collapse
     from lucene_solr_spark.search.qparsers import parse_local_params
 
@@ -293,10 +296,15 @@ def _apply_collapse(index: IndexTables, scored: DataFrame, fq: str) -> DataFrame
     field = params.get("field")
     if field is None or field not in index.docs.columns:
         raise ValueError(f"collapse needs a docvalues field, got {field!r}")
+    nullp = params.get("nullPolicy", "ignore")
+    if nullp not in ("ignore", "expand", "collapse"):
+        raise ValueError(f"unknown nullPolicy: {nullp!r}")
     sel_min, sel_max = params.get("min"), params.get("max")
-    withg = scored.join(
-        index.docs.select("docid", field), "docid"
-    ).filter(F.col(field).isNotNull())
+    withg = scored.join(index.docs.select("docid", field), "docid")
+    nulls = withg.filter(F.col(field).isNull())
+    if nullp != "collapse":
+        withg = withg.filter(F.col(field).isNotNull())
+    drop_cols = [field]
     if sel_min or sel_max:
         sel = sel_min or sel_max
         if sel not in index.docs.columns:
@@ -306,6 +314,10 @@ def _apply_collapse(index: IndexTables, scored: DataFrame, fq: str) -> DataFrame
             F.col(sel).asc() if sel_min else F.col(sel).desc(),
             F.col("docid").asc(),
         ]
-        return collapse(withg, field, order).drop(field, sel)
-    order = [F.col("score").desc(), F.col("docid").asc()]
-    return collapse(withg, field, order).drop(field)
+        drop_cols.append(sel)
+    else:
+        order = [F.col("score").desc(), F.col("docid").asc()]
+    out = collapse(withg, field, order).drop(*drop_cols)
+    if nullp == "expand":
+        out = out.unionByName(nulls.drop(field))
+    return out

@@ -232,3 +232,47 @@ def test_group_queries(spark, index):
             for r in frame.orderBy(F.desc("score"), F.asc("docid")).limit(3).collect()
         ]
         assert sorted(by_group[name]) == sorted(want)
+
+
+def test_collapse_null_policy(spark):
+    """nullPolicy=ignore/expand/collapse (CollapsingQParserPlugin
+    NULL_IGNORE/NULL_EXPAND/NULL_COLLAPSE)."""
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.filtercache import search_filtered
+
+    docs = spark.createDataFrame(
+        [
+            (0, "table scan", "en"),
+            (1, "table merge", "en"),
+            (2, "table plan", None),
+            (3, "table join", None),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    idx = build_index(spark, docs, key_col="doc_id", docid_col="doc_id",
+                      num_index_partitions=2, passthrough_cols=("lang",))
+
+    def run(policy):
+        return sorted(
+            r.docid
+            for r in search_filtered(
+                idx, "table",
+                fqs=[f"{{!collapse field=lang nullPolicy={policy}}}"], k=50,
+            ).collect()
+        )
+
+    en_best = run("ignore")
+    assert len(en_best) == 1          # nulls dropped, one per group
+    assert set(en_best) <= {0, 1}
+
+    expanded = run("expand")
+    assert set(expanded) == set(en_best) | {2, 3}   # nulls pass uncollapsed
+
+    collapsed = run("collapse")
+    assert len(collapsed) == 2        # en group + the single null group
+    assert set(en_best) <= set(collapsed)
+    assert len(set(collapsed) & {2, 3}) == 1
+
+    import pytest as _p
+    with _p.raises(ValueError, match="nullPolicy"):
+        run("bogus")
