@@ -110,3 +110,29 @@ def test_reversed_query_plan_is_prefix(tiny_index):
     q = ReversedWildcardQuery("*ings")
     plan = _matched_terms_df(tiny_index, q)._jdf.queryExecution().optimizedPlan().toString()
     assert "StartsWith" in plan or "startswith" in plan.lower()
+
+
+def test_rewrite_equals_plain_wildcard_randomized(tiny_index, spark):
+    """Property: for ANY pattern the gate accepts, the reversed-dictionary
+    match set equals the plain LIKE scan's (python re as the spec)."""
+    import random
+    import re as _re
+
+    rng = random.Random(42)
+    vocab = [r.term for r in tiny_index.segments.select("term").collect()]
+    alpha = "gsinr"
+    for _ in range(40):
+        n = rng.randint(2, 6)
+        pat = "".join(rng.choice(alpha + "*?") for _ in range(n))
+        if "*" not in pat and "?" not in pat:
+            pat = "*" + pat
+        # spec: full-match wildcard over the vocabulary
+        rx = _re.compile(
+            "^" + "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in pat
+            ) + "$"
+        )
+        want = sorted(t for t in vocab if rx.match(t))
+        got = _terms(tiny_index, pat)
+        assert got == want, (pat, got, want)
