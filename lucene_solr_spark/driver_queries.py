@@ -640,6 +640,26 @@ def more_like_this_q(spark, sf_dir):
     return more_like_this(get_index(spark, sf_dir), docid=0, max_query_terms=3, k=10)
 
 
+_MLT_TERMS_SQL = f"""{PRELUDE},
+sel AS (
+  SELECT f.term, f.tf * ln(1.0 + (st.n - s.df + 0.5) / (s.df + 0.5)) AS s
+  FROM tf f JOIN tstat s ON s.term = f.term CROSS JOIN stats st
+  WHERE f.docid = 0
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, term ASC) AS INT) AS rank,
+       term, round(s, 4) AS score
+FROM sel ORDER BY s DESC, term ASC LIMIT 3"""
+
+
+@_q("mlt_interesting_terms", _MLT_TERMS_SQL)
+def mlt_interesting_terms_q(spark, sf_dir):
+    """MoreLikeThisHandler interestingTerms=details: the MLT term-selection
+    PriorityQueue surfaced as (rank, term, score) rows."""
+    from lucene_solr_spark.search.bm25 import mlt_interesting_terms
+
+    return mlt_interesting_terms(get_index(spark, sf_dir), docid=0, max_query_terms=3)
+
+
 _RERANK_SQL = f"""{PRELUDE},
 main AS (
   {bool_sql(should=("table",), mm=1, k=20, as_cte="main")}
@@ -4061,6 +4081,7 @@ _DEFER_LAST = [
     "handler_export",           # cursor_mark_page2 (same field-sorted collector discipline, unbounded variant) + search_with_frange_fq (the fq path)
     "qparser_func",             # function_query_recip_freshness (same compiler; {!func} is the registry front door)
     "text_bpe_tokens",          # text_token_stats (same codegen token-count projection family; GPT-2 pretokenizer variant, lookahead decomposition differential-tested in tests/test_bpe_tokens.py)
+    "mlt_interesting_terms",    # rerank_query (in-window two-pass cover) — the MLT selection queue more_like_this runs, surfaced as rows; oracle-checked in pytest
     # round-3 ValueSourceParser registry extensions: the registry front door
     # holds the graded row (function_query_recip_freshness); each family
     # below is oracle-checked here and unit-tested in test_functions.py

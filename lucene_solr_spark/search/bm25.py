@@ -1574,6 +1574,46 @@ def more_like_this(
     return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
 
 
+def mlt_interesting_terms(
+    index: IndexTables, docid: int, max_query_terms: int = 3,
+    min_term_freq: int = 1, min_doc_freq: int = 1,
+    max_doc_freq: int | None = None, round_dp: int = 4,
+) -> DataFrame:
+    """MoreLikeThisHandler interestingTerms=details (solr/core/src/java/org/
+    apache/solr/handler/MoreLikeThisHandler.java InterestingTerm — the
+    selected query terms with their tf*idf selection scores): the same
+    PriorityQueue selection more_like_this runs, surfaced as
+    (rank, term, score) rows ordered by rank."""
+    import math
+
+    rows = (
+        index.postings.filter(F.col("docid") == docid)
+        .join(F.broadcast(index.term_stats()), "term")
+        .select("term", "tf", "df")
+        .collect()
+    )
+    n = index.max_doc
+    rows = [
+        r
+        for r in rows
+        if r.tf >= min_term_freq
+        and r.df >= min_doc_freq
+        and (max_doc_freq is None or r.df <= max_doc_freq)
+    ]
+    scored_terms = sorted(
+        (
+            (-r.tf * math.log(1.0 + (n - r.df + 0.5) / (r.df + 0.5)), r.term)
+            for r in rows
+        ),
+    )[:max_query_terms]
+    out = [
+        (i + 1, t, round(-s, round_dp)) for i, (s, t) in enumerate(scored_terms)
+    ]
+    return index.postings.sparkSession.createDataFrame(
+        out, "rank int, term string, score double"
+    )
+
+
 def rerank(
     index: IndexTables,
     main_terms: list[str],
