@@ -239,6 +239,25 @@ def stats_component(
     return results.agg(*aggs)
 
 
+def stats_component_string(
+    results: DataFrame, field: str, calcdistinct: bool = False
+) -> DataFrame:
+    """StatsComponent over a string field (StatsValuesFactory.java:62,
+    StringStatsValues:490-540): only min/max (String.compareTo order) /
+    count/missing — the numeric moments are undefined for strings and the
+    reference emits none."""
+    c = F.col(field)
+    aggs = [
+        F.min(c).alias("stats_min"),
+        F.max(c).alias("stats_max"),
+        F.count(c).alias("stats_count"),
+        F.sum(F.isnull(c).cast("long")).alias("stats_missing"),
+    ]
+    if calcdistinct:
+        aggs.append(F.countDistinct(c).alias("stats_distinct"))
+    return results.agg(*aggs)
+
+
 def group_topk(
     results: DataFrame,
     group_field: str,

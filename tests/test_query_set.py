@@ -138,3 +138,16 @@ def test_group_func(spark):
         [F.col("score").desc(), F.col("docid").asc()], k=1, offset=1,
     ).collect()
     assert sorted((r.group_value, r.docid) for r in out2) == [(1, 1), (2, 4)]
+
+
+def test_stats_component_string(spark):
+    """StringStatsValues: min/max by String.compareTo, count/missing only."""
+    from lucene_solr_spark.facets.facets import stats_component_string
+
+    df = spark.createDataFrame(
+        [(0, "beta"), (1, "alpha"), (2, None), (3, "gamma"), (4, "alpha")],
+        "docid long, src string",
+    )
+    r = stats_component_string(df, "src", calcdistinct=True).first()
+    assert (r.stats_min, r.stats_max) == ("alpha", "gamma")
+    assert (r.stats_count, r.stats_missing, r.stats_distinct) == (4, 1, 3)
