@@ -161,21 +161,45 @@ def select(
 
     scored = _scored_set(index, q, now_epoch_ms)
 
-    # --- fq composition (getProcessedFilter; {!collapse} is a PostFilter) ---
+    # --- fq composition (getProcessedFilter; {!collapse} is a PostFilter).
+    # {!tag=...} on an fq registers it for multi-select faceting: a
+    # facet.field of the form {!ex=tag}field recomputes its counts WITHOUT
+    # the tagged filters (SimpleFacets.getFieldMissingCount /
+    # QueryParsing tag-exclusion — the standard multi-select pattern). ---
+    from lucene_solr_spark.search.qparsers import parse_local_params
+
     fqs = params.get("fq", []) or []
     if isinstance(fqs, str):
         fqs = [fqs]
     collapse_fqs = [f for f in fqs if f.lstrip().startswith("{!collapse")]
+    applied_filters: list[tuple[set, str, DataFrame]] = []  # (tags, kind, df)
     for fq in fqs:
         if fq in collapse_fqs:
             continue
+        tags: set = set()
+        if fq.lstrip().startswith("{!"):
+            _t, lp, _b = parse_local_params(fq)
+            tags = {t for t in str(lp.get("tag", "")).split(",") if t}
         kind, df = _parse_filter(index, fq, now_epoch_ms=now_epoch_ms)
+        applied_filters.append((tags, kind, df))
         how = "left_anti" if kind == "neg" else "left_semi"
         scored = scored.join(df, "docid", how)
     for cfq in collapse_fqs:
         scored = _apply_collapse(index, scored, cfq)
     if persist:
         scored = scored.persist()
+
+    def _facet_base(ex_tags: set) -> DataFrame:
+        """The scored set with filters whose tag is excluded left OUT."""
+        if not ex_tags:
+            return scored
+        base = _scored_set(index, q, now_epoch_ms)
+        for tags, kind, df in applied_filters:
+            if tags & ex_tags:
+                continue
+            how = "left_anti" if kind == "neg" else "left_semi"
+            base = base.join(df, "docid", how)
+        return base
 
     # --- sort + window (start/rows) ---
     sort_spec = params.get("sort")
@@ -255,13 +279,17 @@ def select(
     if facet_fields:
         from lucene_solr_spark.facets.facets import facet_field
 
-        base = scored.join(
-            stored.select("docid", *dict.fromkeys(facet_fields)), "docid"
-        )
-        out["facet_fields"] = {
-            f: facet_field(base, f, limit=int(params.get("facet.limit", 20)))
-            for f in facet_fields
-        }
+        out["facet_fields"] = {}
+        for spec in facet_fields:
+            fname, ex, okey = spec, set(), None
+            if spec.lstrip().startswith("{!"):
+                _t, lp, fname = parse_local_params(spec)
+                ex = {t for t in str(lp.get("ex", "")).split(",") if t}
+                okey = lp.get("key")  # output key (QueryParsing 'key')
+            base = _facet_base(ex).join(stored.select("docid", fname), "docid")
+            out["facet_fields"][okey or fname] = facet_field(
+                base, fname, limit=int(params.get("facet.limit", 20))
+            )
     else:
         out["facet_fields"] = {}
 

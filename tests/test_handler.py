@@ -146,3 +146,33 @@ def test_sort_by_function(index):
         r.docid: r.n_chars for r in index.docs.select("docid", "n_chars").collect()
     }
     assert got == sorted(got, key=lambda d: (meta[d] / 2.0, d))
+
+
+def test_multiselect_faceting_tag_ex(index):
+    """fq={!term f=lang tag=dt}en + facet.field={!ex=dt}lang: the lang facet
+    counts IGNORE the lang filter (multi-select pattern), while the result
+    set is still filtered to en."""
+    from lucene_solr_spark.handler import select
+
+    out = select(
+        index,
+        {
+            "q": "table",
+            "fq": ["{!term f=lang tag=dt}en"],
+            "rows": 50,
+            "facet.field": ["{!ex=dt key=lang_all}lang", "lang"],
+            "numFound": True,
+        },
+    )
+    # response filtered to en
+    doc_lang = {
+        r.docid: r.lang for r in index.docs.select("docid", "lang").collect()
+    }
+    for r in out["response"].collect():
+        assert doc_lang[r.docid] == "en"
+    # tagged-excluded facet sees ALL langs of the unfiltered 'table' set
+    ex_counts = {r[0]: r[1] for r in out["facet_fields"]["lang_all"].collect()}
+    assert len(ex_counts) > 1
+    in_counts = {r[0]: r[1] for r in out["facet_fields"]["lang"].collect()}
+    assert set(in_counts) == {"en"}
+    assert in_counts["en"] == ex_counts["en"]
