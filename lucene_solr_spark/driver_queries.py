@@ -3806,6 +3806,23 @@ def _register_classification_and_lm() -> None:
             k=10,
         )
 
+    from lucene_solr_spark.oracle.sqlgen import dfr_sql
+
+    @_q("dfr_inl2_query", dfr_sql(("vector", "stream", "hash"),
+                                  basic_model="in", after_effect="l",
+                                  normalization="h2"))
+    def dfr_inl2_query(spark, sf_dir):
+        """DFRSimilarity I(n)L2 top-k (DFRSimilarity.java:108-112;
+        BasicModelIn, AfterEffectL, NormalizationH2 c=1): score =
+        tfn*log2((N+1)/(n+0.5)) / (tfn+1), tfn = tf*log2(1+avgFL/dl)."""
+        from lucene_solr_spark.search.dfr import dfr_topk
+
+        return dfr_topk(
+            get_index(spark, sf_dir),
+            BooleanQuery.of(should=["vector", "stream", "hash"]),
+            basic_model="in", after_effect="l", normalization="h2", k=10,
+        )
+
     @_q("lmjm_query", lm_jm_sql(("table", "merge")))
     def lmjm_query(spark, sf_dir):
         """LMJelinekMercerSimilarity top-k (LMJelinekMercerSimilarity.java:
@@ -4002,6 +4019,7 @@ _DEFER_LAST = [
     "pivot_lang_source",        # facet_field_lang (same hash-agg facet machinery; pivot nests it) + stats_facet_lineitem (facet-combined agg); r2 green — slot for lmdirichlet_query
     "group_top2_orders_per_priority",  # collapse_by_source (same window best-per-group kernel; grouping generalizes to top-N) + expand_component tests; r2 green — slot for classify_knn
     "lmjm_query",               # lmdirichlet_query (same LM frame, smoothing variant)
+    "dfr_inl2_query",           # lmdirichlet_query (same SimilarityBase pivot frame; DFR basic-model/after-effect swap) — float32 rank-identity oracle in tests/test_dfr.py
     "phonetic_match_query",     # stemmed_term_query (same vocabulary-level term_map index technique; encoder swapped) — soundex goldens in tests/test_phonetic.py
     "emb_ivf_ann",              # emb_lsh_ann (same probe-restricted exact-cosine shape; quantizer swapped LSH->IVF) — numpy differential in tests/test_ivf.py
     "cluster_results_query",    # classify_knn (same MLT interesting-term gate) + facet_field_lang (hash-agg grouping) over an in-window scored set

@@ -475,3 +475,83 @@ def lm_jm_sql(
 SELECT pv.docid, round({total}, 4) AS score
 FROM pv CROSS JOIN qp
 ORDER BY score DESC, pv.docid ASC LIMIT {k}"""
+
+
+def dfr_sql(
+    should: tuple[str, ...],
+    basic_model: str = "in",
+    after_effect: str = "l",
+    normalization: str = "h2",
+    c: float = 1.0,
+    k: int = 10,
+    prelude: str | None = None,
+) -> str:
+    """DFRSimilarity oracle (DFRSimilarity.java:108-112): per-term
+    score = basic(tfn) * ae(tfn); the per-term log2 scalar, lambda-style
+    constants, and avgFieldLength render as the same float64 ratios the
+    Spark path computes driver-side (search/dfr.py)."""
+    terms = list(dict.fromkeys(should))
+    avg = ("((SELECT coalesce(sum(dl), 0) FROM doclen)"
+           " / CAST((SELECT n FROM stats) AS DOUBLE))")
+    n_docs = "(SELECT n FROM stats)"
+
+    def kexpr(t: str) -> str:
+        df = f"(SELECT df FROM tstat WHERE term = '{t}')"
+        cf = f"(SELECT cf FROM tstat WHERE term = '{t}')"
+        if basic_model == "in":
+            return f"(ln(({n_docs} + 1) / ({df} + 0.5)) / ln(2.0))"
+        if basic_model == "ine":
+            ne = (f"({n_docs} * (1.0 - pow(({n_docs} - 1)"
+                  f" / CAST({n_docs} AS DOUBLE), {cf})))")
+            return f"(ln(({n_docs} + 1) / ({ne} + 0.5)) / ln(2.0))"
+        if basic_model == "if":
+            return f"(ln(1.0 + ({n_docs} + 1) / ({cf} + 0.5)) / ln(2.0))"
+        raise ValueError(basic_model)
+
+    tf_cols = ",\n         ".join(
+        f"max(CASE WHEN f.term = '{t}' THEN f.tf END) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    if normalization == "h1":
+        tfn = lambda i: f"(pv.tf{i} * ({avg} / pv.dl_approx))"  # noqa: E731
+    elif normalization == "h2":
+        tfn = lambda i: (  # noqa: E731
+            f"(pv.tf{i} * (ln(1.0 + ({c!r} * {avg}) / pv.dl_approx)"
+            f" / ln(2.0)))"
+        )
+    else:
+        raise ValueError(normalization)
+    tfn_defs = ",\n       ".join(f"{tfn(i)} AS tfn{i}" for i in range(len(terms)))
+    kdefs = ",\n       ".join(f"{kexpr(t)} AS k{i}" for i, t in enumerate(terms))
+
+    def ae(i: int, t: str) -> str:
+        if after_effect == "l":
+            return f"(1.0 / (sx.tfn{i} + 1.0))"
+        df = f"(SELECT df FROM tstat WHERE term = '{t}')"
+        cf = f"(SELECT cf FROM tstat WHERE term = '{t}')"
+        return f"(({cf} + 2.0) / (({df} + 1.0) * (sx.tfn{i} + 1.0)))"
+
+    total = " + ".join(
+        f"coalesce(CASE WHEN sx.tf{i} IS NOT NULL THEN"
+        f" 1.0 * sx.k{i} * sx.tfn{i} * {ae(i, t)} END, 0.0)"
+        for i, t in enumerate(terms)
+    )
+    return f"""{prelude or PRELUDE},
+pv AS (
+  SELECT f.docid,
+         {tf_cols},
+         max(d.dl_approx) AS dl_approx
+  FROM tf f JOIN doc d ON d.docid = f.docid
+  WHERE f.term IN ({inlist})
+  GROUP BY f.docid
+),
+sx AS (
+  SELECT pv.*,
+       {tfn_defs},
+       {kdefs}
+  FROM pv
+)
+SELECT sx.docid, round({total}, 4) AS score
+FROM sx
+ORDER BY score DESC, sx.docid ASC LIMIT {k}"""
