@@ -534,7 +534,7 @@ def dfr_sql(
 
     total = " + ".join(
         f"coalesce(CASE WHEN sx.tf{i} IS NOT NULL THEN"
-        f" 1.0 * sx.k{i} * sx.tfn{i} * {ae(i, t)} END, 0.0)"
+        f" 1.0 * (sx.tfn{i} * sx.k{i}) * {ae(i, t)} END, 0.0)"
         for i, t in enumerate(terms)
     )
     return f"""{prelude or PRELUDE},

@@ -53,7 +53,7 @@ from lucene_solr_spark.search.query import BooleanQuery
 
 _LN2 = math.log(2.0)
 
-BASIC_MODELS = ("in", "ine", "if")
+BASIC_MODELS = ("in", "ine", "if", "be", "d", "g", "p")
 AFTER_EFFECTS = ("l", "b")
 NORMALIZATIONS = ("h1", "h2")
 DISTRIBUTIONS = ("ll", "spl")
@@ -69,7 +69,7 @@ def _tfn_col(tf: Column, dl: Column, normalization: str, c: float, avg_fl: float
 
 
 def _basic_factor(basic_model: str, n_docs: int, df: int, cf: int) -> float:
-    """The per-term log2 scalar the basic model multiplies tfn by."""
+    """The per-term log2 scalar the tfn-linear basic models multiply by."""
     if basic_model == "in":
         return math.log((n_docs + 1) / (df + 0.5)) / _LN2
     if basic_model == "ine":
@@ -77,6 +77,55 @@ def _basic_factor(basic_model: str, n_docs: int, df: int, cf: int) -> float:
         return math.log((n_docs + 1) / (ne + 0.5)) / _LN2
     if basic_model == "if":
         return math.log(1.0 + (n_docs + 1) / (cf + 0.5)) / _LN2
+    raise ValueError(f"unknown basic model: {basic_model!r}")
+
+
+def _log2c(x: Column) -> Column:
+    return F.log(x) / F.lit(_LN2)
+
+
+def _basic_col(
+    basic_model: str, tfn: Column, n_docs: int, df: int, cf: int
+) -> Column:
+    """basic(tfn) as a Column.  I(n)/I(ne)/I(F) are scalar*tfn; BE/D/G/P are
+    full tfn-dependent expressions (BasicModelBE.java:38-49,
+    BasicModelD.java:40-50, BasicModelG.java:34-41, BasicModelP.java:38-43)."""
+    if basic_model in ("in", "ine", "if"):
+        return tfn * F.lit(_basic_factor(basic_model, n_docs, df, cf))
+    if basic_model == "be":
+        Fc = F.lit(float(cf + 1)) + tfn
+        Nc = Fc + F.lit(float(n_docs))
+
+        def f(n: Column, m: Column) -> Column:
+            return (m + F.lit(0.5)) * _log2c(n / m) + (n - m) * _log2c(n)
+
+        return (
+            -_log2c((Nc - F.lit(1.0)) * F.lit(math.e))
+            + f(Nc + Fc - F.lit(1.0), Nc + Fc - tfn - F.lit(2.0))
+            - f(Fc, Fc - tfn)
+        )
+    if basic_model == "d":
+        Fc = F.lit(float(cf + 1)) + tfn
+        phi = tfn / Fc
+        nphi = F.lit(1.0) - phi
+        p = 1.0 / (n_docs + 1)
+        D = phi * _log2c(phi / F.lit(p)) + nphi * _log2c(nphi / F.lit(1.0 - p))
+        return D * Fc + F.lit(0.5) * _log2c(
+            F.lit(1.0) + F.lit(2.0 * math.pi) * tfn * nphi
+        )
+    if basic_model == "g":
+        lam = (cf + 1.0) / (n_docs + (cf + 1.0))
+        return F.lit(math.log(lam + 1) / _LN2) + tfn * F.lit(
+            math.log((1 + lam) / lam) / _LN2
+        )
+    if basic_model == "p":
+        lam = (cf + 1.0) / (n_docs + 1.0)
+        return (
+            tfn * _log2c(tfn / F.lit(lam))
+            + (F.lit(lam) + F.lit(1.0) / (F.lit(12.0) * tfn) - tfn)
+            * F.lit(1.0 / _LN2)
+            + F.lit(0.5) * _log2c(F.lit(2.0 * math.pi) * tfn)
+        )
     raise ValueError(f"unknown basic model: {basic_model!r}")
 
 
@@ -104,18 +153,21 @@ def dfr_topk(
         for r in index.term_stats().filter(F.col("term").isin(terms)).collect()
     }
 
+    if basic_model not in BASIC_MODELS:
+        raise ValueError(f"unknown basic model: {basic_model!r}")
+
     def contrib(i: int, t: str, _p: float):
         df_t, cf_t = stats.get(t, (0, 0))
-        kb = _basic_factor(basic_model, n_docs, df_t, cf_t)
         tfn = _tfn_col(F.col(f"_tf{i}"), F.col("dl_approx"),
                        normalization, c, avg_fl)
+        basic = _basic_col(basic_model, tfn, n_docs, df_t, cf_t)
         if after_effect == "l":
             ae = F.lit(1.0) / (tfn + F.lit(1.0))
         else:  # b
             ae = F.lit(float(cf_t + 2)) / (
                 F.lit(float(df_t + 1)) * (tfn + F.lit(1.0))
             )
-        s = F.lit(boosts.get(t, 1.0)) * F.lit(kb) * tfn * ae
+        s = F.lit(boosts.get(t, 1.0)) * basic * ae
         return F.when(F.col(f"_tf{i}").isNotNull(), s)
 
     return _lm_topk(index, q, contrib, k, round_dp)

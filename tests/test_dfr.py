@@ -71,8 +71,45 @@ class DFROracle:
                 elif bm == "ine":
                     ne = N * (1.0 - ((N - 1) / float(N)) ** F_)
                     basic = tfn * (math.log((N + 1) / (ne + 0.5)) / LN2)
-                else:
+                elif bm == "if":
                     basic = tfn * (math.log(1.0 + (N + 1) / (F_ + 0.5)) / LN2)
+                elif bm == "be":
+                    Fd = F_ + 1 + tfn
+                    Nd = Fd + N
+
+                    def f(nn, mm):
+                        return (mm + 0.5) * (math.log(nn / mm) / LN2) + (
+                            nn - mm
+                        ) * (math.log(nn) / LN2)
+
+                    basic = (
+                        -(math.log((Nd - 1) * math.e) / LN2)
+                        + f(Nd + Fd - 1, Nd + Fd - tfn - 2)
+                        - f(Fd, Fd - tfn)
+                    )
+                elif bm == "d":
+                    Fd = F_ + 1 + tfn
+                    phi = tfn / Fd
+                    nphi = 1 - phi
+                    p = 1.0 / (N + 1)
+                    D = phi * (math.log(phi / p) / LN2) + nphi * (
+                        math.log(nphi / (1 - p)) / LN2
+                    )
+                    basic = D * Fd + 0.5 * (
+                        math.log(1 + 2 * math.pi * tfn * nphi) / LN2
+                    )
+                elif bm == "g":
+                    lam = (F_ + 1.0) / (N + (F_ + 1.0))
+                    basic = (math.log(lam + 1) / LN2) + tfn * (
+                        math.log((1 + lam) / lam) / LN2
+                    )
+                else:  # p
+                    lam = float(np.float32(np.float32(F_ + 1) / np.float32(N + 1)))
+                    basic = (
+                        tfn * (math.log(tfn / lam) / LN2)
+                        + (lam + 1 / (12 * tfn) - tfn) * (1.0 / LN2)
+                        + 0.5 * (math.log(2 * math.pi * tfn) / LN2)
+                    )
                 aev = (
                     1.0 / (tfn + 1.0)
                     if ae == "l"
@@ -120,6 +157,7 @@ def oracle(spark, sf_dir):
 DFR_COMBOS = [
     ("in", "l", "h2"), ("in", "b", "h1"), ("ine", "b", "h2"),
     ("ine", "l", "h1"), ("if", "l", "h2"), ("if", "b", "h2"),
+    ("be", "l", "h2"), ("d", "b", "h2"), ("g", "l", "h1"), ("p", "b", "h2"),
 ]
 
 
