@@ -55,16 +55,30 @@ _LN2 = math.log(2.0)
 
 BASIC_MODELS = ("in", "ine", "if", "be", "d", "g", "p")
 AFTER_EFFECTS = ("l", "b")
-NORMALIZATIONS = ("h1", "h2")
+NORMALIZATIONS = ("h1", "h2", "h3", "z")
 DISTRIBUTIONS = ("ll", "spl")
 LAMBDAS = ("df", "ttf")
 
 
-def _tfn_col(tf: Column, dl: Column, normalization: str, c: float, avg_fl: float) -> Column:
+def _tfn_col(
+    tf: Column, dl: Column, normalization: str, c: float, avg_fl: float,
+    cf: int = 0, field_tokens: int = 0,
+) -> Column:
+    """tfn(stats, tf, len).  ``c`` doubles as H3's mu (default 800) and Z's
+    z exponent (default 0.30) when those normalizations are picked with an
+    explicit c; passing the family default c=1.0 selects each
+    normalization's own reference default."""
     if normalization == "h1":
         return tf * (F.lit(avg_fl) / dl)
     if normalization == "h2":
         return tf * (F.log(F.lit(1.0) + F.lit(c * avg_fl) / dl) / F.lit(_LN2))
+    if normalization == "h3":
+        mu = 800.0 if c == 1.0 else c  # NormalizationH3.java:30-32 default
+        g = (cf + 1.0) / (field_tokens + 1.0)
+        return (tf + F.lit(mu * g)) / (dl + F.lit(mu)) * F.lit(mu)
+    if normalization == "z":
+        z = 0.30 if c == 1.0 else c  # NormalizationZ.java:30-32 default
+        return tf * F.pow(F.lit(avg_fl) / dl, F.lit(z))
     raise ValueError(f"unknown normalization: {normalization!r}")
 
 
@@ -144,7 +158,8 @@ def dfr_topk(
         raise ValueError(f"unknown after effect: {after_effect!r}")
     boosts = {t.term: t.boost for t in (*q.must, *q.should)}
     n_docs = index.max_doc
-    avg_fl = index.sum_total_term_freq / float(n_docs)
+    field_tokens = index.sum_total_term_freq
+    avg_fl = field_tokens / float(n_docs)
     terms = list(dict.fromkeys(
         [t.term for t in q.must] + [t.term for t in q.should]
     ))
@@ -159,7 +174,7 @@ def dfr_topk(
     def contrib(i: int, t: str, _p: float):
         df_t, cf_t = stats.get(t, (0, 0))
         tfn = _tfn_col(F.col(f"_tf{i}"), F.col("dl_approx"),
-                       normalization, c, avg_fl)
+                       normalization, c, avg_fl, cf_t, field_tokens)
         basic = _basic_col(basic_model, tfn, n_docs, df_t, cf_t)
         if after_effect == "l":
             ae = F.lit(1.0) / (tfn + F.lit(1.0))
@@ -190,7 +205,8 @@ def ib_topk(
         raise ValueError(f"unknown lambda: {lambda_!r}")
     boosts = {t.term: t.boost for t in (*q.must, *q.should)}
     n_docs = index.max_doc
-    avg_fl = index.sum_total_term_freq / float(n_docs)
+    field_tokens = index.sum_total_term_freq
+    avg_fl = field_tokens / float(n_docs)
     terms = list(dict.fromkeys(
         [t.term for t in q.must] + [t.term for t in q.should]
     ))
@@ -206,7 +222,7 @@ def ib_topk(
         if distribution == "spl" and lam == 1.0:
             lam = 0.99
         tfn = _tfn_col(F.col(f"_tf{i}"), F.col("dl_approx"),
-                       normalization, c, avg_fl)
+                       normalization, c, avg_fl, cf_t, field_tokens)
         if distribution == "ll":
             s = -F.log(F.lit(lam) / (tfn + F.lit(lam)))
         else:  # spl

@@ -48,11 +48,18 @@ class DFROracle:
                 self.cf[t] += 1
             total += len(toks)
         self.n_docs = len(self.tf)
+        self.field_tokens = total
         self.avg_fl = total / float(self.n_docs)
 
-    def _tfn(self, tf, dl, norm, c=1.0):
+    def _tfn(self, tf, dl, norm, c=1.0, cf=0):
         if norm == "h1":
             return tf * self.avg_fl / dl
+        if norm == "h3":
+            mu = 800.0
+            g = (cf + 1.0) / (self.field_tokens + 1.0)
+            return (tf + mu * g) / (dl + mu) * mu
+        if norm == "z":
+            return tf * (self.avg_fl / dl) ** 0.30
         return tf * math.log(1.0 + c * self.avg_fl / dl) / LN2
 
     def dfr_topk(self, terms, bm, ae, norm, k=10):
@@ -63,8 +70,8 @@ class DFROracle:
                 continue
             s = np.float32(0.0)
             for t in matched:
-                tfn = self._tfn(cnt[t], self.doclen[docid], norm)
                 n, F_ = self.df[t], self.cf[t]
+                tfn = self._tfn(cnt[t], self.doclen[docid], norm, cf=F_)
                 N = self.n_docs
                 if bm == "in":
                     basic = tfn * (math.log((N + 1) / (n + 0.5)) / LN2)
@@ -128,7 +135,7 @@ class DFROracle:
                 continue
             s = np.float32(0.0)
             for t in matched:
-                tfn = self._tfn(cnt[t], self.doclen[docid], norm)
+                tfn = self._tfn(cnt[t], self.doclen[docid], norm, cf=self.cf[t])
                 base = self.df[t] if lam_kind == "df" else self.cf[t]
                 lam = (base + 1.0) / (self.n_docs + 1.0)
                 if dist == "ll":
@@ -158,6 +165,7 @@ DFR_COMBOS = [
     ("in", "l", "h2"), ("in", "b", "h1"), ("ine", "b", "h2"),
     ("ine", "l", "h1"), ("if", "l", "h2"), ("if", "b", "h2"),
     ("be", "l", "h2"), ("d", "b", "h2"), ("g", "l", "h1"), ("p", "b", "h2"),
+    ("in", "l", "h3"), ("ine", "b", "z"),
 ]
 
 
@@ -178,6 +186,7 @@ def test_dfr_rank_identity(index, oracle, bm, ae, norm):
 IB_COMBOS = [
     ("ll", "df", "h1"), ("ll", "ttf", "h2"),
     ("spl", "df", "h2"), ("spl", "ttf", "h1"),
+    ("ll", "df", "h3"), ("spl", "ttf", "z"),
 ]
 
 
