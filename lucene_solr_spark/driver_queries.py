@@ -3823,6 +3823,23 @@ def _register_classification_and_lm() -> None:
             basic_model="in", after_effect="l", normalization="h2", k=10,
         )
 
+    from lucene_solr_spark.oracle.sqlgen import ib_sql
+
+    @_q("ib_lldfh1_query", ib_sql(("table", "merge"),
+                                  distribution="ll", lambda_="df",
+                                  normalization="h1"))
+    def ib_lldfh1_query(spark, sf_dir):
+        """IBSimilarity LL/DF/H1 top-k (IBSimilarity.java:98-104;
+        DistributionLL.java:33-35, LambdaDF, NormalizationH1): score =
+        -ln(lambda/(tfn+lambda)), lambda=(df+1)/(N+1), tfn=tf*avgFL/dl."""
+        from lucene_solr_spark.search.dfr import ib_topk
+
+        return ib_topk(
+            get_index(spark, sf_dir),
+            BooleanQuery.of(should=["table", "merge"]),
+            distribution="ll", lambda_="df", normalization="h1", k=10,
+        )
+
     @_q("lmjm_query", lm_jm_sql(("table", "merge")))
     def lmjm_query(spark, sf_dir):
         """LMJelinekMercerSimilarity top-k (LMJelinekMercerSimilarity.java:
@@ -4020,6 +4037,7 @@ _DEFER_LAST = [
     "group_top2_orders_per_priority",  # collapse_by_source (same window best-per-group kernel; grouping generalizes to top-N) + expand_component tests; r2 green — slot for classify_knn
     "lmjm_query",               # lmdirichlet_query (same LM frame, smoothing variant)
     "dfr_inl2_query",           # lmdirichlet_query (same SimilarityBase pivot frame; DFR basic-model/after-effect swap) — float32 rank-identity oracle in tests/test_dfr.py
+    "ib_lldfh1_query",          # lmdirichlet_query (same SimilarityBase pivot frame; IB distribution/lambda swap) — float32 rank-identity oracle in tests/test_dfr.py
     "phonetic_match_query",     # stemmed_term_query (same vocabulary-level term_map index technique; encoder swapped) — soundex goldens in tests/test_phonetic.py
     "emb_ivf_ann",              # emb_lsh_ann (same probe-restricted exact-cosine shape; quantizer swapped LSH->IVF) — numpy differential in tests/test_ivf.py
     "cluster_results_query",    # classify_knn (same MLT interesting-term gate) + facet_field_lang (hash-agg grouping) over an in-window scored set

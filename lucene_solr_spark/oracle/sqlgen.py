@@ -555,3 +555,76 @@ sx AS (
 SELECT sx.docid, round({total}, 4) AS score
 FROM sx
 ORDER BY score DESC, sx.docid ASC LIMIT {k}"""
+
+
+def ib_sql(
+    should: tuple[str, ...],
+    distribution: str = "ll",
+    lambda_: str = "df",
+    normalization: str = "h1",
+    c: float = 1.0,
+    k: int = 10,
+    prelude: str | None = None,
+) -> str:
+    """IBSimilarity oracle (IBSimilarity.java:98-104): per-term
+    score = dist(tfn, lambda); lambda and avgFieldLength render as the same
+    float64 ratios the Spark path computes driver-side (search/dfr.py)."""
+    terms = list(dict.fromkeys(should))
+    avg = ("((SELECT coalesce(sum(dl), 0) FROM doclen)"
+           " / CAST((SELECT n FROM stats) AS DOUBLE))")
+    n_docs = "(SELECT n FROM stats)"
+    tf_cols = ",\n         ".join(
+        f"max(CASE WHEN f.term = '{t}' THEN f.tf END) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    if normalization == "h1":
+        tfn = lambda i: f"(pv.tf{i} * ({avg} / pv.dl_approx))"  # noqa: E731
+    elif normalization == "h2":
+        tfn = lambda i: (  # noqa: E731
+            f"(pv.tf{i} * (ln(1.0 + ({c!r} * {avg}) / pv.dl_approx)"
+            f" / ln(2.0)))"
+        )
+    else:
+        raise ValueError(normalization)
+    tfn_defs = ",\n       ".join(f"{tfn(i)} AS tfn{i}" for i in range(len(terms)))
+    base_col = "df" if lambda_ == "df" else "cf"
+    lam_defs = ",\n       ".join(
+        f"((coalesce((SELECT {base_col} FROM tstat WHERE term = '{t}'), 0)"
+        f" + 1.0) / ({n_docs} + 1.0)) AS lam{i}"
+        for i, t in enumerate(terms)
+    )
+
+    def dist(i: int) -> str:
+        if distribution == "ll":
+            return f"(-ln(sx.lam{i} / (sx.tfn{i} + sx.lam{i})))"
+        if distribution == "spl":
+            lam = (f"(CASE WHEN sx.lam{i} = 1.0 THEN 0.99"
+                   f" ELSE sx.lam{i} END)")
+            return (f"(-ln((pow({lam}, sx.tfn{i} / (sx.tfn{i} + 1.0))"
+                    f" - {lam}) / (1.0 - {lam})))")
+        raise ValueError(distribution)
+
+    total = " + ".join(
+        f"coalesce(CASE WHEN sx.tf{i} IS NOT NULL THEN 1.0 * {dist(i)} END,"
+        f" 0.0)"
+        for i in range(len(terms))
+    )
+    return f"""{prelude or PRELUDE},
+pv AS (
+  SELECT f.docid,
+         {tf_cols},
+         max(d.dl_approx) AS dl_approx
+  FROM tf f JOIN doc d ON d.docid = f.docid
+  WHERE f.term IN ({inlist})
+  GROUP BY f.docid
+),
+sx AS (
+  SELECT pv.*,
+       {tfn_defs},
+       {lam_defs}
+  FROM pv
+)
+SELECT sx.docid, round({total}, 4) AS score
+FROM sx
+ORDER BY score DESC, sx.docid ASC LIMIT {k}"""
