@@ -97,11 +97,22 @@ def _split_sort(spec: str | None) -> list[tuple[str, str]]:
     return out
 
 
-def _parse_sort(spec: str | None, now_epoch_ms: int | None = None) -> tuple[list, list[str]]:
+def _parse_sort(
+    spec: str | None,
+    now_epoch_ms: int | None = None,
+    sort_missing: str | None = None,
+) -> tuple[list, list[str]]:
     """-> (ordering columns, stored field names the ordering needs); 'score
     desc' is the default; a key containing '(' compiles as a function query
     (sort by function, ValueSourceParser); docid asc is always the final
-    tie-break (HitQueue docID order)."""
+    tie-break (HitQueue docID order).
+
+    ``sort_missing``: the schema's sortMissingLast/sortMissingFirst
+    (FieldType.java SORT_MISSING_LAST/FIRST — Solr puts docs without the
+    sort field at the chosen end regardless of direction).  None keeps
+    Spark's default (nulls first asc / last desc — the unset-attribute
+    Lucene default of sorting missing as field-type zero differs; pass an
+    explicit policy for schema parity)."""
     cols, fields = [], []
     for name, direction in _split_sort(spec):
         if "(" in name:
@@ -119,7 +130,16 @@ def _parse_sort(spec: str | None, now_epoch_ms: int | None = None) -> tuple[list
             c = F.col(name)
             if name not in ("score", "docid"):
                 fields.append(name)
-        cols.append(c.desc() if direction == "desc" else c.asc())
+        if sort_missing == "last":
+            cols.append(
+                c.desc_nulls_last() if direction == "desc" else c.asc_nulls_last()
+            )
+        elif sort_missing == "first":
+            cols.append(
+                c.desc_nulls_first() if direction == "desc" else c.asc_nulls_first()
+            )
+        else:
+            cols.append(c.desc() if direction == "desc" else c.asc())
     cols.append(F.col("docid").asc())
     return cols, fields
 
@@ -203,7 +223,8 @@ def select(
 
     # --- sort + window (start/rows) ---
     sort_spec = params.get("sort")
-    order, needs = _parse_sort(sort_spec, now_epoch_ms=now_epoch_ms)
+    order, needs = _parse_sort(sort_spec, now_epoch_ms=now_epoch_ms,
+                           sort_missing=params.get("sortMissing"))
     needs_fields = [
         f
         for f in dict.fromkeys(needs)
@@ -416,7 +437,8 @@ def export(
             how = "left_anti" if kind == "neg" else "left_semi"
             matched = matched.join(df, "docid", how)
 
-    order, needs = _parse_sort(sort_spec, now_epoch_ms=now_epoch_ms)
+    order, needs = _parse_sort(sort_spec, now_epoch_ms=now_epoch_ms,
+                           sort_missing=params.get("sortMissing"))
     need_cols = [
         c
         for c in dict.fromkeys(list(needs) + [f for f in fields if f != "docid"])

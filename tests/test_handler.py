@@ -176,3 +176,29 @@ def test_multiselect_faceting_tag_ex(index):
     in_counts = {r[0]: r[1] for r in out["facet_fields"]["lang"].collect()}
     assert set(in_counts) == {"en"}
     assert in_counts["en"] == ex_counts["en"]
+
+
+def test_sort_missing_last_first(spark):
+    """sortMissingLast/First (FieldType SORT_MISSING_LAST/FIRST): docs
+    without the sort field land at the chosen end regardless of direction."""
+    from lucene_solr_spark.handler import select
+    from lucene_solr_spark.index.builder import build_index
+
+    docs = spark.createDataFrame(
+        [(0, "table a", 5), (1, "table b", None), (2, "table c", 3)],
+        "doc_id long, text string, rank int",
+    )
+    idx = build_index(spark, docs, key_col="doc_id", docid_col="doc_id",
+                      num_index_partitions=2, passthrough_cols=("rank",))
+
+    def order(policy, direction="asc"):
+        out = select(idx, {
+            "q": "table", "rows": 10, "sort": f"rank {direction}",
+            "sortMissing": policy, "numFound": False,
+        })
+        return [r.docid for r in out["response"].collect()]
+
+    assert order("last") == [2, 0, 1]
+    assert order("first") == [1, 2, 0]
+    assert order("last", "desc") == [0, 2, 1]
+    assert order("first", "desc") == [1, 0, 2]
