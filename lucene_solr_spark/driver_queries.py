@@ -446,19 +446,19 @@ def fuzzy_query(spark, sf_dir):
 
 @_q(
     "reversed_wildcard_query",
-    f"{PRELUDE}\n" + _CS_EXP_SQL.format(pred="reverse(term) LIKE 'gni%'"),
+    f"{PRELUDE}\n" + _CS_EXP_SQL.format(pred="reverse(term) LIKE 'elb%'"),
 )
 def reversed_wildcard_query(spark, sf_dir):
     """Leading wildcard through the ReversedWildcardFilterFactory gate
     (solr/core/src/java/org/apache/solr/analysis/
-    ReversedWildcardFilterFactory.java:103-140): *ing reverses to a literal
+    ReversedWildcardFilterFactory.java:103-140): *ble reverses to a literal
     prefix on the reversed term dictionary — a StartsWith range probe
     instead of a full |V| LIKE scan.  The oracle states the same match set
-    as reverse(term) LIKE 'gni%' (the marker is a shared constant prefix on
+    as reverse(term) LIKE 'elb%' (the marker is a shared constant prefix on
     both sides, so it cancels)."""
     from lucene_solr_spark.search import ReversedWildcardQuery
 
-    return search(get_index(spark, sf_dir), ReversedWildcardQuery("*ing"), k=10)
+    return search(get_index(spark, sf_dir), ReversedWildcardQuery("*ble"), k=10)
 
 
 @_q(
