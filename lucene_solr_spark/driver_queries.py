@@ -2465,7 +2465,7 @@ def _register_qparser_queries():
     @_q(
         "qparser_nested",
         "SELECT doc_id AS docid, 1.0 AS score FROM documents "
-        "WHERE (n_chars / 1000.0) >= 0.8 "
+        "WHERE (n_chars / 1000.0) >= 0.5 "
         "ORDER BY score DESC, docid ASC LIMIT 20",
     )
     def qparser_nested(spark, sf_dir):
@@ -2477,7 +2477,7 @@ def _register_qparser_queries():
             get_index(spark, sf_dir),
             "{!query v=$nq}",
             k=20,
-            req={"nq": "{!frange l=0.8}div(n_chars,1000)"},
+            req={"nq": "{!frange l=0.5}div(n_chars,1000)"},
         )
 
     _MAXSCORE_TERMS = ["vector", "stream", "hash"]
