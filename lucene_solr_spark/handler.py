@@ -210,7 +210,11 @@ def select(
         scored = scored.persist()
 
     def _facet_base(ex_tags: set) -> DataFrame:
-        """The scored set with filters whose tag is excluded left OUT."""
+        """The scored set with filters whose tag is excluded left OUT.
+
+        Collapse PostFilters carry no tag and always re-apply (Solr's
+        CollapsingQParserPlugin stays a PostFilter during tag-excluded facet
+        recomputation, so excluded-tag counts run over the COLLAPSED set)."""
         if not ex_tags:
             return scored
         base = _scored_set(index, q, now_epoch_ms)
@@ -219,6 +223,8 @@ def select(
                 continue
             how = "left_anti" if kind == "neg" else "left_semi"
             base = base.join(df, "docid", how)
+        for cfq in collapse_fqs:
+            base = _apply_collapse(index, base, cfq)
         return base
 
     # --- sort + window (start/rows) ---

@@ -264,12 +264,24 @@ def uuid_field(df: DataFrame, key_col: str, field: str = "id") -> DataFrame:
     idempotence, so the UUID is version-3-style — derived from the md5 of
     the unique key (same doc -> same id on every replay)."""
     h = F.md5(F.col(key_col).cast("string"))
-    uuid = F.concat_ws(
-        "-",
-        F.substring(h, 1, 8),
-        F.substring(h, 9, 4),
-        F.concat(F.lit("3"), F.substring(h, 14, 3)),
-        F.substring(h, 17, 4),
-        F.substring(h, 21, 12),
+    # RFC 4122: version nibble = 3 (name-based md5), variant digit forced
+    # into 8..b via (nibble & 0x3) | 0x8 so the strings pass strict v3
+    # validation (the raw 17th hex digit could be any of 0-f)
+    variant = F.conv(
+        (F.conv(F.substring(h, 17, 1), 16, 10).cast("int") % 4 + 8).cast(
+            "string"
+        ),
+        10,
+        16,
+    )
+    uuid = F.lower(
+        F.concat_ws(
+            "-",
+            F.substring(h, 1, 8),
+            F.substring(h, 9, 4),
+            F.concat(F.lit("3"), F.substring(h, 14, 3)),
+            F.concat(variant, F.substring(h, 18, 3)),
+            F.substring(h, 21, 12),
+        )
     )
     return df.withColumn(field, uuid)

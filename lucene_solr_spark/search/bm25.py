@@ -1295,8 +1295,13 @@ def search(
     round_dp: int = 4,
     after: tuple[float, int] | None = None,
     rewrite: str = "constant_score",
+    ordered: bool = True,
 ) -> DataFrame:
     """Top-k search -> DataFrame(docid, score), ordered score desc, docid asc.
+
+    ``ordered=False`` skips the score-ordered TakeOrderedAndProject and
+    returns the full unsorted scored set — for callers (e.g. lucenePlusSort)
+    that re-sort by an explicit field spec, so no wasted global sort.
 
     ``after=(score, docid)`` gives keyset deep paging (searchAfter /
     CursorMark): strictly-worse results than the cursor, same ordering.
@@ -1323,6 +1328,8 @@ def search(
                     (F.col("score") < a_score)
                     | ((F.col("score") == a_score) & (F.col("docid") > a_docid))
                 )
+            if not ordered:
+                return out
             return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
         terms = _expand_terms(index, query)  # bounded by MAX_CLAUSE_COUNT
         if not terms:
@@ -1355,6 +1362,8 @@ def search(
             (F.col("score") < a_score)
             | ((F.col("score") == a_score) & (F.col("docid") > a_docid))
         )
+    if not ordered:
+        return out
     return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
 
 
@@ -1364,6 +1373,7 @@ def search_parsed(
     k: int = 10,
     default_op: str = "OR",
     round_dp: int = 4,
+    ordered: bool = True,
 ) -> DataFrame:
     """Parse a Solr/Lucene-syntax query string and execute it.
 
@@ -1386,7 +1396,7 @@ def search_parsed(
             return index.postings.sparkSession.createDataFrame(
                 [], "docid long, score double"
             )
-        return search(index, parsed, k=k, round_dp=round_dp)
+        return search(index, parsed, k=k, round_dp=round_dp, ordered=ordered)
 
     def part_scores(q) -> DataFrame:
         """Full (docid, score) set for one sub-query, unrounded."""
@@ -1480,11 +1490,10 @@ def search_parsed(
     for q in parsed.not_specials:
         out = out.join(part_scores(q).select("docid"), "docid", "left_anti")
 
-    return (
-        out.select("docid", F.round("score", round_dp).alias("score"))
-        .orderBy(F.col("score").desc(), F.col("docid").asc())
-        .limit(k)
-    )
+    out = out.select("docid", F.round("score", round_dp).alias("score"))
+    if not ordered:
+        return out
+    return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
 
 
 def dismax(

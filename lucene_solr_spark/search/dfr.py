@@ -61,23 +61,25 @@ LAMBDAS = ("df", "ttf")
 
 
 def _tfn_col(
-    tf: Column, dl: Column, normalization: str, c: float, avg_fl: float,
+    tf: Column, dl: Column, normalization: str, c: float | None, avg_fl: float,
     cf: int = 0, field_tokens: int = 0,
 ) -> Column:
-    """tfn(stats, tf, len).  ``c`` doubles as H3's mu (default 800) and Z's
-    z exponent (default 0.30) when those normalizations are picked with an
-    explicit c; passing the family default c=1.0 selects each
-    normalization's own reference default."""
+    """tfn(stats, tf, len).  ``c`` doubles as H3's mu and Z's z exponent.
+    ``c=None`` means 'use the normalization's own reference default'
+    (H2 c=1.0, H3 mu=800, Z z=0.30) — an EXPLICIT value (including 1.0)
+    is always honored, matching the reference constructors
+    (NormalizationH2/H3/Z.java), which accept any float."""
     if normalization == "h1":
         return tf * (F.lit(avg_fl) / dl)
     if normalization == "h2":
-        return tf * (F.log(F.lit(1.0) + F.lit(c * avg_fl) / dl) / F.lit(_LN2))
+        cc = 1.0 if c is None else c  # NormalizationH2.java:36-38 default
+        return tf * (F.log(F.lit(1.0) + F.lit(cc * avg_fl) / dl) / F.lit(_LN2))
     if normalization == "h3":
-        mu = 800.0 if c == 1.0 else c  # NormalizationH3.java:30-32 default
+        mu = 800.0 if c is None else c  # NormalizationH3.java:30-32 default
         g = (cf + 1.0) / (field_tokens + 1.0)
         return (tf + F.lit(mu * g)) / (dl + F.lit(mu)) * F.lit(mu)
     if normalization == "z":
-        z = 0.30 if c == 1.0 else c  # NormalizationZ.java:30-32 default
+        z = 0.30 if c is None else c  # NormalizationZ.java:30-32 default
         return tf * F.pow(F.lit(avg_fl) / dl, F.lit(z))
     raise ValueError(f"unknown normalization: {normalization!r}")
 
@@ -149,7 +151,7 @@ def dfr_topk(
     basic_model: str = "in",
     after_effect: str = "l",
     normalization: str = "h2",
-    c: float = 1.0,
+    c: float | None = None,
     k: int = 10,
     round_dp: int = 4,
 ) -> DataFrame:
@@ -194,7 +196,7 @@ def ib_topk(
     distribution: str = "ll",
     lambda_: str = "df",
     normalization: str = "h2",
-    c: float = 1.0,
+    c: float | None = None,
     k: int = 10,
     round_dp: int = 4,
 ) -> DataFrame:

@@ -413,10 +413,26 @@ def _lucene_plus_sort_qparser(index, params, body, k, round_dp):
     from lucene_solr_spark.handler import _parse_sort
     from lucene_solr_spark.search.bm25 import search_parsed
 
-    qstr, _, sortspec = body.rpartition(";")
+    # split at the LAST ';' outside double quotes — a ';' inside a quoted
+    # phrase (title:"a;b") is query text, not the sort separator
+    split_at = -1
+    in_quotes = False
+    for i, ch in enumerate(body):
+        if ch == '"' and (i == 0 or body[i - 1] != "\\"):
+            in_quotes = not in_quotes
+        elif ch == ";" and not in_quotes:
+            split_at = i
+    if split_at < 0:
+        qstr, sortspec = "", body
+    else:
+        qstr, sortspec = body[:split_at], body[split_at + 1:]
     if not qstr.strip():  # no ';' -> plain lucene behavior
         return search_parsed(index, body, k=k, round_dp=round_dp)
-    scored = search_parsed(index, qstr.strip(), k=(1 << 31) - 1, round_dp=round_dp)
+    # the explicit sort spec overrides score order, so take the UNSORTED
+    # scored set (ordered=False) — no wasted global score sort first
+    scored = search_parsed(
+        index, qstr.strip(), k=(1 << 31) - 1, round_dp=round_dp, ordered=False
+    )
     order, needs = _parse_sort(sortspec.strip() or None)
     need_cols = [c for c in dict.fromkeys(needs) if c in index.docs.columns]
     if need_cols:

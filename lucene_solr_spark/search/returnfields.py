@@ -89,11 +89,19 @@ def parse_return_fields(
                 if "v" not in kv:
                     raise ValueError("[value] needs v=<literal>")
                 t = kv.get("t", "str")
-                cast = {"int": "long", "float": "double", "double": "double",
-                        "date": "string", "str": "string"}.get(t, "string")
-                out.append(
-                    (alias or "[value]", F.lit(kv["v"]).cast(cast))
-                )
+                if t == "date":
+                    # ValueAugmenterFactory t=date yields a Date object —
+                    # parse to a real timestamp, not a string passthrough
+                    col = F.to_timestamp(F.lit(kv["v"]))
+                else:
+                    casts = {"int": "long", "float": "double",
+                             "double": "double", "str": "string"}
+                    if t not in casts:
+                        raise ValueError(
+                            f"[value] unknown t={t!r} (int|float|double|date|str)"
+                        )
+                    col = F.lit(kv["v"]).cast(casts[t])
+                out.append((alias or "[value]", col))
             elif tname == "explain":
                 # resolved upstream: handler.select joins the explanation
                 # column before projecting

@@ -90,4 +90,13 @@ def test_timestamp_and_uuid_processors(spark):
     assert u1 == u2                      # deterministic across replays
     assert u1[0] != u1[1]
     import re
-    assert re.fullmatch(r"[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}", u1[0])
+    import uuid as uuid_mod
+
+    for u in (*u1.values(), *u2.values()):
+        # strict RFC 4122 v3: version nibble 3, variant digit in 8..b
+        assert re.fullmatch(
+            r"[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}",
+            u,
+        )
+        parsed = uuid_mod.UUID(u)
+        assert parsed.version == 3 and parsed.variant == uuid_mod.RFC_4122
