@@ -1443,14 +1443,20 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
     def emb_ivf_ann(spark, sf_dir):
         """IVF-flat ANN (FAISS-style coarse quantizer, public knowledge):
         one Lloyd round over deterministic init, grid-quantized centroid
-        means, final assignment, 2-probe exact cosine — the second scale
-        path next to sign-LSH (textops/similarity.py scale note)."""
-        from lucene_solr_spark.textops.similarity import ivf_topk, ivf_train
+        means, then a BUILD-TIME assignment persisted partitioned by cid —
+        the query prunes to its 2 probed cells at the scan (partition
+        filter), never recomputing assignment over the corpus
+        (textops/similarity.py IvfIndex scale note)."""
+        import hashlib as _h
+        import tempfile
 
-        e = _emb(spark, sf_dir)
-        cents = ivf_train(e, n_centroids=8, iters=1)
-        return ivf_topk(e, _qvec(spark, sf_dir), cents, k=10, n_probe=2,
-                        exclude_id=0)
+        from lucene_solr_spark.textops.similarity import ivf_build
+
+        tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+        root = f"{tempfile.gettempdir()}/lss_ivf_v1_{tag}"
+        index = ivf_build(_emb(spark, sf_dir), root, n_centroids=8, iters=1)
+        return index.search(spark, _qvec(spark, sf_dir), k=10, n_probe=2,
+                            exclude_id=0)
 
     @_q("media_metadata", T.media_metadata_sql(max_docid=50))
     def media_metadata_q(spark, sf_dir):
@@ -4010,6 +4016,29 @@ GRADE_WINDOW = 50
 # Deferred = second demos of an operator whose primary row stays in-window.
 # (primary row given in the comment)
 _DEFER_LAST = [
+    # --- round-4 rotation (VERDICT r3 "Next round" #1): the whole r3c/r3d
+    # surface (DFR/IB, LM-JM, phonetic, IVF, clustering, spatial_bbox,
+    # /select, /export, function_*/qparser_* registry rows) plus the three
+    # never-regraded r1 hash fixes move INTO the window; these r3-green
+    # rows move out, each with a named in-window or incoming cover.
+    "span_not_query",           # span_near_query (same span kernel, NOT composition); r3 green
+    "span_or_terms",            # span_near_query (same span enumeration, OR leaf); r3 green
+    "clean_boilerplate",        # clean_url_dedup (same hash-groupBy clean family); r3 green
+    "multimodal_decode",        # r3 green hash-exact; mapInPandas plumbing pytest-golded
+    "facet_range_date_events",  # facet_range_nchars (same range-bucket machinery, now in-window regrading the r1 fix); r3 green
+    "stats_facet_lineitem",     # stats_nchars (same StatsComponent agg, now in-window regrading the r1 fix); r3 green
+    "boolean_and",              # min_should_match (mm generalizes scored AND); r1-r3 green
+    "synonym_phrase_query",     # phrase_query (same positions kernel) + synonym-graph goldens in test_synonyms; r3 green
+    "highlight_topk",           # highlight_positions_tv (strictly harder positions-layer variant stays); r3 green
+    "store_delete_query",       # store_persisted_query (same store pipeline) + test_deletes; r3 green
+    "realtime_get",             # store_persisted_query (tlog + store read path); r3 green
+    "emb_lsh_ann",              # emb_ivf_ann (same probe-restricted exact-cosine shape, now in-window); r2+r3 green
+    "dedup_simhash",            # dedup_near_pairs (banded near-dup family); r3 green hash-exact at 60 bits
+    "classify_knn",             # classify_naive_bayes (same term-stats classification frame); r3 green
+    "qparser_frange",           # qparser_nested (registry front door) + incoming qparser_maxscore/complexphrase/collapse_fq; r3 green
+    "terms_component",          # facet_terms_highcard (same dictionary hash-agg); r3 green
+    "spellcheck_term",          # suggest_fuzzy_typo (same bounded edit-distance lookup); r3 green
+    "cursor_mark_page2",        # handler_export (same field-sorted collector discipline, now in-window) + keyset kernel r1-r3 green
     # --- round-3 rotation: near-duplicate rows graded green in r1/r2 move
     # past the window so distinct-kernel rows (span-or/not, highlight,
     # spellcheck, qparser_frange, filtercache, URP, clean ops) get oracle
@@ -4035,16 +4064,9 @@ _DEFER_LAST = [
     "text_quality",             # text_gopher_filter (same codegen text-metric projection family, thresholds over the same signals); r2 green — slot for classify_naive_bayes
     "pivot_lang_source",        # facet_field_lang (same hash-agg facet machinery; pivot nests it) + stats_facet_lineitem (facet-combined agg); r2 green — slot for lmdirichlet_query
     "group_top2_orders_per_priority",  # collapse_by_source (same window best-per-group kernel; grouping generalizes to top-N) + expand_component tests; r2 green — slot for classify_knn
-    "lmjm_query",               # lmdirichlet_query (same LM frame, smoothing variant)
-    "dfr_inl2_query",           # lmdirichlet_query (same SimilarityBase pivot frame; DFR basic-model/after-effect swap) — float32 rank-identity oracle in tests/test_dfr.py
-    "ib_lldfh1_query",          # lmdirichlet_query (same SimilarityBase pivot frame; IB distribution/lambda swap) — float32 rank-identity oracle in tests/test_dfr.py
-    "phonetic_match_query",     # stemmed_term_query (same vocabulary-level term_map index technique; encoder swapped) — soundex goldens in tests/test_phonetic.py
-    "emb_ivf_ann",              # emb_lsh_ann (same probe-restricted exact-cosine shape; quantizer swapped LSH->IVF) — numpy differential in tests/test_ivf.py
-    "cluster_results_query",    # classify_knn (same MLT interesting-term gate) + facet_field_lang (hash-agg grouping) over an in-window scored set
     # --- round-3b rotation: slots for classic_tfidf_query / spatial_geofilt ---
     "pages_extraction_invariant",  # pages_boolean_query (its oracle reproduces the same HTMLStrip extraction prelude end-to-end); r2 green
     "facet_query_multi",        # filter_cache_intersect (DocSet algebra) + facet_field_lang (facet machinery); r2 green
-    "spatial_bbox",             # spatial_geofilt (same LatLonType columns; box is the geofilt prefilter, wrap case pytest-golded)
     # --- round-3d rotation: slot for reversed_wildcard_query ---
     "fuzzy_query",              # reversed_wildcard_query (same bounded multi-term rewrite + constant-score semi-join; matcher swapped levenshtein->reversed-prefix); r1+r2 green
     # --- long-standing deferrals (near-duplicate demos) ---
@@ -4064,9 +4086,6 @@ _DEFER_LAST = [
     "deep_paging",              # cursor_mark_page2 (keyset is the scale path)
     "prefix_query",             # regexp_query (constant_score rewrite)
     "norms_distribution",       # smallfloat property tests + every scored row
-    "stats_nchars",             # stats_facet_lineitem
-    "interval_facets_nchars",   # facet_interval_price
-    "facet_range_nchars",       # facet_range_date_events
     "strdist_function",         # function_query_recip_freshness
     "dismax_query",             # dismax_fields (per-field version)
     "facet_missing_lang",       # facet_field_lang (facet.field op) — polish row
@@ -4090,9 +4109,7 @@ _DEFER_LAST = [
     # QParser plugin registry ({!type} front door): each plugin reduces to an
     # operator with a graded row — the registry itself is the new surface
     "qparser_terms_lang",       # numeric_range_filter (constant-score filter)
-    "qparser_maxscore",         # dismax_fields (max-fold scoring)
     "qparser_boost",            # function_query_recip_freshness (function boost)
-    "qparser_complexphrase",    # span_near_query (span-or expansion kernel)
     "qparser_surround",         # span_near_query (unordered distance-op front door)
     "term_vectors_doc",         # terms_component (dictionary stats) + phrase_query (positions layer)
     "explain_scores_docs",      # term_query (same scored factors, decomposed)
@@ -4112,20 +4129,14 @@ _DEFER_LAST = [
     "clean_dedup_lines",        # text_fingerprint (same order-sensitive array pass)
     "text_dup_ngrams",          # text_token_stats (same array-metric pass, bigram variant)
     "search_with_frange_fq",    # search_with_fq (qparser-typed fq variant)
-    "qparser_collapse_fq",      # collapse_by_source (same window collapse) + search_with_fq (PostFilter composition)
-    "handler_select",           # search_with_fq + sort_by_field + return_fields_fl (the /select composition of graded parts)
-    "handler_export",           # cursor_mark_page2 (same field-sorted collector discipline, unbounded variant) + search_with_frange_fq (the fq path)
     "qparser_func",             # function_query_recip_freshness (same compiler; {!func} is the registry front door)
     "text_bpe_tokens",          # text_token_stats (same codegen token-count projection family; GPT-2 pretokenizer variant, lookahead decomposition differential-tested in tests/test_bpe_tokens.py)
     "mlt_interesting_terms",    # rerank_query (in-window two-pass cover) — the MLT selection queue more_like_this runs, surfaced as rows; oracle-checked in pytest
     # round-3 ValueSourceParser registry extensions: the registry front door
     # holds the graded row (function_query_recip_freshness); each family
     # below is oracle-checked here and unit-tested in test_functions.py
-    "function_geodist",         # function_query_recip_freshness (registry) — geo distance family
     "function_dist_minkowski",  # function_query_recip_freshness (registry) — vector distance family
-    "function_index_stats",     # term_query (same term-dictionary stats the scorer consumes)
     "function_termfreq",        # term_query (term-pruned postings join, unscored)
-    "function_ord_lang",        # sort_by_field (ordinal-of-sorted-value semantics)
 ]
 
 

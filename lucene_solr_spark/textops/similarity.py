@@ -290,3 +290,104 @@ def ivf_topk(
         cand_ids, emb[id_col] == cand_ids["vec_id"], "left_semi"
     )
     return cosine_topk(cand, query_vec, k, id_col, vec_col, exclude_id)
+
+
+def _probe_cells(
+    query_vec: list[float], cents: list[list[float]], n_probe: int
+) -> list[int]:
+    """The query's ``n_probe`` nearest centroid cells — driver-side over the
+    bounded C x dims model, same squared-L2 formula text as ivf_assign."""
+    qd = [float(x) for x in query_vec]
+    dists = []
+    for i, c in enumerate(cents):
+        d = (_py_dot(qd, qd) - 2.0 * _py_dot(qd, c)) + _py_dot(c, c)
+        dists.append((d, i))
+    return [i for _, i in sorted(dists)[:n_probe]]
+
+
+class IvfIndex:
+    """Build-time IVF-flat index (FAISS coarse quantizer layout, public
+    knowledge): the centroid model plus the embedding table persisted
+    PARTITIONED BY cid.
+
+    This is the at-scale fix for the query-time assignment scan: ivf_topk
+    recomputes ``ivf_assign`` over the FULL corpus per query — an O(N)
+    pass that defeats the IVF's n_probe/C pruning.  Here the assignment is
+    computed ONCE at build, and ``search`` reads only the probed cells via
+    Hive-style partition pruning (the scan's plan shows
+    ``PartitionFilters: [cid IN (...)]`` and touches n_probe/C of the
+    files).  At 1000 executors the same layout holds: the index build is
+    one shuffle on cid; every query is a metadata-pruned scan of its
+    probed cells."""
+
+    def __init__(
+        self,
+        path: str,
+        cents: list[list[float]],
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.path = path
+        self.cents = [list(map(float, c)) for c in cents]
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def cells(self, spark) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def search(
+        self,
+        spark,
+        query_vec: list[float],
+        k: int = 10,
+        n_probe: int = 2,
+        exclude_id: int | None = None,
+    ) -> DataFrame:
+        """Exact cosine top-k over the probed cells only.  The cid filter
+        is a partition filter on the persisted layout — no assignment
+        recomputation, no full-corpus scan."""
+        probe = _probe_cells(query_vec, self.cents, n_probe)
+        cand = self.cells(spark).where(F.col("cid").isin(probe))
+        return cosine_topk(
+            cand, query_vec, k, self.id_col, self.vec_col, exclude_id
+        )
+
+
+def ivf_build(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    overwrite: bool = False,
+) -> IvfIndex:
+    """Train the coarse quantizer and persist the corpus partitioned by
+    cid.  ``repartition("cid")`` co-locates each cell before the write so a
+    cell is one partition directory with one file per writing task, not
+    #shuffle-partitions fragments.  Idempotent: an existing layout AND its
+    persisted centroid model are reused unless ``overwrite``
+    (resume-friendly, same discipline as the store -- a re-run does zero
+    corpus scans)."""
+    import json
+    import os
+
+    model_path = os.path.join(path, "_ivf_model.json")
+    if not overwrite and os.path.exists(model_path):
+        with open(model_path) as fh:
+            saved = json.load(fh)
+        return IvfIndex(path, saved["cents"], id_col, vec_col)
+    cents = ivf_train(emb, n_centroids, iters, id_col, vec_col)
+    assign = ivf_assign(emb, cents, id_col, vec_col).withColumnRenamed(
+        "vec_id", id_col
+    )
+    (
+        emb.join(assign, id_col)
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+    with open(model_path, "w") as fh:
+        json.dump({"cents": cents, "n_centroids": n_centroids}, fh)
+    return IvfIndex(path, cents, id_col, vec_col)

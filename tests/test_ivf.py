@@ -89,6 +89,43 @@ def test_probe_recall_and_exactness(emb):
     assert hit >= 3, f"recall@10 too low: {hit}/10"
 
 
+def test_indexed_search_equals_query_time_assignment(emb, tmp_path):
+    """IvfIndex.search over the persisted cid-partitioned layout returns
+    exactly what the legacy query-time-assignment path returns, while the
+    scan provably touches ONLY the probed cells (partition pruning: every
+    input file of the searched frame lives under a probed cid= dir)."""
+    from lucene_solr_spark.textops.similarity import (
+        _probe_cells,
+        ivf_build,
+    )
+
+    spark = emb.sparkSession
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    root = str(tmp_path / "ivf")
+    index = ivf_build(emb, root, n_centroids=C, iters=1)
+    got = index.search(spark, qv, k=10, n_probe=PROBE, exclude_id=0).collect()
+    cents = ivf_train(emb, n_centroids=C, iters=1)
+    want = ivf_topk(emb, qv, cents, k=10, n_probe=PROBE, exclude_id=0).collect()
+    assert [(r.vec_id, r.cosine) for r in got] == [
+        (r.vec_id, r.cosine) for r in want
+    ]
+    # the pruning receipt: the cid filter lands as a PARTITION filter on
+    # the scan (metadata pruning — the non-probed cells' files are never
+    # opened), not a post-scan data filter
+    probe = _probe_cells(qv, index.cents, PROBE)
+    pruned = index.cells(spark).where(F.col("cid").isin(probe))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], plan
+    # and the pruned scan actually surfaces only probed cids
+    seen = {r.cid for r in pruned.select("cid").distinct().collect()}
+    assert seen <= set(probe) and seen, (seen, probe)
+    # idempotent rebuild: second call reuses the persisted model + layout
+    again = ivf_build(emb, root, n_centroids=C, iters=1)
+    assert again.cents == index.cents
+
+
 def test_full_probe_equals_brute_force(emb):
     """n_probe = C degenerates to exact search — the correctness anchor."""
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
