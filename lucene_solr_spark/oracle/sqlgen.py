@@ -236,6 +236,17 @@ def stemmed_prelude_sql(doc_source: str = "SELECT doc_id AS docid, text FROM doc
     return "WITH " + _prelude_body(doc_source, stem_values=porter_stem_values())
 
 
+def kstem_prelude_sql(doc_source: str = "SELECT doc_id AS docid, text FROM documents") -> str:
+    """PRELUDE variant whose tok CTE maps terms through the KStem
+    dictionary (the ``text_en`` chain with KStemFilterFactory: tokenizer ->
+    lowercase -> stop -> kstem)."""
+    from lucene_solr_spark.analysis.kstem import kstem
+
+    return "WITH " + _prelude_body(
+        doc_source, stem_values=vocab_map_values(kstem)
+    )
+
+
 def phonetic_prelude_sql(doc_source: str = "SELECT doc_id AS docid, text FROM documents") -> str:
     """PRELUDE variant whose tok CTE maps terms through the Soundex code
     dictionary (PhoneticFilterFactory with encoder=Soundex, inject=false —
