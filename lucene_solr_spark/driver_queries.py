@@ -273,6 +273,49 @@ def _register_kstem_query():
 _register_kstem_query()
 
 
+def get_dm_index(spark: SparkSession, sf_dir: str) -> IndexTables:
+    """documents indexed through PhoneticFilterFactory's DEFAULT encoder —
+    Double Metaphone, inject=false (lucene/analysis/phonetic/.../
+    PhoneticFilterFactory.java:60-85): every term replaced by its primary
+    code via the vocabulary-level term map (analysis/metaphone.py)."""
+    from lucene_solr_spark.analysis.metaphone import double_metaphone_map
+
+    key = sf_dir + "#dmetaphone"
+    if key not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _INDEX_CACHE[key] = build_index(
+            spark,
+            docs,
+            key_col="doc_id",
+            docid_col="doc_id",
+            num_index_partitions=8,
+            term_map=double_metaphone_map,
+        )
+    return _INDEX_CACHE[key]
+
+
+def _register_dm_query():
+    from lucene_solr_spark.oracle.sqlgen import dm_prelude_sql
+
+    @_q(
+        "dmetaphone_match_query",
+        bool_sql(must=("MRJ",), prelude=dm_prelude_sql()),
+    )
+    def dmetaphone_match_query(spark, sf_dir):
+        """PhoneticFilter[DoubleMetaphone] end-to-end — the factory
+        DEFAULT: the query word 'merge' encodes to primary MRJ, matching
+        every sound-alike term, BM25 over the folded stats.  9,759
+        commons-codec-JVM goldens in tests/test_metaphone.py."""
+        from lucene_solr_spark.analysis.metaphone import double_metaphone
+
+        return search(
+            get_dm_index(spark, sf_dir), double_metaphone("merge")[0], k=10
+        )
+
+
+_register_dm_query()
+
+
 def _register_phonetic_query():
     from lucene_solr_spark.oracle.sqlgen import phonetic_prelude_sql
 
@@ -4085,6 +4128,7 @@ _DEFER_LAST = [
     "spellcheck_term",          # suggest_fuzzy_typo (same bounded edit-distance lookup); r3 green
     "cursor_mark_page2",        # handler_export (same field-sorted collector discipline, now in-window) + keyset kernel r1-r3 green
     "phrase_query",             # sloppy_phrase (slop=0 is its special case) + highlight_positions_tv (positions layer); r1-r3 green — slot for kstem_term_query
+    "multivalued_facet_tags",   # facet_field_lang (facet.field machinery) + multivalued_field_query (multiValued analysis), both in-window; r3 green — slot for dmetaphone_match_query
     # --- round-3 rotation: near-duplicate rows graded green in r1/r2 move
     # past the window so distinct-kernel rows (span-or/not, highlight,
     # spellcheck, qparser_frange, filtercache, URP, clean ops) get oracle

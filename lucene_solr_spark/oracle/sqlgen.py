@@ -258,6 +258,19 @@ def phonetic_prelude_sql(doc_source: str = "SELECT doc_id AS docid, text FROM do
     )
 
 
+def dm_prelude_sql(doc_source: str = "SELECT doc_id AS docid, text FROM documents") -> str:
+    """PRELUDE variant whose tok CTE maps terms through the Double
+    Metaphone primary-code dictionary (PhoneticFilterFactory's DEFAULT
+    encoder, inject=false — every token replaced by its primary code;
+    codeless tokens pass through)."""
+    from lucene_solr_spark.analysis.metaphone import double_metaphone
+
+    return "WITH " + _prelude_body(
+        doc_source,
+        stem_values=vocab_map_values(lambda t: double_metaphone(t)[0] or t),
+    )
+
+
 def score_cols_sql() -> str:
     """The BM25 per-(term,doc) score over prelude columns f/s/d/st."""
     return score_formula(tf="f.tf", df="s.df", dl="d.dl_approx", n="st.n", avgdl="st.avgdl")
