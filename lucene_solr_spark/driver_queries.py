@@ -2597,6 +2597,47 @@ ORDER BY score DESC, docid ASC LIMIT 10""",
         )
 
     @_q(
+        "qparser_boost_subquery",
+        f"""{PRELUDE},
+base AS (
+  -- BoostedQuery multiplies RAW sub-query scores: round_dp=10
+  SELECT docid, round(coalesce(s0, 0.0), 10) AS bscore
+  FROM (
+    SELECT f.docid, {bool_case_cols(['merge'])}
+    {scored_from()}
+    WHERE f.term IN ('merge')
+    GROUP BY f.docid
+  )
+),
+sub AS (
+  -- query($qq): the nested query's canonical (4dp) score per docid
+  SELECT docid, round(coalesce(s0, 0.0), 4) AS qscore
+  FROM (
+    SELECT f.docid, {bool_case_cols(['table'])}
+    {scored_from()}
+    WHERE f.term IN ('table')
+    GROUP BY f.docid
+  )
+)
+SELECT b.docid, round(b.bscore * (1.0 + coalesce(sub.qscore, 0.0)), 4) AS score
+FROM base b LEFT JOIN sub USING (docid)
+ORDER BY score DESC, docid ASC LIMIT 10""",
+    )
+    def qparser_boost_subquery(spark, sf_dir):
+        """{!boost b=sum(1,query($qq))}merge with qq=table — the edismax
+        'boost by another query's score' idiom (ValueSourceParser.java
+        addParser("query"):274-283, QueryValueSource.java): query($qq)
+        resolves to the nested query's per-doc score (0.0 for misses) via
+        a docid left-join against its scored set, then BoostedQuery
+        multiplies."""
+        return qparser_search(
+            get_index(spark, sf_dir),
+            "{!boost b=sum(1,query($qq))}merge",
+            k=10,
+            req={"qq": "table"},
+        )
+
+    @_q(
         "qparser_boost",
         f"""{PRELUDE},
 base AS (
@@ -4129,6 +4170,7 @@ _DEFER_LAST = [
     "cursor_mark_page2",        # handler_export (same field-sorted collector discipline, now in-window) + keyset kernel r1-r3 green
     "phrase_query",             # sloppy_phrase (slop=0 is its special case) + highlight_positions_tv (positions layer); r1-r3 green — slot for kstem_term_query
     "multivalued_facet_tags",   # facet_field_lang (facet.field machinery) + multivalued_field_query (multiValued analysis), both in-window; r3 green — slot for dmetaphone_match_query
+    "edismax_query",            # qparser_maxscore (dis-max fold, in-window) + dismax_fields/bq/bf pytest coverage; r2+r3 green — slot for qparser_boost_subquery
     # --- round-3 rotation: near-duplicate rows graded green in r1/r2 move
     # past the window so distinct-kernel rows (span-or/not, highlight,
     # spellcheck, qparser_frange, filtercache, URP, clean ops) get oracle

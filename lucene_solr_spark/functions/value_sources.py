@@ -49,7 +49,8 @@ _TOKEN = re.compile(
     r"""\s*(?:
         (?P<num>-?\d+\.?\d*(?:[eE][+-]?\d+)?)
       | (?P<name>[A-Za-z_][A-Za-z0-9_.]*)
-      | (?P<str>"[^"]*")
+      | (?P<dollar>\$[A-Za-z_][A-Za-z0-9_.]*)
+      | (?P<str>"[^"]*"|'[^']*')
       | (?P<lp>\()
       | (?P<rp>\))
       | (?P<comma>,)
@@ -106,6 +107,14 @@ FUNCTIONS: dict[str, tuple[int, int, callable]] = {
     "not": (1, 1, lambda a: ~a[0].cast("boolean")),
     "and": (2, 99, lambda a: _chain(a, lambda x, y: x.cast("boolean") & y.cast("boolean"))),
     "or": (2, 99, lambda a: _chain(a, lambda x, y: x.cast("boolean") | y.cast("boolean"))),
+    # xor (ValueSourceParser.java addParser("xor"): MultiBoolFunction true
+    # iff the sources are NOT all-true and NOT all-false)
+    "xor": (2, 99, lambda a: (
+        _chain(a, lambda x, y: x.cast("boolean") | y.cast("boolean"))
+        & ~_chain(a, lambda x, y: x.cast("boolean") & y.cast("boolean"))
+    )),
+    # top(vs) is a no-op passthrough (ValueSourceParser.java:136-143)
+    "top": (1, 1, lambda a: a[0]),
     # date: ms(a[,b]) in milliseconds (DateValueSourceParser)
     "ms": (1, 2, lambda a: (a[0] - a[1]) if len(a) == 2 else a[0]),
     # constants (ValueSourceParser.java addParser("pi"/"e"/"true"/"false"))
@@ -215,14 +224,20 @@ def _chain(args: list[Column], op) -> Column:
 
 
 class _Parser:
-    def __init__(self, text: str, now_epoch_ms: int | None, index=None):
+    def __init__(
+        self,
+        text: str,
+        now_epoch_ms: int | None,
+        index=None,
+        params: dict[str, str] | None = None,
+    ):
         self.toks: list[tuple[str, str]] = []
         pos = 0
         while pos < len(text):
             m = _TOKEN.match(text, pos)
             if not m or m.end() == m.start():
                 raise ValueError(f"bad function query at {text[pos:pos+20]!r}")
-            for kind in ("num", "name", "str", "lp", "rp", "comma"):
+            for kind in ("num", "name", "dollar", "str", "lp", "rp", "comma"):
                 if m.group(kind) is not None:
                     self.toks.append((kind, m.group(kind)))
                     break
@@ -230,6 +245,10 @@ class _Parser:
         self.i = 0
         self.now = now_epoch_ms
         self.index = index
+        self.params = params or {}
+        # query() subqueries needing a frame-level (docid, score) join:
+        # list of (column_name, query_string, default_value)
+        self.subqueries: list[tuple[str, str, float]] = []
         self._now_cols: set[int] = set()  # id()s of NOW literal columns
         self._str_lits: dict[int, str] = {}  # id(col) -> raw string literal
         self._num_lits: dict[int, float] = {}  # id(col) -> numeric literal
@@ -264,6 +283,15 @@ class _Parser:
         if nxt and nxt[0] == "lp":
             if val.lower() in _INDEX_STAT_FNS:
                 return self._index_stat(val.lower())
+            if val.lower() == "query":
+                return self._query_source()
+            if val.lower() == "field":
+                # FieldValueSource front door (addParser("field")): the arg
+                # is a field NAME (bare or quoted), not a value source
+                args = self._raw_args()
+                if len(args) != 1:
+                    raise ValueError("field() takes exactly one field name")
+                return F.col(args[0])
             self.take()  # (
             args: list[Column] = []
             while True:
@@ -326,6 +354,29 @@ class _Parser:
             kind, val = self.take()
             out.append(val[1:-1] if kind == "str" else val)
 
+    def _query_source(self) -> Column:
+        """query(subquery[,default]) (ValueSourceParser.java:274-283,
+        QueryValueSource.java): the per-doc score of a nested query,
+        ``default`` (0.0) for non-matching docs.  A per-doc subquery score
+        is not expressible as a pure Column — the parser records the
+        subquery and emits a placeholder column; callers realize it with
+        ``resolve_query_sources`` (one docid left-join + coalesce per
+        subquery).  The subquery is a ``$param`` deref or a quoted string
+        (FunctionQParser.parseNestedQuery)."""
+        args = self._raw_args()
+        if not 1 <= len(args) <= 2:
+            raise ValueError("query(q[,default]) takes 1..2 args")
+        qstr = args[0]
+        if qstr.startswith("$"):
+            name = qstr[1:]
+            if name not in self.params:
+                raise ValueError(f"query(${name}): no request param {name!r}")
+            qstr = self.params[name]
+        default = float(args[1]) if len(args) == 2 else 0.0
+        col = f"_qscore{len(self.subqueries)}"
+        self.subqueries.append((col, qstr, default))
+        return F.col(col)
+
     def _index_stat(self, fname: str) -> Column:
         """Index-statistic value sources (ValueSourceParser.java addParser
         "docfreq"/"idf"/"maxdoc"/"numdocs"/"sumtotaltermfreq"/
@@ -376,19 +427,56 @@ def _to_ms(c: Column) -> Column:
 
 
 def parse_function_query(
-    text: str, now_epoch_ms: int | None = None, index=None
+    text: str,
+    now_epoch_ms: int | None = None,
+    index=None,
+    params: dict[str, str] | None = None,
+    subqueries: list | None = None,
 ) -> Column:
     """Compile a Solr function-query string to a Catalyst Column.
 
     ``now_epoch_ms`` pins NOW for ``ms(NOW,field)`` — required for
     determinism (Solr pins NOW per request).  ``index`` (IndexTables)
     enables the index-statistic functions (docfreq/idf/maxdoc/numdocs/
-    sumtotaltermfreq/totaltermfreq), which compile to scalar literals."""
-    p = _Parser(text, now_epoch_ms, index=index)
+    sumtotaltermfreq/totaltermfreq), which compile to scalar literals.
+    ``params`` supplies request params for ``query($name)`` dereferencing;
+    ``subqueries`` is the caller's accumulator for query() placeholders —
+    pass a list and realize it with ``resolve_query_sources`` (query()
+    without an accumulator is an error, since the column can't stand
+    alone)."""
+    p = _Parser(text, now_epoch_ms, index=index, params=params)
     out = p.expr()
     if p.peek() is not None:
         raise ValueError(f"trailing tokens from {p.peek()!r}")
+    if p.subqueries:
+        if subqueries is None:
+            raise ValueError(
+                "query(...) needs a subqueries accumulator + "
+                "resolve_query_sources at the frame level"
+            )
+        subqueries.extend(p.subqueries)
     return out
+
+
+def resolve_query_sources(df, index, subqueries, round_dp: int = 4):
+    """Realize query() placeholders: for each recorded (col, qstr, default),
+    left-join the subquery's FULL scored set on docid and coalesce misses
+    to the default (QueryValueSource.java float default 0.0).
+
+    Scale shape: each subquery is one term-pruned scored frame (the
+    standard BM25 plan) joined on the docid key the caller's frame already
+    carries — no new shuffle kind; the join is semi-bounded by the
+    subquery's match set."""
+    from lucene_solr_spark.search.bm25 import search_parsed
+
+    for col, qstr, default in subqueries:
+        sc = search_parsed(
+            index, qstr, k=(1 << 31) - 1, round_dp=round_dp, ordered=False
+        ).withColumnRenamed("score", col)
+        df = df.join(sc, "docid", "left").withColumn(
+            col, F.coalesce(F.col(col), F.lit(float(default)))
+        )
+    return df
 
 
 def with_termfreq(df, index, term: str, out: str = "termfreq"):

@@ -366,7 +366,7 @@ def _maxscore_qparser(index, params, body, k, round_dp):
     )
 
 
-def _boost_qparser(index, params, body, k, round_dp, now_epoch_ms=None):
+def _boost_qparser(index, params, body, k, round_dp, now_epoch_ms=None, req=None):
     """BoostQParserPlugin.java:42-62: BoostedQuery — the wrapped query's score
     multiplied by the compiled ``b`` function value, re-ranked AFTER the
     multiply (the function participates in ranking, unlike a static boost)."""
@@ -376,7 +376,13 @@ def _boost_qparser(index, params, body, k, round_dp, now_epoch_ms=None):
 
     if "b" not in params:
         raise ValueError("boost qparser needs b=<function>")
-    bcol = parse_function_query(params["b"], now_epoch_ms=now_epoch_ms)
+    from lucene_solr_spark.functions.value_sources import resolve_query_sources
+
+    subs: list = []
+    bcol = parse_function_query(
+        params["b"], now_epoch_ms=now_epoch_ms, index=index,
+        params={**(req or {}), **params}, subqueries=subs,
+    )
     parsed = parse_query(body)
     if isinstance(parsed, TermQuery):
         parsed = BooleanQuery(should=(parsed,))
@@ -387,20 +393,31 @@ def _boost_qparser(index, params, body, k, round_dp, now_epoch_ms=None):
     # precision (round_dp=10, like edismax part_scores) and round exactly
     # once after the multiply, else near-ties can flip post-multiply rank.
     scored = _boolean_topk(index, parsed, k, 10)
-    joined = scored.join(index.docs, "docid").select(
+    base = resolve_query_sources(
+        scored.join(index.docs, "docid"), index, subs, round_dp=round_dp
+    )
+    joined = base.select(
         "docid", F.round(F.col("score") * bcol, round_dp).alias("score")
     )
     return _topk(joined, k)
 
 
-def _func_qparser(index, params, body, k, round_dp, now_epoch_ms=None):
+def _func_qparser(index, params, body, k, round_dp, now_epoch_ms=None, req=None):
     """FunctionQParserPlugin.java:32-42 (FunctionQuery): every doc scores
     the compiled function value — a pure Catalyst projection over the
-    docvalues columns, TakeOrderedAndProject top-k."""
+    docvalues columns, TakeOrderedAndProject top-k.  query($q) value
+    sources resolve as docid left-joins against the subquery's scored set
+    (QueryValueSource; functions/value_sources.resolve_query_sources)."""
     from lucene_solr_spark.functions import parse_function_query
+    from lucene_solr_spark.functions.value_sources import resolve_query_sources
 
-    col = parse_function_query(body, now_epoch_ms=now_epoch_ms)
-    out = index.docs.select(
+    subs: list = []
+    col = parse_function_query(
+        body, now_epoch_ms=now_epoch_ms, index=index,
+        params={**(req or {}), **params}, subqueries=subs,
+    )
+    base = resolve_query_sources(index.docs, index, subs, round_dp=round_dp)
+    out = base.select(
         "docid", F.round(col.cast("double"), round_dp).alias("score")
     )
     return _topk(out, k)
@@ -859,7 +876,8 @@ def qparser_search(
         return _lucene_plus_sort_qparser(index, params, body, k, round_dp)
     if qtype == "func":
         return _func_qparser(
-            index, params, body, k, round_dp, now_epoch_ms=now_epoch_ms
+            index, params, body, k, round_dp, now_epoch_ms=now_epoch_ms,
+            req=req,
         )
     if qtype == "dismax":
         return _dismax_qparser(index, params, body, k, round_dp)
@@ -895,6 +913,7 @@ def qparser_search(
         return _geofilt_qparser(index, params, body, k, round_dp, box_only=True)
     if qtype == "boost":
         return _boost_qparser(
-            index, params, body, k, round_dp, now_epoch_ms=now_epoch_ms
+            index, params, body, k, round_dp, now_epoch_ms=now_epoch_ms,
+            req=req,
         )
     raise ValueError(f"unknown qparser type: {qtype!r}")

@@ -268,3 +268,78 @@ def test_constant_value_sources(spark, df):
     assert _vals(df, parse_function_query("if(true(),1,2)")) == {1: 1, 2: 1}
     assert _vals(df, parse_function_query("if(false(),1,2)")) == {1: 2, 2: 2}
     assert _vals(df, parse_function_query("not(false())")) == {1: True, 2: True}
+
+
+def test_xor_top_field(spark, df):
+    """xor() (ValueSourceParser.java addParser("xor"): true iff not
+    all-true and not all-false), top() passthrough, field() front door."""
+    assert _vals(df, parse_function_query("xor(true(),false())")) == {
+        1: True, 2: True
+    }
+    assert _vals(df, parse_function_query("xor(true(),true())")) == {
+        1: False, 2: False
+    }
+    assert _vals(df, parse_function_query("xor(false(),false(),false())")) == {
+        1: False, 2: False
+    }
+    assert _vals(df, parse_function_query("xor(true(),true(),false())")) == {
+        1: True, 2: True
+    }
+    a = _vals(df, parse_function_query("top(sum(1,2))"))
+    assert a == {1: 3, 2: 3}
+    assert _vals(df, parse_function_query("field(x)")) == _vals(
+        df, parse_function_query("x")
+    )
+    assert _vals(df, parse_function_query('field("x")')) == _vals(
+        df, parse_function_query("x")
+    )
+
+
+def test_query_value_source_requires_accumulator(spark, df):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="accumulator"):
+        parse_function_query("query('x')")
+    with _pt.raises(ValueError, match="no request param"):
+        parse_function_query("query($missing)", subqueries=[])
+
+
+def test_query_value_source_end_to_end(spark, sf_dir):
+    """{!func}sum(query($qq),0) == the subquery's own scored set with 0.0
+    for misses; {!boost b=query($qq)} multiplies (QueryValueSource)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.driver_queries import get_index
+    from lucene_solr_spark.search.bm25 import search
+    from lucene_solr_spark.search.qparsers import qparser_search
+
+    index = get_index(spark, sf_dir)
+    got = {
+        r.docid: r.score
+        for r in qparser_search(
+            index, "{!func}query($qq)", k=1000, req={"qq": "table"}
+        ).collect()
+        if r.score != 0.0
+    }
+    want = {
+        r.docid: r.score
+        for r in search(index, "table", k=1000).collect()
+    }
+    assert got == want
+    # boost composition: score(merge) * (1 + score(table))
+    boosted = {
+        r.docid: r.score
+        for r in qparser_search(
+            index,
+            "{!boost b=sum(1,query($qq))}merge",
+            k=1000,
+            req={"qq": "table"},
+        ).collect()
+    }
+    merge_raw = {
+        r.docid: r.score
+        for r in search(index, "merge", k=1000, round_dp=10).collect()
+    }
+    for docid, s in list(boosted.items())[:50]:
+        expect = round(merge_raw[docid] * (1.0 + want.get(docid, 0.0)), 4)
+        assert s == pytest.approx(expect, abs=1e-4), docid
