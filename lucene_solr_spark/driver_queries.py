@@ -250,6 +250,55 @@ def stemmed_term_query(spark, sf_dir):
     return search(get_stemmed_index(spark, sf_dir), porter_stem("tables"), k=10)
 
 
+def get_snowball_index(spark: SparkSession, sf_dir: str) -> IndexTables:
+    """documents indexed through SnowballPorterFilterFactory
+    language="English" (lucene/analysis/common/.../snowball/
+    SnowballFilter.java, org/tartarus/snowball/ext/EnglishStemmer.java):
+    the Porter2 stem map derived from the corpus vocabulary
+    (analysis/snowball.py)."""
+    from lucene_solr_spark.analysis.snowball import porter2_stem_map
+
+    key = sf_dir + "#snowball"
+    if key not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _INDEX_CACHE[key] = build_index(
+            spark,
+            docs,
+            key_col="doc_id",
+            docid_col="doc_id",
+            num_index_partitions=8,
+            term_map=porter2_stem_map,
+        )
+    return _INDEX_CACHE[key]
+
+
+def _register_snowball_query():
+    from lucene_solr_spark.analysis.snowball import porter2_stem
+    from lucene_solr_spark.oracle.sqlgen import _prelude_body, vocab_map_values
+
+    prelude = "WITH " + _prelude_body(
+        "SELECT doc_id AS docid, text FROM documents",
+        stem_values=vocab_map_values(porter2_stem),
+    )
+
+    @_q(
+        "snowball_term_query",
+        bool_sql(must=(porter2_stem("merging"),), prelude=prelude),
+    )
+    def snowball_term_query(spark, sf_dir):
+        """SnowballFilter[English]/Porter2 end-to-end: the query inflection
+        'merging' folds onto the Porter2-stemmed index ('merging' -> 'merg'
+        <- 'merge'/'merged'/'merges'), df/tf merged across inflections.
+        29,417/29,417 reference TestSnowballVocabData goldens in
+        tests/test_snowball.py."""
+        return search(
+            get_snowball_index(spark, sf_dir), porter2_stem("merging"), k=10
+        )
+
+
+_register_snowball_query()
+
+
 def _register_kstem_query():
     from lucene_solr_spark.oracle.sqlgen import kstem_prelude_sql
 
@@ -4171,6 +4220,7 @@ _DEFER_LAST = [
     "phrase_query",             # sloppy_phrase (slop=0 is its special case) + highlight_positions_tv (positions layer); r1-r3 green — slot for kstem_term_query
     "multivalued_facet_tags",   # facet_field_lang (facet.field machinery) + multivalued_field_query (multiValued analysis), both in-window; r3 green — slot for dmetaphone_match_query
     "edismax_query",            # qparser_maxscore (dis-max fold, in-window) + dismax_fields/bq/bf pytest coverage; r2+r3 green — slot for qparser_boost_subquery
+    "urp_signature_dedupe",     # clean_url_dedup (same hash-groupBy survivor shape, in-window) + URP chain pytest (test_urp); r3 green — slot for snowball_term_query
     # --- round-3 rotation: near-duplicate rows graded green in r1/r2 move
     # past the window so distinct-kernel rows (span-or/not, highlight,
     # spellcheck, qparser_frange, filtercache, URP, clean ops) get oracle
