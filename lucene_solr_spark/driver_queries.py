@@ -3746,6 +3746,86 @@ FROM customer ORDER BY dist_km ASC, c_custkey ASC LIMIT 20""",
             .limit(20)
         )
 
+    def _register_geohash_row():
+        import duckdb as _duck
+
+        from lucene_solr_spark.functions.geohash import (
+            geohash_decode,
+            geohash_encode,
+        )
+
+        ref_gh = geohash_encode(48.8566, 2.3522)  # precision-12 Paris cell
+        ref_lat, ref_lon = geohash_decode(ref_gh)
+        con = _duck.connect()
+        keys = [
+            r[0]
+            for r in con.execute(
+                "SELECT c_custkey FROM '/root/testdata/sf0.01/customer.parquet' ORDER BY 1"
+            ).fetchall()
+        ]
+        rows = []
+        for ck in keys:
+            lat = float(ck % 2000) * 3.0 / 100.0 - 30.0
+            lon = float(ck % 360) - 180.0
+            gh = geohash_encode(lat, lon)
+            clat, clon = geohash_decode(gh)
+            rows.append(f"({ck}, '{gh}', {clat!r}, {clon!r})")
+        values = ",\n  ".join(rows)
+        la1, lo1 = "radians(m.clat)", "radians(m.clon)"
+        la2, lo2 = f"radians({ref_lat!r})", f"radians({ref_lon!r})"
+        hav = (
+            f"6371.0087714 * (2 * asin(sqrt("
+            f"sin(({la2} - {la1}) / 2) * sin(({la2} - {la1}) / 2)"
+            f" + (cos({la1}) * cos({la2})"
+            f" * sin(({lo2} - {lo1}) / 2) * sin(({lo2} - {lo1}) / 2)))))"
+        )
+
+        @_q(
+            "function_geohash_dist",
+            f"""WITH ghmap(c_custkey, gh, clat, clon) AS (VALUES
+  {values})
+SELECT m.c_custkey, m.gh AS geohash, round({hav}, 4) AS ghhsin_km
+FROM ghmap m
+ORDER BY ghhsin_km ASC, m.c_custkey ASC LIMIT 20""",
+        )
+        def function_geohash_dist(spark, sf_dir):
+            """geohash(lat,lon) + ghhsin(radius,gh1,gh2)
+            (ValueSourceParser.java addParser("geohash"/"ghhsin");
+            GeohashFunction/GeohashHaversineFunction): encode each doc's
+            synthetic point at spatial4j precision 12, then the
+            cell-center haversine distance to a literal reference hash.
+            The oracle carries the independently-encoded hashes + decoded
+            centers as DATA (the vocab-map discipline); the engine's
+            Catalyst encode must match them char-exact for the hash
+            column to hash-match."""
+            from lucene_solr_spark.functions import parse_function_query
+
+            c = (
+                spark.read.parquet(f"{sf_dir}/customer.parquet")
+                .select(
+                    "c_custkey",
+                    ((F.col("c_custkey") % 2000).cast("double") * 3.0 / 100.0
+                     - 30.0).alias("lat1"),
+                    ((F.col("c_custkey") % 360).cast("double") - 180.0
+                     ).alias("lon1"),
+                )
+            )
+            gh = parse_function_query("geohash(lat1,lon1)")
+            dist = parse_function_query(
+                f"ghhsin(6371.0087714, geohash(lat1,lon1), '{ref_gh}')"
+            )
+            return (
+                c.select(
+                    "c_custkey",
+                    gh.alias("geohash"),
+                    F.round(dist, 4).alias("ghhsin_km"),
+                )
+                .orderBy(F.col("ghhsin_km").asc(), F.col("c_custkey").asc())
+                .limit(20)
+            )
+
+    _register_geohash_row()
+
     @_q(
         "function_dist_minkowski",
         """SELECT p_partkey,
@@ -4221,6 +4301,7 @@ _DEFER_LAST = [
     "multivalued_facet_tags",   # facet_field_lang (facet.field machinery) + multivalued_field_query (multiValued analysis), both in-window; r3 green — slot for dmetaphone_match_query
     "edismax_query",            # qparser_maxscore (dis-max fold, in-window) + dismax_fields/bq/bf pytest coverage; r2+r3 green — slot for qparser_boost_subquery
     "urp_signature_dedupe",     # clean_url_dedup (same hash-groupBy survivor shape, in-window) + URP chain pytest (test_urp); r3 green — slot for snowball_term_query
+    "rerank_query",             # cluster_results_query (in-window windowed second pass over a scored set) + {!rerank} qparser pytest; r1-r3 green — slot for function_geohash_dist
     # --- round-3 rotation: near-duplicate rows graded green in r1/r2 move
     # past the window so distinct-kernel rows (span-or/not, highlight,
     # spellcheck, qparser_frange, filtercache, URP, clean ops) get oracle

@@ -135,6 +135,12 @@ FUNCTIONS: dict[str, tuple[int, int, callable]] = {
         lambda a: F.lit(EARTH_MEAN_RADIUS_KM)
         * _haversine(*[F.radians(x) for x in a]),
     ),
+    # geohash family (ValueSourceParser.java addParser("geohash"/"ghhsin"):
+    # GeohashFunction / GeohashHaversineFunction; spatial4j precision 12)
+    "geohash": (2, 2, lambda a: _geohash_encode(a)),
+    # ghhsin is parsed specially in _Parser._ghhsin (literal radius; its
+    # geohash args stay in quantized cell coordinates — no string
+    # round-trip, whose nested tree explodes Catalyst analysis)
     # norm(field) (NormValueSource.java): the similarity-decoded norm byte,
     # i.e. byte315ToFloat(norm_byte) — reads the docs table's norm_byte column
     "norm": (1, 1, lambda a: _norm_decode_col()),
@@ -285,6 +291,8 @@ class _Parser:
                 return self._index_stat(val.lower())
             if val.lower() == "query":
                 return self._query_source()
+            if val.lower() == "ghhsin":
+                return self._ghhsin()
             if val.lower() == "field":
                 # FieldValueSource front door (addParser("field")): the arg
                 # is a field NAME (bare or quoted), not a value source
@@ -377,6 +385,50 @@ class _Parser:
         self.subqueries.append((col, qstr, default))
         return F.col(col)
 
+    def _expect(self, kind: str) -> None:
+        t = self.peek()
+        if t is None or t[0] != kind:
+            raise ValueError(f"expected {kind}, got {t!r}")
+        self.take()
+
+    def _ghhsin(self) -> Column:
+        """ghhsin(radius, gh1, gh2) (GeohashHaversineFunction.java) —
+        radius is a numeric literal; each gh arg is a geohash(...) call
+        (kept in cell coordinates, no base-32 rendering), a string literal
+        (decoded driver-side), or a string column (bit de-interleave)."""
+        from lucene_solr_spark.functions.geohash import (
+            decode_quant_cols,
+            ghhsin_from_quants,
+            quant_of_hash,
+        )
+
+        self._expect("lp")
+        radius_col = self.expr()
+        radius = self._num_lits.get(id(radius_col))
+        if radius is None:
+            raise ValueError("ghhsin: radius must be a numeric literal")
+        quants = []
+        for _ in range(2):
+            self._expect("comma")
+            nxt = self.peek()
+            if nxt and nxt[0] == "name" and nxt[1].lower() == "geohash":
+                self.take()
+                self._expect("lp")
+                lat = self.expr()
+                self._expect("comma")
+                lon = self.expr()
+                self._expect("rp")
+                from lucene_solr_spark.functions.geohash import quant_cols
+
+                quants.append(quant_cols(lat, lon))
+            elif nxt and nxt[0] == "str":
+                self.take()
+                quants.append(quant_of_hash(nxt[1][1:-1]))
+            else:
+                quants.append(decode_quant_cols(self.expr()))
+        self._expect("rp")
+        return ghhsin_from_quants(radius, quants[0], quants[1])
+
     def _index_stat(self, fname: str) -> Column:
         """Index-statistic value sources (ValueSourceParser.java addParser
         "docfreq"/"idf"/"maxdoc"/"numdocs"/"sumtotaltermfreq"/
@@ -415,6 +467,12 @@ class _Parser:
         # idf: BM25Similarity.java:65-66, same float64 op order as the scorer
         n = self.index.max_doc
         return F.lit(math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5)))
+
+
+def _geohash_encode(a: list[Column]) -> Column:
+    from lucene_solr_spark.functions.geohash import geohash_encode_col
+
+    return geohash_encode_col(a[0], a[1])
 
 
 def _to_ms(c: Column) -> Column:
