@@ -23,6 +23,16 @@ Implemented factories (the common-schema set):
   limit_token_count_filter — the small utility factories
 - common_grams_filter / common_grams_query_filter — CommonGramsFilter
   index/query modes (phrase acceleration over frequent words)
+- english_possessive_filter — EnglishPossessiveFilter (trailing 's)
+- remove_duplicates_filter — RemoveDuplicatesTokenFilter (same term+position)
+- elision_filter — ElisionFilter (French article contractions)
+- scandinavian_normalization_filter / scandinavian_folding_filter
+- codepoint_count_filter — CodepointCountFilter
+- hyphenated_words_filter — HyphenatedWordsFilter (line-break rejoin)
+- keyword_marker_map / stemmer_override_map / keyword_repeat_map —
+  KeywordMarker/StemmerOverride/KeywordRepeat as TRANSFORMERS of the
+  vocabulary term-map algebra the stemmers integrate through
+  (index/builder.py _apply_term_map; 1:N maps fan out via the join)
 (PorterStemFilter lives in analysis/stemmer.py; multi-word synonyms in
 analysis/synonyms.py.)
 """
@@ -434,3 +444,201 @@ def common_grams_query_filter(
     return F.when(n == 0, F.array().cast("array<string>")).otherwise(
         F.flatten(F.transform(idx, emit))
     )
+
+
+def english_possessive_filter(tokens: Column) -> Column:
+    """EnglishPossessiveFilterFactory (lucene/analysis/common/.../en/
+    EnglishPossessiveFilter.java): strip a trailing 's (apostrophe U+0027,
+    right single quote U+2019, or fullwidth U+FF07, followed by s/S)."""
+    return F.transform(
+        tokens,
+        lambda t: F.regexp_replace(t, "['’＇][sS]$", ""),
+    )
+
+
+def remove_duplicates_filter(positioned: Column) -> Column:
+    """RemoveDuplicatesTokenFilterFactory (RemoveDuplicatesTokenFilter.java):
+    drop tokens equal to an earlier token AT THE SAME POSITION (duplicates
+    arise from graph emitters like synonyms, posInc=0).  Operates on the
+    positioned form array<struct<term,pos>> and keeps first occurrence
+    order."""
+    # keep element i iff no identical (term,pos) appears earlier
+    return F.filter(
+        positioned,
+        lambda x, i: ~F.exists(
+            F.slice(positioned, 1, i),
+            lambda y: (y["term"] == x["term"]) & (y["pos"] == x["pos"]),
+        ),
+    )
+
+
+_ELISION_ARTICLES = (
+    "jusqu", "quoiqu", "lorsqu", "puisqu",
+    "qu", "l", "m", "t", "n", "s", "j", "d", "c",
+)
+
+
+def elision_filter(tokens: Column, articles: tuple[str, ...] = _ELISION_ARTICLES) -> Column:
+    """ElisionFilterFactory (lucene/analysis/common/.../util/ElisionFilter
+    .java:52-68 with FrenchAnalyzer.DEFAULT_ARTICLES, ignoreCase=true):
+    find the first apostrophe (U+0027 or U+2019 only — the filter does not
+    treat fullwidth U+FF07 as one) and, if the prefix before it is an
+    article, strip prefix+apostrophe (l'avion -> avion).  The articles
+    contain no apostrophes, so an anchored case-insensitive alternation
+    matches exactly when the first-apostrophe prefix is an article."""
+    pat = "(?i)^(?:" + "|".join(articles) + ")['’]"
+    return F.transform(tokens, lambda t: F.regexp_replace(t, pat, ""))
+
+
+def scandinavian_normalization_filter(tokens: Column) -> Column:
+    """ScandinavianNormalizationFilter (lucene/analysis/common/.../
+    miscellaneous/ScandinavianNormalizationFilter.java:61-120): normalize
+    interchangeable Scandinavian characters äÄöÖ and digraphs aa/ao/ae/oe/oo
+    to åÅæÆøØ.  The reference's single left-to-right scan replaces a digraph
+    and resumes after it; ``regexp_replace`` scans identically
+    (leftmost, non-overlapping), and because every replacement is non-ASCII
+    while every digraph is ASCII, the sequential passes commute with the
+    single scan.  Digraph passes run before the single-char translate: the
+    scan checks the ORIGINAL next char, so a normalized ä never joins a
+    digraph (reference goldens cover both orders)."""
+    def norm(t: Column) -> Column:
+        t = F.regexp_replace(t, "a[aoAO]", "å")
+        t = F.regexp_replace(t, "A[aAoO]", "Å")
+        t = F.regexp_replace(t, "a[eE]", "æ")
+        t = F.regexp_replace(t, "A[eE]", "Æ")
+        t = F.regexp_replace(t, "o[eEoO]", "ø")
+        t = F.regexp_replace(t, "O[eEoO]", "Ø")
+        return F.translate(t, "äÄöÖ", "æÆøØ")
+
+    return F.transform(tokens, norm)
+
+
+def scandinavian_folding_filter(tokens: Column) -> Column:
+    """ScandinavianFoldingFilter (ScandinavianFoldingFilter.java:72-134):
+    the more aggressive fold — åäæ->a, öø->o and digraph second-char
+    deletion ([aA][aAeEoO], [oO][eEoO] keep the first char).  Same
+    scan-equivalence argument as the normalization filter: deletions keep
+    an ASCII char but the reference scan resumes after the consumed pair,
+    exactly like non-overlapping regex replacement."""
+    def fold(t: Column) -> Column:
+        t = F.regexp_replace(t, "([aA])[aAeEoO]", "$1")
+        t = F.regexp_replace(t, "([oO])[eEoO]", "$1")
+        return F.translate(t, "åäæÅÄÆöøÖØ", "aaaAAAooOO")
+
+    return F.transform(tokens, fold)
+
+
+def codepoint_count_filter(tokens: Column, min_cp: int, max_cp: int) -> Column:
+    """CodepointCountFilter (miscellaneous/CodepointCountFilter.java:48-52):
+    keep tokens whose CODE POINT count is within [min, max].  Spark's
+    ``length`` counts code points (UTF8String.numChars), matching
+    Character.codePointCount — unlike LengthFilter, which counts UTF-16
+    units (length_filter mirrors that separately)."""
+    return F.filter(
+        tokens,
+        lambda t: (F.length(t) >= F.lit(min_cp)) & (F.length(t) <= F.lit(max_cp)),
+    )
+
+
+def hyphenated_words_filter(tokens: Column) -> Column:
+    """HyphenatedWordsFilter (miscellaneous/HyphenatedWordsFilter.java:78-113):
+    re-join words broken across lines — every token ending in '-' is held
+    and concatenated (hyphen dropped) with following held tokens until a
+    non-hyphen-final token completes the word; a trailing unfinished word is
+    emitted with its hyphen restored.  Stateful across the token stream, so
+    realized as one ``aggregate`` fold over the token array with a
+    (pending, out) accumulator — still JVM-side, no UDF.  ``pending`` uses
+    NULL as 'no word in progress' (a lone '-' token legitimately pends the
+    empty string, matching the reference's savedState != null test)."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("pending"),
+        F.array().cast("array<string>").alias("out"),
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        ends_hyphen = t.endswith("-")
+        head = F.coalesce(acc["pending"], F.lit(""))
+        return (
+            F.when(
+                ends_hyphen,
+                F.struct(
+                    F.concat(head, F.substring(t, 1, F.length(t) - 1)).alias("pending"),
+                    acc["out"].alias("out"),
+                ),
+            )
+            .when(
+                acc["pending"].isNull(),
+                F.struct(
+                    F.lit(None).cast("string").alias("pending"),
+                    F.array_append(acc["out"], t).alias("out"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.lit(None).cast("string").alias("pending"),
+                    F.array_append(acc["out"], F.concat(acc["pending"], t)).alias("out"),
+                )
+            )
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.when(
+            acc["pending"].isNotNull(),
+            F.array_append(acc["out"], F.concat(acc["pending"], F.lit("-"))),
+        ).otherwise(acc["out"])
+
+    return F.aggregate(tokens, acc0, step, finish)
+
+
+# --- keyword-protection combinators for vocabulary term maps ---------------
+# The stemmers integrate as (term -> new_term) maps over the distinct
+# vocabulary (stemmer.py porter_stem_map shape).  KeywordMarker /
+# StemmerOverride / KeywordRepeat are map TRANSFORMERS in that algebra:
+
+
+def keyword_marker_map(map_fn, protected: tuple[str, ...]):
+    """KeywordMarkerFilterFactory (KeywordMarkerFilter.java): terms in the
+    protected set never stem — the wrapped term map drops their rows."""
+    def build(vocab):
+        from pyspark.sql import functions as FF
+
+        return map_fn(vocab).where(~FF.col("term").isin(*protected))
+
+    return build
+
+
+def stemmer_override_map(map_fn, overrides: dict[str, str]):
+    """StemmerOverrideFilterFactory (StemmerOverrideFilter.java): dictionary
+    entries replace the stemmer's output AND keyword-mark the term (the
+    stemmer never sees it).  Realized as: override rows win, wrapped-map
+    rows apply to everything else."""
+    def build(vocab):
+        from pyspark.sql import functions as FF
+
+        spark = vocab.sparkSession
+        ov = spark.createDataFrame(
+            [(k, v) for k, v in overrides.items()], "term string, new_term string"
+        )
+        base = map_fn(vocab).where(~FF.col("term").isin(*overrides.keys()))
+        return base.unionByName(
+            ov.join(vocab.select("term"), "term", "left_semi")
+        )
+
+    return build
+
+
+def keyword_repeat_map(map_fn):
+    """KeywordRepeatFilterFactory + stemmer (the classic 'index both the
+    original and the stem' chain, usually followed by
+    RemoveDuplicatesTokenFilter): every changed term maps to BOTH its stem
+    and itself.  In term-map algebra: array-valued new_term rows; the index
+    builder explodes multi-target maps."""
+    def build(vocab):
+        from pyspark.sql import functions as FF
+
+        m = map_fn(vocab)
+        return m.select("term", "new_term").unionByName(
+            m.select("term", FF.col("term").alias("new_term"))
+        )
+
+    return build
