@@ -4050,6 +4050,51 @@ ORDER BY g.docid ASC LIMIT 50"""
             .limit(50)
         )
 
+    # RPT polygon (round 4): a NON-convex ten-vertex star — concavities are
+    # what the grid covering + ray-cast actually have to get right.  The
+    # oracle is plain ray-casting over every row (same per-edge formula
+    # text); the Spark plan is the RPT shape: within-cells accepted
+    # wholesale, edge-cells exactly verified (equivalence argued in
+    # search/rpt.py and differentially tested in tests/test_rpt.py).
+    from lucene_solr_spark.search.rpt import point_in_polygon_sql
+
+    _STAR = [(0.005, 30.005), (8.005, 8.005), (30.005, 8.005),
+             (12.005, -4.005), (18.005, -28.005), (0.005, -12.005),
+             (-18.005, -28.005), (-12.005, -4.005), (-30.005, 8.005),
+             (-8.005, 8.005)]
+    rpt_sql = f"""WITH geo AS (
+  SELECT doc_id AS docid, {lat_sql} AS lat, {lon_sql} AS lon FROM documents
+)
+SELECT g.docid, 1.0 AS score
+FROM geo g
+WHERE {point_in_polygon_sql("g.lat", "g.lon", _STAR)}
+ORDER BY g.docid ASC LIMIT 100"""
+
+    @_q("spatial_rpt_polygon", rpt_sql)
+    def spatial_rpt_polygon(spark, sf_dir):
+        """{!field f=loc}Intersects(POLYGON((...))) — the
+        SpatialRecursivePrefixTreeFieldType query surface
+        (IntersectsPrefixTreeFilter.java:61-82 WITHIN-shortcut + boundary
+        verification, QuadPrefixTree grid), as a shuffle-free Catalyst
+        predicate (search/rpt.py)."""
+        from lucene_solr_spark.search.rpt import rpt_intersects_docset
+        from lucene_solr_spark.search.spatial import with_synthetic_latlon
+
+        wkt = "Intersects(POLYGON((" + ", ".join(
+            f"{x} {y}" for x, y in _STAR
+        ) + f", {_STAR[0][0]} {_STAR[0][1]})))"
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").alias("docid"))
+        )
+        geo = with_synthetic_latlon(docs, "docid", "loc")
+        return (
+            rpt_intersects_docset(geo, "loc", wkt)
+            .select("docid", F.lit(1.0).alias("score"))
+            .orderBy(F.col("docid").asc())
+            .limit(100)
+        )
+
 
 _register_classic_and_spatial()
 
@@ -4274,6 +4319,8 @@ GRADE_WINDOW = 50
 # Deferred = second demos of an operator whose primary row stays in-window.
 # (primary row given in the comment)
 _DEFER_LAST = [
+    # --- round-4 in-session rotation: slot for spatial_rpt_polygon ---
+    "join_query",               # block_join_parents (query-time join family, all four ScoreModes pytest-graded in test_qparsers) + {!join} front door tests; r3 green
     # --- round-4 rotation (VERDICT r3 "Next round" #1): the whole r3c/r3d
     # surface (DFR/IB, LM-JM, phonetic, IVF, clustering, spatial_bbox,
     # /select, /export, function_*/qparser_* registry rows) plus the three
