@@ -258,6 +258,9 @@ class _Parser:
         self._now_cols: set[int] = set()  # id()s of NOW literal columns
         self._str_lits: dict[int, str] = {}  # id(col) -> raw string literal
         self._num_lits: dict[int, float] = {}  # id(col) -> numeric literal
+        # vector(...) sources (VectorValueSource): id(marker) -> components;
+        # dist/sqedist expand markers back into their component list
+        self._vec_lits: dict[int, list[Column]] = {}
 
     def peek(self) -> tuple[str, str] | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -300,6 +303,33 @@ class _Parser:
                 if len(args) != 1:
                     raise ValueError("field() takes exactly one field name")
                 return F.col(args[0])
+            if val.lower() == "literal":
+                # LiteralValueSource (ValueSourceParser.java:104-109): a
+                # constant string value source
+                args = self._raw_args()
+                if len(args) != 1:
+                    raise ValueError("literal() takes exactly one argument")
+                c = F.lit(args[0])
+                self._str_lits[id(c)] = args[0]
+                return c
+            if val.lower() == "currency":
+                # ConvertedCurrencyValueSource (ValueSourceParser.java:
+                # 393-407): currency(field[,CODE]) -> major-units double in
+                # CODE (default: the field's default currency)
+                from lucene_solr_spark.functions.currency import (
+                    converted_currency_col,
+                )
+
+                args = self._raw_args()
+                if not 1 <= len(args) <= 2:
+                    raise ValueError("currency(field[,CODE]) takes 1..2 args")
+                return converted_currency_col(
+                    F.col(args[0]), args[1] if len(args) == 2 else None
+                )
+            if val.lower() == "boost":
+                return self._boost_source()
+            if val.lower() == "vector":
+                return self._vector_source()
             self.take()  # (
             args: list[Column] = []
             while True:
@@ -332,6 +362,12 @@ class _Parser:
                 # timestamp args -> epoch millis; the NOW literal already is
                 args = [
                     a if id(a) in self._now_cols else _to_ms(a) for a in args
+                ]
+            if fname in ("sqedist", "dist"):
+                # expand vector(...) markers into their components — the
+                # reference's MultiValueSource flattening (VectorValueSource)
+                args = [
+                    c for a in args for c in self._vec_lits.get(id(a), [a])
                 ]
             if fname == "dist":
                 # VectorDistanceFunction: the first arg is the Minkowski
@@ -384,6 +420,57 @@ class _Parser:
         col = f"_qscore{len(self.subqueries)}"
         self.subqueries.append((col, qstr, default))
         return F.col(col)
+
+    def _boost_source(self) -> Column:
+        """boost(subquery, vs) (ValueSourceParser.java:286-293): a
+        BoostedQuery wrapped in QueryValueSource(default=0) — per-doc
+        subquery score times the value source for matching docs, 0.0
+        otherwise.  The subquery score rides the same placeholder-column
+        mechanism as query(); multiplying the coalesced-to-0 score keeps
+        non-matching docs at 0 regardless of vs (0 * x == 0 for finite x,
+        matching the reference, which never evaluates vs off-match)."""
+        self._expect("lp")
+        kind, val = self.take()
+        if kind == "str":
+            qstr = val[1:-1]
+        elif kind == "dollar":
+            name = val[1:]
+            if name not in self.params:
+                raise ValueError(f"boost(${name}): no request param {name!r}")
+            qstr = self.params[name]
+        else:
+            raise ValueError(
+                "boost(q, vs): q must be a quoted string or $param"
+            )
+        self._expect("comma")
+        vs = self.expr()
+        self._expect("rp")
+        col = f"_qscore{len(self.subqueries)}"
+        self.subqueries.append((col, qstr, 0.0))
+        return F.col(col) * vs
+
+    def _vector_source(self) -> Column:
+        """vector(a,b,...) (ValueSourceParser.java:268-273,
+        VectorValueSource): a multi-valued source consumed by dist/sqedist.
+        Returns an array marker; the consumers flatten it back to its
+        component columns (the marker itself is a valid array column if a
+        caller projects it directly)."""
+        self.take()  # (
+        parts: list[Column] = []
+        while True:
+            nxt = self.peek()
+            if nxt and nxt[0] == "rp":
+                self.take()
+                break
+            parts.append(self.expr())
+            nxt = self.peek()
+            if nxt and nxt[0] == "comma":
+                self.take()
+        if not parts:
+            raise ValueError("vector() needs at least one source")
+        marker = F.array(*parts)
+        self._vec_lits[id(marker)] = parts
+        return marker
 
     def _expect(self, kind: str) -> None:
         t = self.peek()
