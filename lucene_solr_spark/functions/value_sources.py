@@ -91,7 +91,16 @@ FUNCTIONS: dict[str, tuple[int, int, callable]] = {
     "sin": (1, 1, lambda a: F.sin(a[0])),
     "cos": (1, 1, lambda a: F.cos(a[0])),
     "tan": (1, 1, lambda a: F.tan(a[0])),
+    "asin": (1, 1, lambda a: F.asin(a[0])),
+    "acos": (1, 1, lambda a: F.acos(a[0])),
+    "atan": (1, 1, lambda a: F.atan(a[0])),
+    "sinh": (1, 1, lambda a: F.sinh(a[0])),
+    "cosh": (1, 1, lambda a: F.cosh(a[0])),
+    "tanh": (1, 1, lambda a: F.tanh(a[0])),
+    "rad": (1, 1, lambda a: F.radians(a[0])),
+    "deg": (1, 1, lambda a: F.degrees(a[0])),
     "atan2": (2, 2, lambda a: F.atan2(a[0], a[1])),
+    "hypot": (2, 2, lambda a: F.hypot(a[0], a[1])),
     # shaping functions
     "linear": (3, 3, lambda a: a[1] * a[0] + a[2]),
     "recip": (4, 4, lambda a: a[2] / (a[1] * a[0] + a[3])),

@@ -258,6 +258,19 @@ def phonetic_prelude_sql(doc_source: str = "SELECT doc_id AS docid, text FROM do
     )
 
 
+def encoder_prelude_sql(
+    encoder,
+    doc_source: str = "SELECT doc_id AS docid, text FROM documents",
+) -> str:
+    """PRELUDE variant whose tok CTE maps terms through an arbitrary
+    phonetic encoder's code dictionary (PhoneticFilterFactory with any of
+    the registry's six encoders, inject=false); codeless tokens pass
+    through, as PhoneticFilter leaves un-encodable tokens intact."""
+    return "WITH " + _prelude_body(
+        doc_source, stem_values=vocab_map_values(lambda t: encoder(t) or t)
+    )
+
+
 def dm_prelude_sql(doc_source: str = "SELECT doc_id AS docid, text FROM documents") -> str:
     """PRELUDE variant whose tok CTE maps terms through the Double
     Metaphone primary-code dictionary (PhoneticFilterFactory's DEFAULT

@@ -270,6 +270,25 @@ def test_constant_value_sources(spark, df):
     assert _vals(df, parse_function_query("not(false())")) == {1: True, 2: True}
 
 
+def test_trig_and_conversion_parsers(spark, df):
+    """The DoubleParser tail (ValueSourceParser.java: rad/deg/asin/acos/
+    atan/sinh/cosh/tanh/hypot)."""
+    assert _vals(df, parse_function_query("deg(pi())")) == {
+        1: pytest.approx(180.0), 2: pytest.approx(180.0)
+    }
+    assert _vals(df, parse_function_query("rad(deg(1))")) == {
+        1: pytest.approx(1.0), 2: pytest.approx(1.0)
+    }
+    assert _vals(df, parse_function_query("asin(sin(0.5))"))[1] == pytest.approx(0.5)
+    assert _vals(df, parse_function_query("acos(cos(0.5))"))[1] == pytest.approx(0.5)
+    assert _vals(df, parse_function_query("atan(tan(0.5))"))[1] == pytest.approx(0.5)
+    got = _vals(df, parse_function_query("hypot(x,y)"))  # x=4,y=2 -> sqrt(20)
+    assert got[1] == pytest.approx(math.hypot(4.0, 2.0))
+    assert _vals(df, parse_function_query("sinh(1)"))[1] == pytest.approx(math.sinh(1))
+    assert _vals(df, parse_function_query("cosh(1)"))[1] == pytest.approx(math.cosh(1))
+    assert _vals(df, parse_function_query("tanh(1)"))[1] == pytest.approx(math.tanh(1))
+
+
 def test_xor_top_field(spark, df):
     """xor() (ValueSourceParser.java addParser("xor"): true iff not
     all-true and not all-false), top() passthrough, field() front door."""
