@@ -406,6 +406,55 @@ def _register_lightstem_queries():
 _register_lightstem_queries()
 
 
+def get_intl_stem_index(spark: SparkSession, sf_dir: str, key: str) -> IndexTables:
+    """documents indexed through a non-Latin-script analysis chain
+    (analysis/intl.py: Arabic light10 / Sorani / Hindi / Indonesian /
+    Bulgarian / Czech / Latvian) — the same vocabulary term-map shape as
+    Porter/KStem (analysis/stemmer.py scale notes)."""
+    from lucene_solr_spark.analysis.intl import intl_stem_map
+
+    cache_key = f"{sf_dir}#intl_{key}"
+    if cache_key not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _INDEX_CACHE[cache_key] = build_index(
+            spark,
+            docs,
+            key_col="doc_id",
+            docid_col="doc_id",
+            num_index_partitions=8,
+            term_map=lambda vocab: intl_stem_map(vocab, key),
+        )
+    return _INDEX_CACHE[cache_key]
+
+
+def _register_intl_queries():
+    from lucene_solr_spark.analysis.intl import czech_stem
+    from lucene_solr_spark.oracle.sqlgen import _prelude_body, vocab_map_values
+
+    cz_prelude = "WITH " + _prelude_body(
+        "SELECT doc_id AS docid, text FROM documents",
+        stem_values=vocab_map_values(czech_stem),
+    )
+
+    @_q(
+        "intl_stem_query_cz",
+        bool_sql(must=(czech_stem("tables"),), prelude=cz_prelude),
+    )
+    def intl_stem_query_cz(spark, sf_dir):
+        """CzechStemFilter end-to-end (lucene/analysis/common/.../cz/
+        CzechStemFilter.java, CzechStemmer.java — Dolamic & Savoy): case +
+        possessive removal and palatalization normalization as a vocabulary
+        term map ('table'/'tables' both fold to 'tabl', df/tf merged).
+        Family evidence: reference inline cases for cz/bg/lv/hi/id/ar/fa and
+        the full 8,272-pair Sorani golden vocabulary in tests/test_intl.py."""
+        return search(
+            get_intl_stem_index(spark, sf_dir, "cz"), czech_stem("tables"), k=10
+        )
+
+
+_register_intl_queries()
+
+
 def get_dm_index(spark: SparkSession, sf_dir: str) -> IndexTables:
     """documents indexed through PhoneticFilterFactory's DEFAULT encoder —
     Double Metaphone, inject=false (lucene/analysis/phonetic/.../
@@ -4623,6 +4672,7 @@ _DEFER_LAST = [
     # tests/test_lightstem.py) ---
     "light_stem_query_de",
     "rslp_stem_query_pt",
+    "intl_stem_query_cz",
     # --- round-4 in-session rotation: slot for spatial_rpt_polygon ---
     "join_query",               # block_join_parents (query-time join family, all four ScoreModes pytest-graded in test_qparsers) + {!join} front door tests; r3 green
     # --- round-4 rotation (VERDICT r3 "Next round" #1): the whole r3c/r3d
