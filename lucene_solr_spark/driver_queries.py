@@ -455,6 +455,63 @@ def _register_intl_queries():
 _register_intl_queries()
 
 
+def get_cjk_index(spark: SparkSession, sf_dir: str) -> IndexTables:
+    """A deterministic CJK corpus (documents glossed to contiguous hanzi
+    runs, analysis/cjk.py CJK_GLOSS) indexed through the CJKAnalyzer chain:
+    StandardTokenizer CJK runs -> CJKBigramFilter overlapping bigrams ->
+    lowercase -> stop (lucene/analysis/common/.../cjk/CJKBigramFilter.java,
+    CJKAnalyzer.java), all as one JVM-side expression."""
+    from lucene_solr_spark.analysis.cjk import (
+        cjk_gloss_text_expr,
+        cjk_positioned_tokens_expr,
+    )
+
+    key = sf_dir + "#cjk"
+    if key not in _INDEX_CACHE:
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", cjk_gloss_text_expr(F.col("text")).alias("text"))
+        )
+        _INDEX_CACHE[key] = build_index(
+            spark,
+            docs,
+            key_col="doc_id",
+            docid_col="doc_id",
+            num_index_partitions=8,
+            build_positions=True,
+            positioned_tokens_col=cjk_positioned_tokens_expr(F.col("text")),
+        )
+    return _INDEX_CACHE[key]
+
+
+def _register_cjk_query():
+    from lucene_solr_spark.analysis.cjk import (
+        cjk_gloss_doc_source_sql,
+        cjk_oracle_tokens_sql,
+    )
+    from lucene_solr_spark.oracle.sqlgen import _prelude_body
+
+    prelude = "WITH " + _prelude_body(
+        cjk_gloss_doc_source_sql(),
+        token_list_sql=cjk_oracle_tokens_sql("text"),
+    )
+
+    @_q("cjk_bigram_query", bool_sql(must=("表格",), prelude=prelude))
+    def cjk_bigram_query(spark, sf_dir):
+        """CJK bigram search end-to-end: the bigram 表格 ('table') retrieves
+        every document whose glossed text contains it, scored by BM25 over
+        the bigram index — the CJKAnalyzer recipe for Chinese/Japanese/
+        Korean web text.  The oracle reproduces synthesis + run-tokenization
+        + bigram expansion in DuckDB list comprehensions; the reference's
+        TestCJKAnalyzer token streams (incl. mixed-script, interrupted-run,
+        and surrogate cases) hold in tests/test_cjk.py across all three
+        engines."""
+        return search(get_cjk_index(spark, sf_dir), "表格", k=10)
+
+
+_register_cjk_query()
+
+
 def get_dm_index(spark: SparkSession, sf_dir: str) -> IndexTables:
     """documents indexed through PhoneticFilterFactory's DEFAULT encoder —
     Double Metaphone, inject=false (lucene/analysis/phonetic/.../
@@ -4673,6 +4730,7 @@ _DEFER_LAST = [
     "light_stem_query_de",
     "rslp_stem_query_pt",
     "intl_stem_query_cz",
+    "cjk_bigram_query",
     # --- round-4 in-session rotation: slot for spatial_rpt_polygon ---
     "join_query",               # block_join_parents (query-time join family, all four ScoreModes pytest-graded in test_qparsers) + {!join} front door tests; r3 green
     # --- round-4 rotation (VERDICT r3 "Next round" #1): the whole r3c/r3d

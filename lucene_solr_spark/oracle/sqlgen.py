@@ -58,7 +58,16 @@ def prelude_sql(doc_source: str) -> str:
     return "WITH " + _prelude_body(doc_source)
 
 
-def _prelude_body(doc_source: str, stem_values: str | None = None) -> str:
+def _prelude_body(
+    doc_source: str,
+    stem_values: str | None = None,
+    token_list_sql: str | None = None,
+) -> str:
+    """``token_list_sql``: optional replacement for the standard-pattern
+    extraction — a SQL expression over ``text`` yielding list<varchar> of
+    raw tokens in order (e.g. the CJK bigram expansion,
+    analysis/cjk.py cjk_oracle_tokens_sql).  Positions remain array
+    ordinals, matching the Spark side's array-index position semantics."""
     if stem_values is None:
         tok_cte = f"""tok AS (
   SELECT docid, term, pos FROM tokraw
@@ -79,6 +88,7 @@ tok AS (
   FROM tokraw r LEFT JOIN stemmap m ON m.sterm = r.term
   WHERE length(r.raw_term) BETWEEN 1 AND 255 AND r.term NOT IN {_STOP}
 ),"""
+    tok_expr = token_list_sql if token_list_sql is not None else f"regexp_extract_all(text, {_PAT})"
     return f"""docsrc AS (
   {doc_source}
 ),
@@ -86,8 +96,8 @@ tokraw AS (
   SELECT docid, t AS raw_term, lower(t) AS term, (pos - 1) AS pos
   FROM (
     SELECT docid,
-           unnest(regexp_extract_all(text, {_PAT})) AS t,
-           unnest(range(1, len(regexp_extract_all(text, {_PAT})) + 1)) AS pos
+           unnest({tok_expr}) AS t,
+           unnest(range(1, len({tok_expr}) + 1)) AS pos
     FROM docsrc
   )
   WHERE t <> ''
