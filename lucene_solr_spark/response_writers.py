@@ -1,0 +1,184 @@
+"""Response writers: the wt=json / wt=csv / wt=xml rendering layer.
+
+Reference:
+- solr/core/src/java/org/apache/solr/response/JSONResponseWriter.java
+  (NamedList rendering; json.nl=flat default renders facet counts as
+  [term, count, term, count, ...], json.nl=map as an object)
+- solr/core/src/java/org/apache/solr/response/CSVResponseWriter.java
+  (docs only; header row of fl fields, csv.separator, csv.mv.separator
+  for multiValued values)
+- solr/core/src/java/org/apache/solr/response/XMLWriter.java
+  (<response><lst name="responseHeader">, <result name="response"
+  numFound start>, typed <str|int|long|float|double|bool|date|arr>)
+
+Writers materialize ONLY the ranked page (k rows, already bounded by the
+collector) plus facet tables (bounded by facet.limit) — never the corpus.
+``out`` is handler.select()'s component dict.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import io
+import json
+from xml.sax.saxutils import escape as _xml_escape
+
+
+def _docs_of(out: dict) -> list[dict]:
+    rows = out["response"].collect()
+    docs = []
+    for r in rows:
+        d = r.asDict(recursive=True)
+        docs.append({k: v for k, v in d.items() if v is not None})
+    return docs
+
+
+def _facet_counts(out: dict, nl: str = "flat") -> dict:
+    ff: dict = {}
+    for name, df in (out.get("facet_fields") or {}).items():
+        pairs = [(r[0], int(r[1])) for r in df.collect()]
+        if nl == "map":
+            ff[name] = {t: c for t, c in pairs}
+        else:  # flat (the 4.10 default)
+            flat: list = []
+            for t, c in pairs:
+                flat.extend((t, c))
+            ff[name] = flat
+    fq: dict = {}
+    fq_df = out.get("facet_queries")
+    if fq_df is not None:
+        fq = {r[0]: int(r[1]) for r in fq_df.collect()}
+    return {
+        "facet_queries": fq,
+        "facet_fields": ff,
+        "facet_dates": {},
+        "facet_ranges": {},
+        "facet_intervals": {},
+    }
+
+
+def write_json(out: dict, params: dict | None = None) -> str:
+    """wt=json: the standard Solr response envelope."""
+    params = params or {}
+    nl = params.get("json.nl", "flat")
+    body: dict = {
+        "responseHeader": {"status": 0, "params": {
+            k: v for k, v in params.items() if not k.startswith("json.")
+        }},
+        "response": {
+            "numFound": out.get("num_found"),
+            "start": int(params.get("start", 0)),
+            "docs": _docs_of(out),
+        },
+    }
+    if out.get("facet_fields") or out.get("facet_queries") is not None:
+        body["facet_counts"] = _facet_counts(out, nl)
+    hl = out.get("highlighting")
+    if hl is not None:
+        key = [c for c in hl.columns if c != "snippet"][0]
+        body["highlighting"] = {
+            str(r[key]): {"snippet": [r["snippet"]]} for r in hl.collect()
+        }
+    return json.dumps(body, ensure_ascii=False, default=_json_default)
+
+
+def _json_default(v):
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return _to_solr_date(v)
+    raise TypeError(type(v))
+
+
+def write_csv(out: dict, params: dict | None = None) -> str:
+    """wt=csv: docs only, one header row (CSVResponseWriter)."""
+    params = params or {}
+    sep = params.get("csv.separator", ",")
+    mv_sep = params.get("csv.mv.separator", ",")
+    docs = _docs_of(out)
+    cols: list[str] = []
+    for d in docs:
+        for k in d:
+            if k not in cols:
+                cols.append(k)
+    buf = io.StringIO()
+    import csv as _csvmod
+
+    w = _csvmod.writer(buf, delimiter=sep, lineterminator="\n")
+    w.writerow(cols)
+    for d in docs:
+        row = []
+        for c in cols:
+            v = d.get(c, "")
+            if isinstance(v, list):
+                v = mv_sep.join(str(x) for x in v)
+            elif isinstance(v, (_dt.datetime, _dt.date)):
+                v = _to_solr_date(v)
+            row.append(v)
+        w.writerow(row)
+    return buf.getvalue()
+
+
+def _to_solr_date(v) -> str:
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%SZ")
+    return v.strftime("%Y-%m-%dT00:00:00Z")
+
+
+def _xml_value(name: str, v, indent: str) -> str:
+    attr = f' name="{_xml_escape(str(name))}"' if name is not None else ""
+    if isinstance(v, bool):
+        return f"{indent}<bool{attr}>{str(v).lower()}</bool>"
+    if isinstance(v, int):
+        tag = "int" if -(2**31) <= v < 2**31 else "long"
+        return f"{indent}<{tag}{attr}>{v}</{tag}>"
+    if isinstance(v, float):
+        return f"{indent}<double{attr}>{v}</double>"
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return f"{indent}<date{attr}>{_to_solr_date(v)}</date>"
+    if isinstance(v, list):
+        inner = "\n".join(_xml_value(None, x, indent + "  ") for x in v)
+        return f"{indent}<arr{attr}>\n{inner}\n{indent}</arr>"
+    return f"{indent}<str{attr}>{_xml_escape(str(v))}</str>"
+
+
+def write_xml(out: dict, params: dict | None = None) -> str:
+    """wt=xml: the classic XMLResponseWriter envelope."""
+    params = params or {}
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>', "<response>"]
+    lines.append('  <lst name="responseHeader">')
+    lines.append('    <int name="status">0</int>')
+    lines.append("  </lst>")
+    start = int(params.get("start", 0))
+    nf = out.get("num_found")
+    lines.append(
+        f'  <result name="response" numFound="{nf}" start="{start}">'
+    )
+    for d in _docs_of(out):
+        lines.append("    <doc>")
+        for k, v in d.items():
+            lines.append(_xml_value(k, v, "      "))
+        lines.append("    </doc>")
+    lines.append("  </result>")
+    ff = out.get("facet_fields") or {}
+    if ff:
+        lines.append('  <lst name="facet_counts">')
+        lines.append('    <lst name="facet_fields">')
+        for name, df in ff.items():
+            lines.append(f'      <lst name="{_xml_escape(str(name))}">')
+            for r in df.collect():
+                lines.append(_xml_value(r[0], int(r[1]), "        "))
+            lines.append("      </lst>")
+        lines.append("    </lst>")
+        lines.append("  </lst>")
+    lines.append("</response>")
+    return "\n".join(lines)
+
+
+WRITERS = {"json": write_json, "csv": write_csv, "xml": write_xml}
+
+
+def write_response(out: dict, params: dict | None = None) -> str:
+    """Dispatch on wt= (default json, like Solr 4.10's default wt)."""
+    wt = (params or {}).get("wt", "json")
+    if wt not in WRITERS:
+        raise ValueError(f"unknown wt: {wt}")
+    return WRITERS[wt](out, params)
