@@ -4557,6 +4557,41 @@ ORDER BY size DESC, label ASC""",
             get_index(spark, sf_dir), list(_CL_TERMS), rows=30
         )
 
+    # rows-only: the suffix-tree node enumeration + connected-component
+    # merge is not SQL-expressible; correctness is pinned by the
+    # hand-derived Zamir&Etzioni goldens + the pure-Python differential in
+    # tests/test_stc.py
+    @_q("cluster_results_stc")
+    def cluster_results_stc_query(spark, sf_dir):
+        """Carrot2 STC engine analog (STCClusteringAlgorithm via
+        CarrotClusteringEngine.java:95-210; algorithm: Zamir & Etzioni,
+        SIGIR '98): suffix-tree base clusters over the top-30 window's
+        stored text, merged at overlap>0.6 into labeled clusters."""
+        from lucene_solr_spark.search.stc import cluster_results_stc
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return cluster_results_stc(
+            get_index(spark, sf_dir), docs, list(_CL_TERMS), rows=30,
+            id_col="doc_id",
+        )
+
+    # rows-only: SVD label induction is not SQL-expressible; correctness is
+    # pinned by the structural goldens + wrapper differential in
+    # tests/test_lingo.py
+    @_q("cluster_results_lingo")
+    def cluster_results_lingo_query(spark, sf_dir):
+        """Carrot2 Lingo engine analog (LingoClusteringAlgorithm — the
+        reference default carrot.algorithm; algorithm: Osiński et al.,
+        IIPWM 2004): SVD concepts over the window's tf-idf term-doc
+        matrix, labeled by best-matching frequent phrase, VSM assignment."""
+        from lucene_solr_spark.search.lingo import cluster_results_lingo
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return cluster_results_lingo(
+            get_index(spark, sf_dir), docs, list(_CL_TERMS), rows=30,
+            id_col="doc_id",
+        )
+
 
 _register_clustering()
 
@@ -4859,6 +4894,8 @@ _DEFER_LAST = [
     # below is oracle-checked here and unit-tested in test_functions.py
     "function_dist_minkowski",  # function_query_recip_freshness (registry) — vector distance family
     "function_termfreq",        # term_query (term-pruned postings join, unscored)
+    "cluster_results_stc",      # cluster_results_query (component surface; rows-only: suffix-tree + connected components, Zamir&Etzioni goldens in tests/test_stc.py)
+    "cluster_results_lingo",    # cluster_results_query (component surface; rows-only: SVD label induction, goldens in tests/test_lingo.py)
 ]
 
 
