@@ -57,10 +57,8 @@ def _facet_counts(out: dict, nl: str = "flat") -> dict:
     }
 
 
-def write_json(out: dict, params: dict | None = None) -> str:
-    """wt=json: the standard Solr response envelope."""
-    params = params or {}
-    nl = params.get("json.nl", "flat")
+def _body(out: dict, params: dict, nl: str = "flat") -> dict:
+    """The shared response envelope (NamedList tree) every writer renders."""
     body: dict = {
         "responseHeader": {"status": 0, "params": {
             k: v for k, v in params.items() if not k.startswith("json.")
@@ -79,6 +77,13 @@ def write_json(out: dict, params: dict | None = None) -> str:
         body["highlighting"] = {
             str(r[key]): {"snippet": [r["snippet"]]} for r in hl.collect()
         }
+    return body
+
+
+def write_json(out: dict, params: dict | None = None) -> str:
+    """wt=json: the standard Solr response envelope."""
+    params = params or {}
+    body = _body(out, params, params.get("json.nl", "flat"))
     return json.dumps(body, ensure_ascii=False, default=_json_default)
 
 
@@ -173,7 +178,125 @@ def write_xml(out: dict, params: dict | None = None) -> str:
     return "\n".join(lines)
 
 
-WRITERS = {"json": write_json, "csv": write_csv, "xml": write_xml}
+# ---------------------------------------------------------------------------
+# Script-language writers: wt=python / wt=ruby / wt=php / wt=phps
+# (solr/core/src/java/org/apache/solr/response/PythonResponseWriter.java,
+#  RubyResponseWriter.java, PHPResponseWriter.java,
+#  PHPSerializedResponseWriter.java — each renders the SAME NamedList
+#  envelope in the target language's literal syntax; phps is PHP's
+#  serialize() wire format with byte-length-prefixed strings.)
+# ---------------------------------------------------------------------------
+
+
+def _norm(v):
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return _to_solr_date(v)
+    return v
+
+
+def _py_repr(v) -> str:
+    v = _norm(v)
+    if v is None:
+        return "None"
+    if isinstance(v, bool):
+        return "True" if v else "False"
+    if isinstance(v, str):
+        s = v.replace("\\", "\\\\").replace("'", "\\'")
+        s = "".join(c if " " <= c < "\x7f" else f"\\u{ord(c):04x}" for c in s)
+        return f"'{s}'"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{_py_repr(k)}:{_py_repr(x)}" for k, x in v.items()) + "}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_py_repr(x) for x in v) + "]"
+    return repr(v)
+
+
+def _rb_repr(v) -> str:
+    v = _norm(v)
+    if v is None:
+        return "nil"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        s = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{_rb_repr(k)}=>{_rb_repr(x)}" for k, x in v.items()) + "}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_rb_repr(x) for x in v) + "]"
+    return repr(v)
+
+
+def _php_repr(v) -> str:
+    v = _norm(v)
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        s = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+    if isinstance(v, dict):
+        return "array(" + ",".join(
+            f"{_php_repr(k)}=>{_php_repr(x)}" for k, x in v.items()) + ")"
+    if isinstance(v, (list, tuple)):
+        return "array(" + ",".join(
+            f"{i}=>{_php_repr(x)}" for i, x in enumerate(v)) + ")"
+    return repr(v)
+
+
+def _phps_repr(v) -> str:
+    """PHP serialize() format: s:<bytelen>:"raw"; i:..; d:..; b:..; N;
+    a:<n>:{key val ...} — string lengths count UTF-8 BYTES, content raw."""
+    v = _norm(v)
+    if v is None:
+        return "N;"
+    if isinstance(v, bool):
+        return f"b:{1 if v else 0};"
+    if isinstance(v, int):
+        return f"i:{v};"
+    if isinstance(v, float):
+        return f"d:{v};"
+    if isinstance(v, str):
+        return f's:{len(v.encode("utf-8"))}:"{v}";'
+    if isinstance(v, dict):
+        inner = "".join(_phps_repr(k) + _phps_repr(x) for k, x in v.items())
+        return f"a:{len(v)}:{{{inner}}}"
+    if isinstance(v, (list, tuple)):
+        inner = "".join(f"i:{i};" + _phps_repr(x) for i, x in enumerate(v))
+        return f"a:{len(v)}:{{{inner}}}"
+    raise TypeError(type(v))
+
+
+def write_python(out: dict, params: dict | None = None) -> str:
+    """wt=python: the envelope as a Python literal."""
+    params = params or {}
+    return _py_repr(_body(out, params))
+
+
+def write_ruby(out: dict, params: dict | None = None) -> str:
+    """wt=ruby: the envelope as a Ruby literal (nil / => hashes)."""
+    params = params or {}
+    return _rb_repr(_body(out, params))
+
+
+def write_php(out: dict, params: dict | None = None) -> str:
+    """wt=php: the envelope as nested PHP array() literals."""
+    params = params or {}
+    return _php_repr(_body(out, params))
+
+
+def write_phps(out: dict, params: dict | None = None) -> str:
+    """wt=phps: the envelope in PHP serialize() wire format."""
+    params = params or {}
+    return _phps_repr(_body(out, params))
+
+
+WRITERS = {
+    "json": write_json, "csv": write_csv, "xml": write_xml,
+    "python": write_python, "ruby": write_ruby,
+    "php": write_php, "phps": write_phps,
+}
 
 
 def write_response(out: dict, params: dict | None = None) -> str:

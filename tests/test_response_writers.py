@@ -87,3 +87,62 @@ def test_dispatch(out):
     assert write_response(out, {"wt": "csv"}).startswith("docid")
     with pytest.raises(ValueError):
         write_response(out, {"wt": "velocity"})
+
+
+# -- script-language writers (pure value-level goldens, no Spark needed) ----
+
+def test_python_repr_goldens():
+    from lucene_solr_spark.response_writers import _py_repr
+
+    assert _py_repr(None) == "None"
+    assert _py_repr(True) == "True" and _py_repr(False) == "False"
+    assert _py_repr("it's") == "'it\\'s'"
+    assert _py_repr("café") == "'caf\\u00e9'"
+    assert _py_repr({"a": [1, 2.5]}) == "{'a':[1,2.5]}"
+    # the literal round-trips through eval back to the same value
+    v = {"k": [None, True, "x'y", 3, 4.5]}
+    assert eval(_py_repr(v)) == v
+
+
+def test_ruby_repr_goldens():
+    from lucene_solr_spark.response_writers import _rb_repr
+
+    assert _rb_repr(None) == "nil"
+    assert _rb_repr({"a": 1}) == "{'a'=>1}"
+    assert _rb_repr([True, "x'y"]) == "[true,'x\\'y']"
+
+
+def test_php_repr_goldens():
+    from lucene_solr_spark.response_writers import _php_repr
+
+    assert _php_repr(None) == "null"
+    assert _php_repr({"a": [1, "b"]}) == "array('a'=>array(0=>1,1=>'b'))"
+
+
+def test_phps_serialize_goldens():
+    """PHP serialize() wire format: byte-length-prefixed raw strings."""
+    from lucene_solr_spark.response_writers import _phps_repr
+
+    assert _phps_repr(None) == "N;"
+    assert _phps_repr(True) == "b:1;"
+    assert _phps_repr(5) == "i:5;"
+    assert _phps_repr(2.5) == "d:2.5;"
+    assert _phps_repr("ab") == 's:2:"ab";'
+    assert _phps_repr("café") == 's:5:"café";'  # UTF-8 byte length
+    assert _phps_repr([1, "x"]) == 'a:2:{i:0;i:1;i:1;s:1:"x";}'
+    assert _phps_repr({"k": 1}) == 'a:1:{s:1:"k";i:1;}'
+
+
+def test_script_writers_render_envelope(out):
+    from lucene_solr_spark.response_writers import write_response
+
+    py = write_response(out, {"wt": "python", "q": "table"})
+    body = eval(py)  # Python literal round-trip
+    assert body["responseHeader"]["status"] == 0
+    assert body["response"]["numFound"] >= 3
+    rb = write_response(out, {"wt": "ruby", "q": "table"})
+    assert rb.startswith("{'responseHeader'=>")
+    php = write_response(out, {"wt": "php", "q": "table"})
+    assert php.startswith("array('responseHeader'=>")
+    phps = write_response(out, {"wt": "phps", "q": "table"})
+    assert phps.startswith("a:") and phps.endswith("}")
