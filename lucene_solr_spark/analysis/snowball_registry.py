@@ -19,7 +19,9 @@ from lucene_solr_spark.analysis.snowball_de import (
     german_snowball_stem,
 )
 from lucene_solr_spark.analysis.snowball_es import spanish_snowball_stem
+from lucene_solr_spark.analysis.snowball_fi import finnish_snowball_stem
 from lucene_solr_spark.analysis.snowball_fr import french_snowball_stem
+from lucene_solr_spark.analysis.snowball_hu import hungarian_snowball_stem
 from lucene_solr_spark.analysis.snowball_it import italian_snowball_stem
 from lucene_solr_spark.analysis.snowball_nl import dutch_snowball_stem
 from lucene_solr_spark.analysis.snowball_nordic import (
@@ -28,6 +30,7 @@ from lucene_solr_spark.analysis.snowball_nordic import (
     swedish_snowball_stem,
 )
 from lucene_solr_spark.analysis.snowball_pt import portuguese_snowball_stem
+from lucene_solr_spark.analysis.snowball_ro import romanian_snowball_stem
 from lucene_solr_spark.analysis.snowball_ru import russian_snowball_stem
 
 # language name (as SnowballPorterFilterFactory accepts) -> word stemmer
@@ -44,6 +47,9 @@ SNOWBALL_STEMMERS = {
     "Portuguese": portuguese_snowball_stem,
     "French": french_snowball_stem,
     "Dutch": dutch_snowball_stem,
+    "Finnish": finnish_snowball_stem,
+    "Hungarian": hungarian_snowball_stem,
+    "Romanian": romanian_snowball_stem,
 }
 
 
