@@ -32,6 +32,7 @@ from lucene_solr_spark.analysis.snowball_nordic import (
 from lucene_solr_spark.analysis.snowball_pt import portuguese_snowball_stem
 from lucene_solr_spark.analysis.snowball_ro import romanian_snowball_stem
 from lucene_solr_spark.analysis.snowball_ru import russian_snowball_stem
+from lucene_solr_spark.analysis.snowball_tr import turkish_snowball_stem
 
 # language name (as SnowballPorterFilterFactory accepts) -> word stemmer
 SNOWBALL_STEMMERS = {
@@ -50,6 +51,7 @@ SNOWBALL_STEMMERS = {
     "Finnish": finnish_snowball_stem,
     "Hungarian": hungarian_snowball_stem,
     "Romanian": romanian_snowball_stem,
+    "Turkish": turkish_snowball_stem,
 }
 
 

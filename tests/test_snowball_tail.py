@@ -15,6 +15,7 @@ from lucene_solr_spark.analysis.snowball_fi import finnish_snowball_stem
 from lucene_solr_spark.analysis.snowball_hu import hungarian_snowball_stem
 from lucene_solr_spark.analysis.snowball_registry import SNOWBALL_STEMMERS
 from lucene_solr_spark.analysis.snowball_ro import romanian_snowball_stem
+from lucene_solr_spark.analysis.snowball_tr import turkish_snowball_stem
 
 _DATA = os.path.join(os.path.dirname(__file__), "data")
 
@@ -22,6 +23,7 @@ _CASES = [
     ("finnish", finnish_snowball_stem, 50000),
     ("hungarian", hungarian_snowball_stem, 29881),
     ("romanian", romanian_snowball_stem, 22570),
+    ("turkish", turkish_snowball_stem, 96325),
 ]
 
 
@@ -50,6 +52,7 @@ def test_registry_includes_tail_languages():
     assert SNOWBALL_STEMMERS["Finnish"] is finnish_snowball_stem
     assert SNOWBALL_STEMMERS["Hungarian"] is hungarian_snowball_stem
     assert SNOWBALL_STEMMERS["Romanian"] is romanian_snowball_stem
+    assert SNOWBALL_STEMMERS["Turkish"] is turkish_snowball_stem
 
 
 def test_spot_semantics():
@@ -61,3 +64,9 @@ def test_spot_semantics():
     assert romanian_snowball_stem("jucării") == romanian_snowball_stem(
         "jucărie"
     )
+    # Turkish: single-syllable words are never stemmed
+    assert turkish_snowball_stem("ad") == "ad"
+    # continue flag: plural verb reading stops noun-suffix stripping
+    assert turkish_snowball_stem("kitaplar") == "kitap"
+    # postlude final-consonant devoicing
+    assert turkish_snowball_stem("kitabı") == "kitap"
