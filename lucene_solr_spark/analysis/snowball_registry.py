@@ -14,6 +14,7 @@ from __future__ import annotations
 import pandas as pd
 
 from lucene_solr_spark.analysis.snowball import porter2_stem
+from lucene_solr_spark.analysis.stemmer import porter_classic_stem
 from lucene_solr_spark.analysis.snowball_de import (
     german2_snowball_stem,
     german_snowball_stem,
@@ -37,6 +38,7 @@ from lucene_solr_spark.analysis.snowball_tr import turkish_snowball_stem
 # language name (as SnowballPorterFilterFactory accepts) -> word stemmer
 SNOWBALL_STEMMERS = {
     "English": porter2_stem,
+    "Porter": porter_classic_stem,
     "German": german_snowball_stem,
     "German2": german2_snowball_stem,
     "Danish": danish_snowball_stem,

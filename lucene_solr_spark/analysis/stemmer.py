@@ -197,6 +197,89 @@ def porter_stem(word: str) -> str:
     return w
 
 
+_STEP2_CLASSIC = tuple(
+    (a, b) for a, b in _STEP2 if a not in ("bli", "logi")
+) + (("abli", "able"),)
+
+
+@lru_cache(maxsize=1 << 16)
+def porter_classic_stem(word: str) -> str:
+    """The strict 1980-paper Porter algorithm — SnowballPorterFilterFactory
+    language="Porter" (org.tartarus.snowball.ext.PorterStemmer via
+    SnowballFilter, graded by TestSnowballVocab.java porter/).  Differs from
+    :func:`porter_stem` (the author's updated Java release) in exactly three
+    ways: no minimum-length guard (so "as" -> "a"), step-2 ``abli -> able``
+    instead of ``bli -> ble``, and no ``logi -> log`` rule.  Validated
+    against the reference's full 30,428-word snowball porter vocabulary in
+    tests/test_snowball_tail.py."""
+    w = word
+
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        cleanup = False
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            w = w[:-2]
+            cleanup = True
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            w = w[:-3]
+            cleanup = True
+        if cleanup:
+            if w.endswith(("at", "bl", "iz")):
+                w = w + "e"
+            elif _ends_double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _measure(w) == 1 and _ends_cvc(w):
+                w = w + "e"
+
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    rule = _longest_rule(w, _STEP2_CLASSIC)
+    if rule is not None:
+        suf, rep = rule
+        stem = w[: len(w) - len(suf)]
+        if _measure(stem) > 0:
+            w = stem + rep
+
+    rule = _longest_rule(w, _STEP3)
+    if rule is not None:
+        suf, rep = rule
+        stem = w[: len(w) - len(suf)]
+        if _measure(stem) > 0:
+            w = stem + rep
+
+    best = None
+    for suf in _STEP4:
+        if w.endswith(suf) and (best is None or len(suf) > len(best)):
+            best = suf
+    if best is not None:
+        stem = w[: len(w) - len(best)]
+        if _measure(stem) > 1 and (best != "ion" or stem[-1:] in ("s", "t")):
+            w = stem
+
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _ends_cvc(stem)):
+            w = stem
+
+    if w.endswith("ll") and _measure(w[:-1]) > 1:
+        w = w[:-1]
+
+    return w
+
+
 def porter_stem_tokens(tokens: list[str]) -> list[str]:
     """Chain-stage form (PorterStemFilter.incrementToken): stem each token.
     Position increments are untouched — stemming is 1:1."""

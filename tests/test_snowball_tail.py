@@ -16,6 +16,7 @@ from lucene_solr_spark.analysis.snowball_hu import hungarian_snowball_stem
 from lucene_solr_spark.analysis.snowball_registry import SNOWBALL_STEMMERS
 from lucene_solr_spark.analysis.snowball_ro import romanian_snowball_stem
 from lucene_solr_spark.analysis.snowball_tr import turkish_snowball_stem
+from lucene_solr_spark.analysis.stemmer import porter_classic_stem
 
 _DATA = os.path.join(os.path.dirname(__file__), "data")
 
@@ -24,6 +25,7 @@ _CASES = [
     ("hungarian", hungarian_snowball_stem, 29881),
     ("romanian", romanian_snowball_stem, 22570),
     ("turkish", turkish_snowball_stem, 96325),
+    ("porter", porter_classic_stem, 30428),
 ]
 
 
