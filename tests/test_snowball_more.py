@@ -60,7 +60,7 @@ def test_registry_covers_major_languages():
     assert set(SNOWBALL_STEMMERS) == {
         "English", "German", "German2", "Danish", "Norwegian", "Swedish",
         "Russian", "Spanish", "Italian", "Portuguese", "French", "Dutch",
-        "Finnish", "Hungarian", "Romanian", "Turkish", "Porter",
+        "Finnish", "Hungarian", "Romanian", "Turkish", "Porter", "Kp",
     }
     # every registered stemmer is callable on plain words
     for lang, fn in SNOWBALL_STEMMERS.items():

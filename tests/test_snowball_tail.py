@@ -15,6 +15,7 @@ from lucene_solr_spark.analysis.snowball_fi import finnish_snowball_stem
 from lucene_solr_spark.analysis.snowball_hu import hungarian_snowball_stem
 from lucene_solr_spark.analysis.snowball_registry import SNOWBALL_STEMMERS
 from lucene_solr_spark.analysis.snowball_ro import romanian_snowball_stem
+from lucene_solr_spark.analysis.snowball_kp import kp_stem
 from lucene_solr_spark.analysis.snowball_tr import turkish_snowball_stem
 from lucene_solr_spark.analysis.stemmer import porter_classic_stem
 
@@ -26,6 +27,7 @@ _CASES = [
     ("romanian", romanian_snowball_stem, 22570),
     ("turkish", turkish_snowball_stem, 96325),
     ("porter", porter_classic_stem, 30428),
+    ("kp", kp_stem, 45669),
 ]
 
 
