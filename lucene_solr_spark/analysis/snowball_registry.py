@@ -25,6 +25,7 @@ from lucene_solr_spark.analysis.snowball_fr import french_snowball_stem
 from lucene_solr_spark.analysis.snowball_hu import hungarian_snowball_stem
 from lucene_solr_spark.analysis.snowball_it import italian_snowball_stem
 from lucene_solr_spark.analysis.snowball_kp import kp_stem
+from lucene_solr_spark.analysis.snowball_lovins import lovins_stem
 from lucene_solr_spark.analysis.snowball_nl import dutch_snowball_stem
 from lucene_solr_spark.analysis.snowball_nordic import (
     danish_snowball_stem,
@@ -56,6 +57,7 @@ SNOWBALL_STEMMERS = {
     "Romanian": romanian_snowball_stem,
     "Turkish": turkish_snowball_stem,
     "Kp": kp_stem,
+    "Lovins": lovins_stem,
 }
 
 

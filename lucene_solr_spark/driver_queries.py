@@ -393,6 +393,30 @@ def _register_snowball_tail_queries():
             turkish_snowball_stem("data"), k=10,
         )
 
+    from lucene_solr_spark.analysis.snowball_lovins import lovins_stem
+
+    lovins_prelude = "WITH " + _prelude_body(
+        "SELECT doc_id AS docid, text FROM documents",
+        stem_values=vocab_map_values(lovins_stem),
+    )
+
+    @_q(
+        "lovins_stem_query",
+        bool_sql(must=(lovins_stem("tables"),), prelude=lovins_prelude),
+    )
+    def lovins_stem_query(spark, sf_dir):
+        """SnowballFilter[Lovins] end-to-end (org/tartarus/snowball/ext/
+        LovinsStemmer.java via SnowballPorterFilterFactory
+        language="Lovins"): the 1968 longest-match/recode stemmer as a
+        vocabulary term map — 'tables' loses ending 'es' (condition E)
+        and 'table' loses 'e', so both inflections fold to 'tabl' with
+        df/tf merged.  29,417/29,417 reference
+        TestSnowballVocabData goldens in tests/test_snowball_tail.py."""
+        return search(
+            get_snowball_lang_index(spark, sf_dir, "Lovins"),
+            lovins_stem("tables"), k=10,
+        )
+
 
 _register_snowball_tail_queries()
 
@@ -4848,6 +4872,7 @@ _DEFER_LAST = [
     # pairs — in tests/test_snowball*.py) ---
     "kp_stem_query",
     "turkish_stem_query",
+    "lovins_stem_query",
     # --- round-4 in-session rotation: slot for spatial_rpt_polygon ---
     "join_query",               # block_join_parents (query-time join family, all four ScoreModes pytest-graded in test_qparsers) + {!join} front door tests; r3 green
     # --- round-4 rotation (VERDICT r3 "Next round" #1): the whole r3c/r3d

@@ -16,6 +16,7 @@ from lucene_solr_spark.analysis.snowball_hu import hungarian_snowball_stem
 from lucene_solr_spark.analysis.snowball_registry import SNOWBALL_STEMMERS
 from lucene_solr_spark.analysis.snowball_ro import romanian_snowball_stem
 from lucene_solr_spark.analysis.snowball_kp import kp_stem
+from lucene_solr_spark.analysis.snowball_lovins import lovins_stem
 from lucene_solr_spark.analysis.snowball_tr import turkish_snowball_stem
 from lucene_solr_spark.analysis.stemmer import porter_classic_stem
 
@@ -28,6 +29,7 @@ _CASES = [
     ("turkish", turkish_snowball_stem, 96325),
     ("porter", porter_classic_stem, 30428),
     ("kp", kp_stem, 45669),
+    ("lovins", lovins_stem, 29417),
 ]
 
 
@@ -57,6 +59,7 @@ def test_registry_includes_tail_languages():
     assert SNOWBALL_STEMMERS["Hungarian"] is hungarian_snowball_stem
     assert SNOWBALL_STEMMERS["Romanian"] is romanian_snowball_stem
     assert SNOWBALL_STEMMERS["Turkish"] is turkish_snowball_stem
+    assert SNOWBALL_STEMMERS["Lovins"] is lovins_stem
 
 
 def test_spot_semantics():
@@ -74,3 +77,11 @@ def test_spot_semantics():
     assert turkish_snowball_stem("kitaplar") == "kitap"
     # postlude final-consonant devoicing
     assert turkish_snowball_stem("kitabı") == "kitap"
+    # Lovins: longest-ending removal + undouble + respell
+    assert lovins_stem("nationally") == "nat"
+    # respell umpt -> um after ending removal
+    assert lovins_stem("assumption") == "assum"
+    # gated respell: 'ent' preceded by 'm' is NOT recoded ...
+    assert lovins_stem("moment") == "moment"
+    # ... while a stem long enough for condition C loses 'ent' outright
+    assert lovins_stem("torment") == "torm"
