@@ -24,6 +24,10 @@ from lucene_solr_spark.analysis.snowball_fi import finnish_snowball_stem
 from lucene_solr_spark.analysis.snowball_fr import french_snowball_stem
 from lucene_solr_spark.analysis.snowball_hu import hungarian_snowball_stem
 from lucene_solr_spark.analysis.snowball_it import italian_snowball_stem
+from lucene_solr_spark.analysis.snowball_ca import catalan_stem
+from lucene_solr_spark.analysis.snowball_eu import basque_stem
+from lucene_solr_spark.analysis.snowball_ga import irish_stem
+from lucene_solr_spark.analysis.snowball_hy import armenian_stem
 from lucene_solr_spark.analysis.snowball_kp import kp_stem
 from lucene_solr_spark.analysis.snowball_lovins import lovins_stem
 from lucene_solr_spark.analysis.snowball_nl import dutch_snowball_stem
@@ -58,6 +62,10 @@ SNOWBALL_STEMMERS = {
     "Turkish": turkish_snowball_stem,
     "Kp": kp_stem,
     "Lovins": lovins_stem,
+    "Armenian": armenian_stem,
+    "Basque": basque_stem,
+    "Catalan": catalan_stem,
+    "Irish": irish_stem,
 }
 
 
