@@ -292,10 +292,105 @@ def write_phps(out: dict, params: dict | None = None) -> str:
     return _phps_repr(_body(out, params))
 
 
+def write_javabin(out: dict, params: dict | None = None) -> bytes:
+    """wt=javabin: Solr's DEFAULT wire format (BinaryResponseWriter.java
+    over JavaBinCodec.java) — the same NamedList envelope the text
+    writers render, marshalled to javabin v2 bytes with the Java boxed
+    types a SolrJ client expects: responseHeader ints, SolrDocumentList
+    with long numFound/start + float maxScore, long facet counts."""
+    from lucene_solr_spark import javabin as jb
+
+    params = params or {}
+    body = _body(out, params)
+
+    hdr_src = body["responseHeader"]
+    hdr = jb.SimpleOrderedMap([("status", jb.JInt(hdr_src["status"]))])
+    hdr.add(
+        "params",
+        jb.SimpleOrderedMap(
+            [(k, _jb_val(v)) for k, v in hdr_src["params"].items()]
+        ),
+    )
+
+    resp_src = body["response"]
+    docs = []
+    max_score = None
+    for d in resp_src["docs"]:
+        fields = []
+        for k, v in d.items():
+            if k == "score":
+                v = float(v)
+                max_score = v if max_score is None else max(max_score, v)
+                fields.append((k, jb.JFloat(v)))
+            else:
+                fields.append((k, _jb_val(v)))
+        docs.append(jb.SolrDocument(fields))
+    dl = jb.SolrDocumentList(
+        docs,
+        num_found=int(resp_src["numFound"] or 0),
+        start=int(resp_src["start"]),
+        max_score=max_score,
+    )
+
+    envelope = jb.NamedList([("responseHeader", hdr), ("response", dl)])
+    fc_src = body.get("facet_counts")
+    if fc_src is not None:
+        fc = jb.SimpleOrderedMap()
+        fc.add(
+            "facet_queries",
+            jb.SimpleOrderedMap(
+                [(q, jb.JLong(c)) for q, c in fc_src["facet_queries"].items()]
+            ),
+        )
+        ffs = jb.SimpleOrderedMap()
+        for fname, flat in fc_src["facet_fields"].items():
+            nl = jb.NamedList()
+            for i in range(0, len(flat), 2):
+                nl.add(flat[i], jb.JLong(flat[i + 1]))
+            ffs.add(fname, nl)
+        fc.add("facet_fields", ffs)
+        fc.add("facet_dates", jb.SimpleOrderedMap())
+        fc.add("facet_ranges", jb.SimpleOrderedMap())
+        fc.add("facet_intervals", jb.SimpleOrderedMap())
+        envelope.add("facet_counts", fc)
+    hl_src = body.get("highlighting")
+    if hl_src is not None:
+        hl = jb.SimpleOrderedMap()
+        for key, frags in hl_src.items():
+            hl.add(
+                key,
+                jb.SimpleOrderedMap(
+                    [(f, list(v)) for f, v in frags.items()]
+                ),
+            )
+        envelope.add("highlighting", hl)
+    return jb.dumps(envelope)
+
+
+def _jb_val(v):
+    from lucene_solr_spark import javabin as jb
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        if isinstance(v, _dt.datetime):
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            if v.tzinfo is None:
+                epoch = _dt.datetime(1970, 1, 1)
+            millis = int((v - epoch).total_seconds() * 1000)
+        else:
+            millis = (
+                _dt.date.toordinal(v) - _dt.date(1970, 1, 1).toordinal()
+            ) * 86400000
+        return jb.JDate(millis)
+    if isinstance(v, list):
+        return [_jb_val(x) for x in v]
+    return v
+
+
 WRITERS = {
     "json": write_json, "csv": write_csv, "xml": write_xml,
     "python": write_python, "ruby": write_ruby,
     "php": write_php, "phps": write_phps,
+    "javabin": write_javabin,
 }
 
 

@@ -146,3 +146,39 @@ def test_script_writers_render_envelope(out):
     assert php.startswith("array('responseHeader'=>")
     phps = write_response(out, {"wt": "phps", "q": "table"})
     assert phps.startswith("a:") and phps.endswith("}")
+
+
+def test_javabin_envelope(out):
+    """wt=javabin round-trips to the same envelope write_json renders."""
+    from lucene_solr_spark import javabin as jb
+    from lucene_solr_spark.response_writers import write_javabin
+
+    data = write_javabin(out, {"q": "table", "rows": 3})
+    assert isinstance(data, bytes) and data[0] == 2  # javabin v2
+    tree = jb.loads(data)
+    assert isinstance(tree, jb.NamedList)
+    hdr = tree.get("responseHeader")
+    assert isinstance(hdr, jb.SimpleOrderedMap)
+    assert hdr.get("status") == 0
+    dl = tree.get("response")
+    assert isinstance(dl, jb.SolrDocumentList)
+    assert len(dl) == 3 and dl.start == 0
+
+    body = json.loads(write_json(out, {"q": "table", "rows": 3}))
+    assert dl.num_found == body["response"]["numFound"]
+    # docs agree field-by-field (score is a Java Float on the wire)
+    for jdoc, jsond in zip(dl, body["response"]["docs"]):
+        fields = dict(jdoc.fields)
+        assert str(fields["docid"]) == str(jsond["docid"])
+        assert abs(fields["score"].value - jsond["score"]) < 1e-5
+    # facet counts are Longs keyed by term, matching the flat JSON list
+    ff = tree.get("facet_counts").get("facet_fields").get("lang")
+    flat = body["facet_counts"]["facet_fields"]["lang"]
+    assert [(n, v.value) for n, v in ff] == [
+        (flat[i], flat[i + 1]) for i in range(0, len(flat), 2)
+    ]
+
+
+def test_javabin_dispatch(out):
+    data = write_response(out, {"wt": "javabin"})
+    assert isinstance(data, bytes) and data[0] == 2
