@@ -125,6 +125,33 @@ class SolrDocumentList(list):
     __hash__ = None
 
 
+class SolrInputDocument:
+    """Input-side document (SolrInputDocument.java): doc boost, fields
+    with optional per-field boost, nested children."""
+
+    def __init__(self, fields=None, boost=1.0, children=None):
+        # fields: (name, value) or (name, value, boost) tuples
+        self.fields = [
+            (f + (1.0,) if len(f) == 2 else f) for f in (fields or [])
+        ]
+        self.boost = boost
+        self.children = list(children or [])
+
+    def set(self, name, val, boost=1.0):
+        self.fields.append((name, val, boost))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, SolrInputDocument)
+            and self.fields == other.fields
+            and self.boost == other.boost
+            and self.children == other.children
+        )
+
+    def __repr__(self):
+        return f"SolrInputDocument({self.fields!r})"
+
+
 class EnumFieldValue:
     def __init__(self, int_value: int, string_value: str):
         self.int_value = int_value
@@ -296,6 +323,21 @@ class JavaBinEncoder:
         for child in doc.children:
             self._write_solr_document(child)
 
+    def _write_solr_input_document(self, doc: SolrInputDocument) -> None:
+        # writeSolrInputDocument: tag+size vint, doc boost float, then
+        # [field boost if != 1.0] extern name, value; children inline
+        self._tag(SOLRINPUTDOC, len(doc.fields) + len(doc.children))
+        self._byte(FLOAT)
+        self._buf += struct.pack(">f", doc.boost)
+        for name, val, boost in doc.fields:
+            if boost != 1.0:
+                self._byte(FLOAT)
+                self._buf += struct.pack(">f", boost)
+            self._write_extern_string(name)
+            self.write_val(val)
+        for child in doc.children:
+            self._write_solr_input_document(child)
+
     def _write_solr_document_list(self, docs: SolrDocumentList) -> None:
         self._tag(SOLRDOCLST)
         header = [
@@ -374,6 +416,8 @@ class JavaBinEncoder:
             self._write_array(val)
         elif isinstance(val, SolrDocument):
             self._write_solr_document(val)
+        elif isinstance(val, SolrInputDocument):
+            self._write_solr_input_document(val)
         elif isinstance(val, dict):
             self._write_map(val)
         elif isinstance(val, EnumFieldValue):
@@ -512,6 +556,21 @@ class JavaBinDecoder:
                 start=header[1].value,
                 max_score=None if ms is None else ms.value,
             )
+        if tag == SOLRINPUTDOC:
+            sz = self._vint()
+            doc_boost = self.read_val()
+            doc = SolrInputDocument(boost=doc_boost.value)
+            for _ in range(sz):
+                boost = 1.0
+                obj = self.read_val()
+                if isinstance(obj, JFloat):
+                    boost = obj.value
+                    obj = self.read_val()
+                elif isinstance(obj, SolrInputDocument):
+                    doc.children.append(obj)
+                    continue
+                doc.fields.append((obj, self.read_val(), boost))
+            return doc
         if tag == BYTEARR:
             return self._read(self._vint())
         if tag == ITERATOR:

@@ -1,4 +1,5 @@
-"""/update content-stream loaders: the JsonLoader / CSVLoader analogs.
+"""/update content-stream loaders: JsonLoader / CSVLoader / XMLLoader /
+JavaBinUpdateRequestCodec analogs — all four 4.10 /update content types.
 
 Reference:
 - solr/core/src/java/org/apache/solr/handler/loader/JsonLoader.java
@@ -165,6 +166,119 @@ def parse_csv_update(
             doc[name] = v
         doc.update(literals)
         cmds.adds.append(doc)
+    return cmds
+
+
+def parse_xml_update(payload: str) -> UpdateCommands:
+    """XMLLoader.processUpdate analog (solr/core/src/java/org/apache/
+    solr/handler/loader/XMLLoader.java:221-286, readDoc :369-460): a
+    stream of top-level ``<add>``/``<delete>``/``<commit>``/
+    ``<optimize>``/``<rollback>`` elements.  ``<field>`` supports
+    ``null="true"``, repeated names (multiValued list), and the atomic
+    ``update="set|add|inc|remove"`` forms, which collect into the
+    {field: {op: value}} extended-value map exactly as readDoc does.
+    Solr parses the body as an event stream, so multiple root elements
+    are legal — a synthetic wrapper keeps ElementTree happy."""
+    import xml.etree.ElementTree as ET
+
+    stripped = payload.strip()
+    if stripped.startswith("<update"):
+        root = ET.fromstring(stripped)
+    else:
+        root = ET.fromstring(f"<update>{stripped}</update>")
+    cmds = UpdateCommands()
+    for el in root:
+        tag = el.tag
+        if tag == "add":
+            if "commitWithin" in el.attrib:
+                cmds.commit_within = int(el.attrib["commitWithin"])
+            for doc_el in el.findall("doc"):
+                cmds.adds.append(_xml_doc(doc_el))
+        elif tag == "delete":
+            for id_el in el.findall("id"):
+                cmds.delete_ids.append(id_el.text or "")
+            for q_el in el.findall("query"):
+                cmds.delete_queries.append(q_el.text or "")
+        elif tag == "commit":
+            cmds.commit = True
+        elif tag == "optimize":
+            cmds.optimize = True
+        elif tag == "rollback":
+            cmds.rollback = True
+        else:
+            raise ValueError(f"Unexpected <{tag}> at update root")
+    return cmds
+
+
+def _xml_doc(doc_el) -> dict:
+    doc: dict[str, Any] = {}
+    update_map: dict[str, dict] = {}
+    for f in doc_el:
+        if f.tag != "field":
+            raise ValueError(
+                f"XML element <doc> has invalid child: <{f.tag}>"
+            )
+        name = f.attrib["name"]
+        v = None if f.attrib.get("null") == "true" else (f.text or "")
+        op = f.attrib.get("update")
+        if op is not None:
+            ext = update_map.setdefault(name, {})
+            if op in ext:  # multiple values for one op -> list
+                prev = ext[op]
+                ext[op] = (prev if isinstance(prev, list) else [prev]) + [v]
+            else:
+                ext[op] = v
+            continue
+        if name in doc:  # repeated field name -> multiValued
+            prev = doc[name]
+            doc[name] = (prev if isinstance(prev, list) else [prev]) + [v]
+        else:
+            doc[name] = v
+    doc.update(update_map)
+    return doc
+
+
+def parse_javabin_update(payload: bytes) -> UpdateCommands:
+    """JavaBinUpdateRequestCodec.unmarshal analog (solr/solrj/src/java/
+    org/apache/solr/client/solrj/request/JavaBinUpdateRequestCodec.java
+    :54-83 marshal envelope): a javabin NamedList with "params"
+    (commitWithin), "delById"/"delByIdMap", "delByQ", and "docs" — an
+    iterator of SolrInputDocuments.  Field and document boosts are
+    accepted and dropped (index-time boosts fold into norms upstream of
+    this layer, like the 4.10 URP chain does)."""
+    from lucene_solr_spark import javabin as jb
+
+    tree = jb.loads(payload)
+    if not isinstance(tree, jb.NamedList):
+        raise ValueError("javabin update root must be a NamedList")
+    cmds = UpdateCommands()
+    params = tree.get("params")
+    if isinstance(params, jb.NamedList):
+        cw = params.get("commitWithin")
+        cw = cw.value if isinstance(cw, jb._Wrapper) else cw
+        if cw is not None and int(cw) >= 0:
+            cmds.commit_within = int(cw)
+    for did in tree.get("delById") or []:
+        cmds.delete_ids.append(str(did))
+    del_map = tree.get("delByIdMap")
+    if del_map:
+        for did in del_map:
+            cmds.delete_ids.append(str(did))
+    for q in tree.get("delByQ") or []:
+        cmds.delete_queries.append(str(q))
+    for doc in tree.get("docs") or []:
+        out: dict[str, Any] = {}
+        for name, val, _boost in doc.fields:
+            if isinstance(val, jb._Wrapper):
+                val = val.value
+            if name in out:
+                prev = out[name]
+                out[name] = (
+                    prev if isinstance(prev, list) else [prev]
+                ) + [val]
+            else:
+                out[name] = val
+        cmds.adds.append(out)
     return cmds
 
 

@@ -121,3 +121,97 @@ def test_apply_rollback_is_noop(spark, store_root):
     cmds = parse_json_update('{"add": {"doc": {"url": "u", "text": "t"}}, '
                              '"rollback": {}}')
     assert apply_update(spark, store_root, cmds) is None
+
+
+def test_xml_update_adds_and_deletes():
+    from lucene_solr_spark.loader import parse_xml_update
+
+    cmds = parse_xml_update(
+        """
+        <add commitWithin="5000">
+          <doc>
+            <field name="url">u1</field>
+            <field name="text">alpha</field>
+            <field name="tag">a</field>
+            <field name="tag">b</field>
+          </doc>
+          <doc><field name="url">u2</field>
+               <field name="text" null="true"/></doc>
+        </add>
+        <delete><id>u3</id><id>u4</id><query>lang:de</query></delete>
+        <commit/>
+        """
+    )
+    assert cmds.commit_within == 5000
+    assert cmds.adds[0] == {
+        "url": "u1", "text": "alpha", "tag": ["a", "b"]
+    }
+    assert cmds.adds[1] == {"url": "u2", "text": None}
+    assert cmds.delete_ids == ["u3", "u4"]
+    assert cmds.delete_queries == ["lang:de"]
+    assert cmds.commit
+
+
+def test_xml_update_atomic_ops():
+    from lucene_solr_spark.loader import parse_xml_update
+
+    cmds = parse_xml_update(
+        """<add><doc>
+             <field name="url">u1</field>
+             <field name="views" update="inc">1</field>
+             <field name="tags" update="add">x</field>
+             <field name="tags" update="add">y</field>
+           </doc></add>"""
+    )
+    assert cmds.adds[0]["views"] == {"inc": "1"}
+    assert cmds.adds[0]["tags"] == {"add": ["x", "y"]}
+
+
+def test_javabin_update_round_trip_from_reference_bytes():
+    """The exact bytes the reference's JavaBinCodec produced for the
+    update-request envelope (tests/data/javabin_goldens.tsv.gz row
+    update_request) parse into the same commands."""
+    import gzip
+    import os
+
+    from lucene_solr_spark.loader import parse_javabin_update
+
+    data_dir = os.path.join(os.path.dirname(__file__), "data")
+    with gzip.open(
+        os.path.join(data_dir, "javabin_goldens.tsv.gz"),
+        "rt",
+        encoding="utf-8",
+    ) as fh:
+        goldens = dict(
+            line.rstrip("\n").split("\t") for line in fh if line.strip()
+        )
+    cmds = parse_javabin_update(bytes.fromhex(goldens["update_request"]))
+    assert cmds.delete_ids == ["7", "8"]
+    assert cmds.delete_queries == ["lang:de"]
+    assert cmds.adds == [
+        {"id": "1", "text": "alpha"},
+        {"id": "2", "text": "beta"},
+    ]
+    assert cmds.commit_within is None  # commitWithin=-1 means unset
+
+
+def test_javabin_update_python_built():
+    from lucene_solr_spark import javabin as jb
+    from lucene_solr_spark.loader import parse_javabin_update
+
+    up = jb.NamedList(
+        [
+            ("params", jb.NamedList([("commitWithin", jb.JInt(900))])),
+            (
+                "docs",
+                [
+                    jb.SolrInputDocument(
+                        [("url", "u9"), ("tag", "a"), ("tag", "b")]
+                    )
+                ],
+            ),
+        ]
+    )
+    cmds = parse_javabin_update(jb.dumps(up))
+    assert cmds.commit_within == 900
+    assert cmds.adds == [{"url": "u9", "tag": ["a", "b"]}]

@@ -57,7 +57,9 @@ def test_reference_vocab_goldens_all(lang, fn, expected_n):
 
 
 def test_registry_covers_major_languages():
-    assert set(SNOWBALL_STEMMERS) == {
+    # the full ext/ directory: 23 stemmers (test_snowball_ext_tail pins
+    # the exact count; here just the major-language core)
+    assert set(SNOWBALL_STEMMERS) >= {
         "English", "German", "German2", "Danish", "Norwegian", "Swedish",
         "Russian", "Spanish", "Italian", "Portuguese", "French", "Dutch",
         "Finnish", "Hungarian", "Romanian", "Turkish", "Porter", "Kp",

@@ -130,6 +130,27 @@ public class GenGoldens {
     cases.put("iterator", Arrays.asList("x", 1).iterator());
     // enum field value
     cases.put("enum_field", new EnumFieldValue(2, "signup"));
+    // SolrInputDocument + the JavaBinUpdateRequestCodec envelope
+    SolrInputDocument sid = new SolrInputDocument();
+    sid.setField("id", "99");
+    sid.setField("title", "hello", 2.0f);
+    sid.setField("tags", Arrays.asList("x", "y"));
+    cases.put("solrinputdoc", sid);
+    NamedList<Object> up = new NamedList<>();
+    NamedList<Object> uparams = new NamedList<>();
+    uparams.add("commitWithin", -1);
+    uparams.add("overwrite", true);
+    up.add("params", uparams);
+    up.add("delById", Arrays.asList("7", "8"));
+    up.add("delByQ", Arrays.asList("lang:de"));
+    List<SolrInputDocument> udocs = new ArrayList<>();
+    SolrInputDocument u1 = new SolrInputDocument();
+    u1.setField("id", "1"); u1.setField("text", "alpha");
+    SolrInputDocument u2 = new SolrInputDocument();
+    u2.setField("id", "2"); u2.setField("text", "beta");
+    udocs.add(u1); udocs.add(u2);
+    up.add("docs", udocs.iterator());
+    cases.put("update_request", up);
     PrintWriter out = new PrintWriter(new OutputStreamWriter(new FileOutputStream(args[0]), "UTF-8"));
     for (Map.Entry<String,Object> e : cases.entrySet()) {
       out.println(e.getKey() + "\t" + marshal(e.getValue()));
