@@ -160,6 +160,16 @@ FUNCTIONS: dict[str, tuple[int, int, callable]] = {
     "tf": (2, 2, lambda a: _raise(ValueError(
         "tf() is TFIDFSimilarity-only (TFValueSource); this engine is BM25 - "
         "use termfreq()/with_termfreq() for the raw count"))),
+    # cscore() (CollapseScoreFunction via addParser("cscore"),
+    # ValueSourceParser.java:226-231): the doc's query score inside a
+    # {!collapse} min=/max= selector — our collapse frame always carries
+    # the score column, so it compiles directly
+    "cscore": (0, 0, lambda a: F.col("score")),
+    # joindf(field,qfield) (JoinDocFreqValueSource.java:46-82) needs the
+    # qfield term dictionary joined per doc — with_joindf() is the
+    # DataFrame-level realization
+    "joindf": (2, 2, lambda a: _raise(ValueError(
+        "joindf(field,qfield) needs a dictionary join - use with_joindf()"))),
 }
 
 # index-statistic functions (ValueSourceParser.java addParser("docfreq"/
@@ -631,6 +641,26 @@ def resolve_query_sources(df, index, subqueries, round_dp: int = 4):
             col, F.coalesce(F.col(col), F.lit(float(default)))
         )
     return df
+
+
+def with_joindf(df, index, field: str, out: str = "joindf"):
+    """``joindf(field,qfield)`` (JoinDocFreqValueSource.java:46-82): the
+    doc's value of ``field`` looked up as a TERM in the index's
+    dictionary; the function yields that term's docfreq, 0 when absent
+    (termsEnum.seekExact miss).  The engine indexes one analyzed text
+    field, so qfield is the index's own dictionary.
+
+    Realized as a left join against the segments dictionary (term, df) —
+    bounded-width vocabulary rows; AQE picks broadcast vs shuffle by
+    dictionary size, and the df frame never widens beyond one int."""
+    dictionary = index.segments.select(
+        F.col("term").alias("__jt__"), F.col("df").alias("__jdf__")
+    )
+    return (
+        df.join(dictionary, df[field] == F.col("__jt__"), "left")
+        .withColumn(out, F.coalesce(F.col("__jdf__"), F.lit(0)))
+        .drop("__jt__", "__jdf__")
+    )
 
 
 def with_termfreq(df, index, term: str, out: str = "termfreq"):

@@ -307,14 +307,39 @@ def _apply_collapse(index: IndexTables, scored: DataFrame, fq: str) -> DataFrame
     drop_cols = [field]
     if sel_min or sel_max:
         sel = sel_min or sel_max
-        if sel not in index.docs.columns:
-            raise ValueError(f"collapse selector field not in docs: {sel!r}")
-        withg = withg.join(index.docs.select("docid", sel), "docid")
+        if sel in index.docs.columns:
+            withg = withg.join(index.docs.select("docid", sel), "docid")
+            sel_col = F.col(sel)
+            drop_cols.append(sel)
+        else:
+            # function selector (CollapsingQParserPlugin FUNC_VALUE_SOURCE
+            # group head), e.g. max=cscore() or max=sub(field(y),score):
+            # compile through the function registry; cscore() reads the
+            # collapse frame's own score column
+            import re as _re
+
+            from lucene_solr_spark.functions import parse_function_query
+
+            needed = [
+                f
+                for f in dict.fromkeys(
+                    _re.findall(r"[A-Za-z_][A-Za-z0-9_]*", sel)
+                )
+                if f in index.docs.columns and f not in withg.columns
+            ]
+            if needed:
+                withg = withg.join(
+                    index.docs.select("docid", *needed), "docid"
+                )
+            withg = withg.withColumn(
+                "__csel__", parse_function_query(sel, index=index)
+            )
+            sel_col = F.col("__csel__")
+            drop_cols.extend(["__csel__", *needed])
         order = [
-            F.col(sel).asc() if sel_min else F.col(sel).desc(),
+            sel_col.asc() if sel_min else sel_col.desc(),
             F.col("docid").asc(),
         ]
-        drop_cols.append(sel)
     else:
         order = [F.col("score").desc(), F.col("docid").asc()]
     out = collapse(withg, field, order).drop(*drop_cols)

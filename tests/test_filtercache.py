@@ -276,3 +276,55 @@ def test_collapse_null_policy(spark):
     import pytest as _p
     with _p.raises(ValueError, match="nullPolicy"):
         run("bogus")
+
+
+def test_collapse_max_cscore_equals_default(spark, index):
+    """{!collapse field=lang max=cscore()} == the default score selector
+    (CollapseScoreFunction: cscore() IS the doc's query score inside the
+    collapse, ValueSourceParser.java:226-231)."""
+    from lucene_solr_spark.search.filtercache import search_filtered
+
+    via_func = search_filtered(
+        index, "table", fqs=["{!collapse field=lang max=cscore()}"], k=50
+    ).collect()
+    default = search_filtered(
+        index, "table", fqs=["{!collapse field=lang}"], k=50
+    ).collect()
+    assert [(r.docid, r.score) for r in via_func] == [
+        (r.docid, r.score) for r in default
+    ]
+
+
+def test_collapse_max_function_selector(spark, index):
+    """{!collapse field=lang max=sub(0,n_chars)} picks the group's
+    SHORTEST doc — i.e. behaves exactly like min=n_chars (the selector
+    compiles through the function registry, docs columns joined in)."""
+    from lucene_solr_spark.search.filtercache import search_filtered
+
+    got = search_filtered(
+        index, "table",
+        fqs=["{!collapse field=lang max=sub(0,n_chars)}"], k=50,
+    ).collect()
+    want = search_filtered(
+        index, "table", fqs=["{!collapse field=lang min=n_chars}"], k=50
+    ).collect()
+    assert sorted(r.docid for r in got) == sorted(r.docid for r in want)
+
+
+def test_with_joindf(spark, index):
+    """joindf: the doc's lang value looked up as a term in the index
+    dictionary (JoinDocFreqValueSource) — e.g. docs with lang='en' get
+    df('en') when 'en' occurs as an indexed term, else 0."""
+    from lucene_solr_spark.functions.value_sources import with_joindf
+
+    out = with_joindf(
+        index.docs.select("docid", "lang"), index, "lang", out="jdf"
+    )
+    got = {r.docid: r.jdf for r in out.collect()}
+    dfs = {r.term: r.df for r in index.segments.select("term", "df").collect()}
+    langs = {r.docid: r.lang for r in index.docs.select("docid", "lang").collect()}
+    for docid, jdf in got.items():
+        assert jdf == dfs.get(langs[docid], 0)
+    assert any(v > 0 for v in got.values()) or all(
+        lang not in dfs for lang in set(langs.values())
+    )
