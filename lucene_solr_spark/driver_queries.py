@@ -468,6 +468,69 @@ def _register_snowball_tail_queries():
 _register_snowball_tail_queries()
 
 
+def _register_hunspell_query():
+    from lucene_solr_spark.analysis.hunspell import (
+        HunspellDictionary,
+        HunspellStemmer,
+    )
+    from lucene_solr_spark.oracle.sqlgen import _prelude_body, vocab_map_values
+
+    # deterministic English-inflection dictionary over the corpus
+    # vocabulary: S = plural/verb -s, D = -ed with e-elision, G = -ing
+    aff = (
+        "SET UTF-8\n\n"
+        "SFX S Y 1\nSFX S 0 s .\n\n"
+        "SFX D Y 2\nSFX D 0 ed [^e]\nSFX D e ed e\n\n"
+        "SFX G Y 1\nSFX G 0 ing [^e]\n"
+    )
+    dic = "8\n" + "\n".join(
+        ["table/S", "row/S", "key/S", "value/S", "filter/SDG",
+         "merge/D", "sort/SDG", "scan/SD"]
+    )
+    hd = HunspellDictionary(aff, [dic])
+    stemmer = HunspellStemmer(hd)
+
+    def hunspell_stem(term: str) -> str:
+        stems = stemmer.unique_stems(term)
+        return max(stems, key=len) if stems else term
+
+    prelude = "WITH " + _prelude_body(
+        "SELECT doc_id AS docid, text FROM documents",
+        stem_values=vocab_map_values(hunspell_stem),
+    )
+
+    @_q(
+        "hunspell_stem_query",
+        bool_sql(must=(hunspell_stem("filters"),), prelude=prelude),
+    )
+    def hunspell_stem_query(spark, sf_dir):
+        """HunspellStemFilter end-to-end (lucene/analysis/common/.../
+        hunspell/HunspellStemFilter.java, Dictionary.java, Stemmer.java):
+        dictionary-driven affix stripping as a vocabulary term map — the
+        query 'filters' folds to the .dic base 'filter' (SFX S), merging
+        df/tf with 'filter'/'filtered'/'filtering'.  All 27 reference
+        .aff/.dic test scenarios pass in tests/test_hunspell.py."""
+        from lucene_solr_spark.analysis.hunspell import hunspell_stem_map
+
+        cache_key = f"{sf_dir}#hunspell"
+        if cache_key not in _INDEX_CACHE:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            _INDEX_CACHE[cache_key] = build_index(
+                spark,
+                docs,
+                key_col="doc_id",
+                docid_col="doc_id",
+                num_index_partitions=8,
+                term_map=lambda vocab: hunspell_stem_map(vocab, hd),
+            )
+        return search(
+            _INDEX_CACHE[cache_key], hunspell_stem("filters"), k=10
+        )
+
+
+_register_hunspell_query()
+
+
 def get_lang_stem_index(spark: SparkSession, sf_dir: str, key: str) -> IndexTables:
     """documents indexed through a language light-stem chain (tokenizer ->
     lowercase -> stop -> <Lang>LightStemFilter / RSLP): the Savoy-family
@@ -4922,6 +4985,7 @@ _DEFER_LAST = [
     "lovins_stem_query",
     "catalan_stem_query",
     "basque_stem_query",
+    "hunspell_stem_query",
     # --- round-4 in-session rotation: slot for spatial_rpt_polygon ---
     "join_query",               # block_join_parents (query-time join family, all four ScoreModes pytest-graded in test_qparsers) + {!join} front door tests; r3 green
     # --- round-4 rotation (VERDICT r3 "Next round" #1): the whole r3c/r3d
