@@ -872,7 +872,12 @@ def qparser_search(
         from lucene_solr_spark.search.bm25 import search_parsed
 
         return search_parsed(index, body, k=k, round_dp=round_dp)
-    if qtype == "lucenePlusSort":
+    if qtype in ("lucenePlusSort", "old"):
+        # "old" = OldLuceneQParserPlugin (LuceneQParserPlugin.java:50-79):
+        # the legacy query;sort front door — same parser, legacy name.
+        # With this alias every one of QParserPlugin.standardPlugins'
+        # 27 names resolves (collapse executes as the PostFilter,
+        # xport as the /export handler, exactly as in Solr).
         return _lucene_plus_sort_qparser(index, params, body, k, round_dp)
     if qtype == "func":
         return _func_qparser(

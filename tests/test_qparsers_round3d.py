@@ -61,6 +61,10 @@ def test_lucene_plus_sort_qparser(idx):
     # no ';' -> plain lucene
     plain = qparser_search(idx, "{!lucenePlusSort}table", k=10).collect()
     assert len(plain) == 3
+    # {!old} is the OldLuceneQParserPlugin legacy alias: same parser —
+    # with it, all 27 standardPlugins names resolve
+    legacy = qparser_search(idx, "{!old}table; n_chars asc", k=10).collect()
+    assert [r.docid for r in legacy] == [1, 3, 0]
 
 
 def test_dismax_qparser(mfi):
