@@ -642,3 +642,61 @@ def keyword_repeat_map(map_fn):
         )
 
     return build
+
+
+def upper_case_filter(tokens: Column) -> Column:
+    """UpperCaseFilterFactory (lucene/analysis/common/.../core/
+    UpperCaseFilter.java) — rarely sensible (the docs warn it breaks
+    most downstream filters) but part of the factory registry."""
+    return F.transform(tokens, F.upper)
+
+
+def pattern_capture_group(
+    token: str,
+    patterns: tuple[str, ...],
+    preserve_original: bool = False,
+) -> list[str]:
+    """PatternCaptureGroupTokenFilter over one token (lucene/analysis/
+    common/.../pattern/PatternCaptureGroupTokenFilter.java:108-192):
+    emits one token per capture group per match of every pattern,
+    interleaved by capture start offset (ties keep pattern order);
+    empty captures are skipped, and with preserveOriginal a capture
+    equal to the whole token is skipped too (the original already
+    stands).  Without preserveOriginal the first capture replaces the
+    original; no captures leaves the token unchanged.  All reference
+    test sequences (incl. the camelCase pattern stack) in
+    tests/test_filters_round4.py."""
+    import re as _re
+
+    heads: list[list[tuple[int, int]]] = []
+    n = len(token)
+    for p in patterns:
+        pr = _re.compile(p)
+        seq: list[tuple[int, int]] = []
+        if pr.groups:
+            for m in pr.finditer(token):
+                for g in range(1, pr.groups + 1):
+                    st, en = m.start(g), m.end(g)
+                    if st < 0 or st == en:
+                        continue
+                    if preserve_original and st == 0 and en == n:
+                        continue
+                    seq.append((st, en))
+        heads.append(seq)
+    idx = [0] * len(heads)
+    out: list[str] = []
+    while True:
+        best, best_start = -1, None
+        for i, seq in enumerate(heads):
+            if idx[i] < len(seq):
+                st = seq[idx[i]][0]
+                if best_start is None or st < best_start:
+                    best_start, best = st, i
+        if best < 0:
+            break
+        st, en = heads[best][idx[best]]
+        idx[best] += 1
+        out.append(token[st:en])
+    if preserve_original:
+        return [token] + out
+    return out if out else [token]

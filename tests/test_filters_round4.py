@@ -243,3 +243,63 @@ def test_keyword_repeat_map_fans_out_in_index(spark):
     df = {r.term: r.df for r in idx.segments.collect()}
     assert df["run"] == 2      # doc 0 via stem, doc 1 surface
     assert df["running"] == 1  # surface form preserved
+
+
+# --- PatternCaptureGroupTokenFilter (reference test sequences) ---
+
+def test_pattern_capture_group_reference_cases():
+    from lucene_solr_spark.analysis.filters import pattern_capture_group as pcg
+
+    # no pattern / no match / no capture / empty capture -> original
+    assert pcg("foobarbaz", ()) == ["foobarbaz"]
+    assert pcg("foobarbaz", ("xx",)) == ["foobarbaz"]
+    assert pcg("foobarbaz", ("..",)) == ["foobarbaz"]
+    assert pcg("foobarbaz", (r".(y*)",)) == ["foobarbaz"]
+    # whole-token capture: replaced by itself / skipped when preserving
+    assert pcg("foobarbaz", ("(.+)",)) == ["foobarbaz"]
+    assert pcg("foobarbaz", ("(.+)",), True) == ["foobarbaz"]
+    # start / middle / end single captures
+    assert pcg("foobarbaz", ("^(.)",)) == ["f"]
+    assert pcg("foobarbaz", ("^(.)",), True) == ["foobarbaz", "f"]
+    assert pcg("foobarbaz", ("^.(.).",)) == ["o"]
+    assert pcg("foobarbaz", ("(.)$",)) == ["z"]
+    # two groups
+    assert pcg("foobarbaz", ("^(.)(.)",)) == ["f", "o"]
+    assert pcg("foobarbaz", ("^(.).+(.)$",)) == ["f", "z"]
+    assert pcg("foobarbaz", ("(.)(.)$",)) == ["a", "z"]
+    # nested overlapping captures, repeated matches
+    assert pcg("foobarbaz", ("(.(.(.)))",)) == [
+        "foo", "oo", "o", "bar", "ar", "r", "baz", "az", "z"
+    ]
+    assert pcg("foobarbaz", ("(.(.(.)))",), True) == [
+        "foobarbaz", "foo", "oo", "o", "bar", "ar", "r", "baz", "az", "z"
+    ]
+    # multiple patterns interleaved by start offset
+    assert pcg("aaabbbaaa", ("(aaa)", "(bbb)", "(ccc)")) == [
+        "aaa", "bbb", "aaa"
+    ]
+    # the camelCase stack from the reference javadoc/test
+    camel = (
+        "([A-Z]{2,})",
+        "(?<![A-Z])([A-Z][a-z]+)",
+        r"(?:^|\b|(?<=[0-9_])|(?<=[A-Z]{2}))([a-z]+)",
+        "([0-9]+)",
+    )
+    assert pcg("letsPartyLIKEits1999_dude", camel) == [
+        "lets", "Party", "LIKE", "its", "1999", "dude"
+    ]
+    assert pcg("letsPartyLIKEits1999_dude", camel, True) == [
+        "letsPartyLIKEits1999_dude",
+        "lets", "Party", "LIKE", "its", "1999", "dude",
+    ]
+
+
+def test_upper_case_filter(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analysis.filters import upper_case_filter
+
+    df = spark.createDataFrame([(["foo", "Bar"],)], "t: array<string>")
+    assert df.select(
+        upper_case_filter(F.col("t")).alias("u")
+    ).collect()[0].u == ["FOO", "BAR"]
