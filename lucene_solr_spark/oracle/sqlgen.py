@@ -441,6 +441,107 @@ FROM pv CROSS JOIN qw
 ORDER BY score DESC, pv.docid ASC LIMIT {k}"""
 
 
+def sweetspot_bool_sql(
+    should: tuple[str, ...],
+    k: int = 10,
+    boosts: dict[str, float] | None = None,
+    ln_min: int = 1,
+    ln_max: int = 1,
+    steepness: float = 0.5,
+    tf_mode: str = "baseline",
+    tf_base: float = 0.0,
+    tf_min: float = 0.0,
+    hyper_min: float = 0.0,
+    hyper_max: float = 2.0,
+    hyper_base: float = 1.3,
+    hyper_xoffset: float = 10.0,
+    prelude: str | None = None,
+) -> str:
+    """SweetSpotSimilarity boolean-of-SHOULD-terms oracle.
+
+    Mirrors search/sweetspot.sweetspot_topk: DefaultSimilarity idf/queryNorm/
+    coord (classic_bool_sql shape) with the plateau length norm crossing the
+    engines as DATA — the (dl_lo, dl_hi, decoded) integer range table from
+    smallfloat.sweetspot_norm_ranges rendered as a VALUES CTE and joined on
+    the exact ``doclen`` token count — and baseline/hyperbolic tf rendered as
+    the identical float64 expression text.
+    """
+    from lucene_solr_spark.smallfloat import sweetspot_norm_ranges
+
+    boosts = boosts or {}
+    terms = list(dict.fromkeys(should))
+    norm_vals = ",\n    ".join(
+        f"({lo}, {hi}, {v!r})"
+        for lo, hi, v in sweetspot_norm_ranges(ln_min, ln_max, steepness)
+    )
+    idf_defs = []
+    for i, t in enumerate(terms):
+        df = f"coalesce((SELECT df FROM tstat WHERE term = '{t}'), 0)"
+        idf_defs.append(
+            f"(ln((SELECT n FROM stats) / ({df} + 1.0)) + 1.0) AS i{i}"
+        )
+    ssw = " + ".join(
+        f"(qi.i{i} * {boosts.get(t, 1.0)!r}) * (qi.i{i} * {boosts.get(t, 1.0)!r})"
+        for i, t in enumerate(terms)
+    )
+    tf_cols = ",\n         ".join(
+        f"max(CASE WHEN f.term = '{t}' THEN f.tf END) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+
+    def tf_expr(i: int) -> str:
+        if tf_mode == "baseline":
+            c = tf_base * tf_base - tf_min
+            return (
+                f"(CASE WHEN pvn.tf{i} <= {tf_min!r} THEN {tf_base!r}"
+                f" ELSE sqrt(pvn.tf{i} + {c!r}) END)"
+            )
+        if tf_mode == "hyperbolic":
+            x = f"(pvn.tf{i} - {hyper_xoffset!r})"
+            up = f"power({hyper_base!r}, {x})"
+            dn = f"power({hyper_base!r}, -{x})"
+            return (
+                f"({hyper_min!r} + {(hyper_max - hyper_min) / 2.0!r}"
+                f" * (({up} - {dn}) / ({up} + {dn}) + 1.0))"
+            )
+        raise ValueError(f"unknown tf_mode {tf_mode!r}")
+
+    contribs = " + ".join(
+        f"coalesce({tf_expr(i)} * ((qw.i{i} * {boosts.get(t, 1.0)!r} * qw.qn)"
+        f" * qw.i{i}) * pvn.nrm, 0.0)"
+        for i, t in enumerate(terms)
+    )
+    ovl = " + ".join(
+        f"(CASE WHEN pvn.tf{i} IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(len(terms))
+    )
+    maxov = len(terms)
+    coord = f" * (({ovl}) * 1.0 / {maxov})" if maxov > 1 else ""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""{prelude or PRELUDE},
+ssnorm(dl_lo, dl_hi, nrm) AS (
+  VALUES {norm_vals}
+),
+qi AS (SELECT {", ".join(idf_defs)}),
+qw AS (SELECT qi.*, 1.0 / sqrt({ssw}) AS qn FROM qi),
+pv AS (
+  SELECT f.docid,
+         {tf_cols},
+         max(l.dl) AS dl
+  FROM tf f JOIN doclen l ON l.docid = f.docid
+  WHERE f.term IN ({inlist})
+  GROUP BY f.docid
+),
+pvn AS (
+  SELECT pv.*, (SELECT s.nrm FROM ssnorm s WHERE pv.dl BETWEEN s.dl_lo AND s.dl_hi) AS nrm
+  FROM pv
+)
+SELECT pvn.docid,
+       round(({contribs}){coord}, 4) AS score
+FROM pvn CROSS JOIN qw
+ORDER BY score DESC, pvn.docid ASC LIMIT {k}"""
+
+
 def _lm_pv(terms: list[str]) -> str:
     tf_cols = ",\n         ".join(
         f"max(CASE WHEN f.term = '{t}' THEN f.tf END) AS tf{i}"

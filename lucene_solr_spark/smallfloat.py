@@ -75,6 +75,88 @@ def decoded_doc_len(norm_byte) -> np.ndarray:
     return NORM_TABLE[np.asarray(norm_byte, dtype=np.int64) & 0xFF]
 
 
+def sweetspot_length_norm(
+    num_terms, ln_min: int = 1, ln_max: int = 1, steepness: float = 0.5
+) -> np.ndarray:
+    """SweetSpotSimilarity.computeLengthNorm (reference
+    lucene/misc/src/java/org/apache/lucene/misc/SweetSpotSimilarity.java:136-155)
+    replicated cast-for-cast in float32:
+
+        1/sqrt( s * (|x-l| + |x-h| - (h-l)) + 1 )
+
+    Java evaluates ``s * (float)(intExpr) + 1.0f`` in float32, promotes to
+    double for ``Math.sqrt``, divides ``1.0f / sqrt`` in double, and casts the
+    result to float.  Degrades to 1/sqrt(x) at (min=1, max=1, steepness=0.5).
+    Returns float32 array; the plateau [ln_min, ln_max] yields exactly 1.0.
+    """
+    x = np.atleast_1d(np.asarray(num_terms, dtype=np.int64))
+    inner_i = np.abs(x - ln_min) + np.abs(x - ln_max) - (ln_max - ln_min)
+    inner = np.float32(steepness) * inner_i.astype(np.float32) + np.float32(1.0)
+    return (1.0 / np.sqrt(inner.astype(np.float64))).astype(np.float32)
+
+
+def sweetspot_encode_norm(
+    num_terms, ln_min: int = 1, ln_max: int = 1, steepness: float = 0.5
+) -> np.ndarray:
+    """floatToByte315(computeLengthNorm(numTokens)) with fieldBoost = 1 —
+    the index-time norm byte an index built under SweetSpotSimilarity stores
+    (SweetSpotSimilarity.java:107-117 lengthNorm)."""
+    return float_to_byte315(sweetspot_length_norm(num_terms, ln_min, ln_max, steepness))
+
+
+def sweetspot_norm_ranges(
+    ln_min: int = 1,
+    ln_max: int = 1,
+    steepness: float = 0.5,
+    max_dl: int = 1 << 40,
+) -> list[tuple[int, int, float]]:
+    """(dl_lo, dl_hi, decoded_norm) integer range table for SweetSpot norms.
+
+    decoded_norm = byte315ToFloat(floatToByte315(computeLengthNorm(dl))) — the
+    lossy value a SweetSpot-built index would decode at search time.  Unlike
+    the BM25/classic 1/sqrt(dl) encoding this function is NOT monotone (it
+    rises to the [min, max] plateau then falls), so ranges up to ``ln_max``
+    are enumerated directly and the monotone non-increasing tail past the
+    plateau is binary-searched like norm_byte_dl_ranges.  Emitting ranges
+    lets both engines (broadcast range join / DuckDB VALUES CTE) reproduce
+    the quantization with pure integer BETWEEN lookups.
+    """
+
+    def decoded(dl: int) -> float:
+        b = int(sweetspot_encode_norm(dl, ln_min, ln_max, steepness)[0])
+        return float(np.ravel(byte315_to_float(b))[0])
+
+    ranges: list[tuple[int, int, float]] = []
+    # head: dl = 0 .. ln_max enumerated (plateau end), run-length compressed
+    run_lo, run_v = 0, decoded(0)
+    for dl in range(1, min(ln_max, max_dl) + 1):
+        v = decoded(dl)
+        if v != run_v:
+            ranges.append((run_lo, dl - 1, run_v))
+            run_lo, run_v = dl, v
+    # tail: monotone non-increasing past the plateau
+    dl = min(ln_max, max_dl) + 1
+    while dl <= max_dl:
+        v = decoded(dl)
+        if v != run_v:
+            ranges.append((run_lo, dl - 1, run_v))
+            run_lo, run_v = dl, v
+        b = int(sweetspot_encode_norm(dl, ln_min, ln_max, steepness)[0])
+        if b <= 1:  # byte 1 covers every longer document
+            break
+        # largest hi with the same decoded value (encode monotone non-incr here)
+        lo, hi = dl, max_dl
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if int(sweetspot_encode_norm(mid, ln_min, ln_max, steepness)[0]) >= b:
+                lo = mid
+            else:
+                hi = mid - 1
+        dl = lo + 1
+    ranges.append((run_lo, max_dl, run_v))
+    return ranges
+
+
 def norm_byte_dl_ranges(max_dl: int = 1 << 40) -> list[tuple[int, int, int, float]]:
     """Integer breakpoint table: (dl_lo, dl_hi, norm_byte, decoded_len).
 
