@@ -4973,6 +4973,34 @@ def _register_sweetspot_query() -> None:
 _register_sweetspot_query()
 
 
+def _register_common_terms_query() -> None:
+    from lucene_solr_spark.oracle.sqlgen import common_terms_sql
+
+    _CT_TERMS = ("dup", "batch", "scan", "data")
+
+    @_q(
+        "common_terms_query",
+        common_terms_sql(_CT_TERMS, 0.125),
+    )
+    def common_terms_query(spark, sf_dir):
+        """CommonTermsQuery (lucene/queries CommonTermsQuery.java:150-235):
+        terms classified by LIVE index df against ceil(0.125 * maxDoc) —
+        rare terms gate the match set, common terms ride along as an
+        optional scoring clause that never expands the candidate set (the
+        stopword-robust slow-query guard).  Classification is dynamic in
+        BOTH engines: driver-side from a bounded term-stats collect on the
+        Spark path, tstat/stats scalar subqueries in the oracle
+        (search/commonterms.py)."""
+        from lucene_solr_spark.search.commonterms import common_terms_topk
+
+        return common_terms_topk(
+            get_index(spark, sf_dir), list(_CT_TERMS), 0.125, k=10
+        )
+
+
+_register_common_terms_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -4987,6 +5015,7 @@ GRADE_WINDOW = 50
 # (primary row given in the comment)
 _DEFER_LAST = [
     "sweetspot_query",          # classic_tfidf_query (same DefaultSimilarity idf/queryNorm/coord frame, in-window); SweetSpot's plateau norm + hyperbolic tf hold float32 oracles in test_sweetspot; registered r4
+    "common_terms_query",       # boolean_and / min_should_match (same pivot-sum boolean frame, in-window); the df-classification rewrite holds a pure-Python oracle in test_commonterms; registered r4
     # --- round-4 field-type rows: slots for currency_field_query /
     # enum_field_sort ---
     "stemmed_term_query",       # snowball_term_query + kstem_term_query (same vocabulary term-map index build, both in-window; Porter itself holds 23,531 reference goldens in test_stemmer); r1-r3 green

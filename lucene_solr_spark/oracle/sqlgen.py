@@ -382,6 +382,120 @@ def matches_cte(terms: tuple[str, ...], mode: str = "any") -> str:
     )
 
 
+def common_terms_sql(
+    terms: tuple[str, ...],
+    max_term_frequency: float,
+    low_freq_occur: str = "should",
+    high_freq_occur: str = "should",
+    low_freq_mm: float = 0.0,
+    high_freq_mm: float = 0.0,
+    k: int = 10,
+    prelude: str | None = None,
+) -> str:
+    """CommonTermsQuery oracle (CommonTermsQuery.java rewrite/buildQuery).
+
+    Classification happens IN SQL from the live tstat/stats integers — the
+    same ``df > ceil(mtf * maxDoc)`` condition the engine evaluates
+    driver-side — so the oracle stays faithful when the data changes.  The
+    float32-vs-float64 product ``mtf * maxDoc`` is rendered with the
+    float32-rounded mtf literal; callers should pick binary-exact thresholds
+    (0.125, 0.25, ...) for graded rows.  Score folds zero out the other
+    class's slots inline (adding literal 0.0 is float-exact), preserving the
+    engine's fixed-order addition.
+    """
+    import numpy as np
+
+    terms = tuple(dict.fromkeys(terms))
+    mtf = float(np.float32(max_term_frequency))
+    sc = score_cols_sql()
+    tf_cols = ",\n         ".join(
+        f"max(CASE WHEN f.term = '{t}' THEN {sc} END) AS s{i}"
+        for i, t in enumerate(terms)
+    )
+    h_defs = []
+    for i, t in enumerate(terms):
+        df = f"coalesce((SELECT df FROM tstat WHERE term = '{t}'), 0)"
+        mtf_abs = f"({mtf!r} >= 1.0 AND {df} > {mtf!r})" if mtf >= 1.0 else "FALSE"
+        h_defs.append(
+            f"(CASE WHEN {df} > 0 AND ({mtf_abs} OR {df} >"
+            f" ceil({mtf!r} * (SELECT n FROM stats))) THEN 1 ELSE 0 END) AS h{i}"
+        )
+    low_sum = " + ".join(
+        f"(CASE WHEN c.h{i} = 0 THEN coalesce(m.s{i}, 0.0) ELSE 0.0 END)"
+        for i in range(len(terms))
+    )
+    high_sum = " + ".join(
+        f"(CASE WHEN c.h{i} = 1 THEN coalesce(m.s{i}, 0.0) ELSE 0.0 END)"
+        for i in range(len(terms))
+    )
+    low_matched = " + ".join(
+        f"(CASE WHEN c.h{i} = 0 AND m.s{i} IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(len(terms))
+    )
+    high_matched = " + ".join(
+        f"(CASE WHEN c.h{i} = 1 AND m.s{i} IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(len(terms))
+    )
+    n_low = " + ".join(f"(1 - c.h{i})" for i in range(len(terms)))
+    n_high = " + ".join(f"c.h{i}" for i in range(len(terms)))
+
+    def mm_expr(ratio: float, n_col: str) -> str:
+        if ratio >= 1.0 or ratio == 0.0:
+            return str(int(ratio))
+        r = float(np.float32(ratio))
+        return f"CAST(floor({r!r} * {n_col} + 0.5) AS INTEGER)"
+
+    if low_freq_occur == "must":
+        low_cond = "sc.low_matched = sc.n_low"
+    else:
+        low_cond = (
+            f"sc.low_matched >= greatest({mm_expr(low_freq_mm, 'sc.n_low')}, 1)"
+        )
+    if high_freq_occur == "must":
+        high_ok = "sc.high_matched = sc.n_high"
+        all_high_cond = "sc.high_matched = sc.n_high"
+    else:
+        high_ok = (
+            f"sc.high_matched >= greatest({mm_expr(high_freq_mm, 'sc.n_high')}, 1)"
+        )
+        # all-high rewrite: conjunction unless the RESOLVED mm is non-zero
+        # (buildQuery :212-223 checks getMinimumNumberShouldMatch())
+        hmm = mm_expr(high_freq_mm, "sc.n_high")
+        all_high_cond = (
+            f"(CASE WHEN {hmm} = 0 THEN sc.high_matched = sc.n_high"
+            f" ELSE sc.high_matched >= {hmm} END)"
+        )
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""{prelude or PRELUDE},
+cls AS (SELECT {", ".join(h_defs)}),
+pv AS (
+  SELECT f.docid,
+         {tf_cols}
+  {scored_from()}
+  WHERE f.term IN ({inlist})
+  GROUP BY f.docid
+),
+sc AS (
+  SELECT m.docid,
+         ({low_sum}) AS low_sum,
+         ({high_sum}) AS high_sum,
+         ({low_matched}) AS low_matched,
+         ({high_matched}) AS high_matched,
+         ({n_low}) AS n_low,
+         ({n_high}) AS n_high
+  FROM pv m CROSS JOIN cls c
+)
+SELECT sc.docid,
+       round(CASE WHEN sc.n_low = 0 THEN sc.high_sum
+                  WHEN sc.n_high = 0 THEN sc.low_sum
+                  ELSE sc.low_sum + (CASE WHEN {high_ok} THEN sc.high_sum ELSE 0.0 END)
+             END, 4) AS score
+FROM sc
+WHERE (CASE WHEN sc.n_low = 0 THEN {all_high_cond}
+            ELSE {low_cond} END)
+ORDER BY score DESC, sc.docid ASC LIMIT {k}"""
+
+
 def classic_bool_sql(
     should: tuple[str, ...],
     k: int = 10,
