@@ -5001,6 +5001,74 @@ def _register_common_terms_query() -> None:
 _register_common_terms_query()
 
 
+def _register_payload_term_query() -> None:
+    from lucene_solr_spark.oracle.sqlgen import _norm_values
+    from lucene_solr_spark.search.bm25 import score_formula
+
+    span = score_formula(
+        tf="pv.tf", df="(SELECT n FROM pstats)", dl="pv.dl_approx",
+        n="(SELECT n FROM pstats)", avgdl="(SELECT avgdl FROM pstats)",
+    )
+    sql = f"""WITH pd AS (SELECT CAST(doc_id AS BIGINT) AS docid FROM documents),
+pp AS (
+  SELECT docid,
+         CASE WHEN docid % 3 = 0 THEN 3 ELSE 2 END AS tf,
+         CASE WHEN docid % 3 = 0 THEN 5 ELSE 4 END AS dl,
+         greatest(CAST(docid % 10 AS DOUBLE) + 0.5,
+                  CAST((docid * 7) % 5 AS DOUBLE)) AS pay
+  FROM pd
+),
+pstats AS (
+  SELECT count(*) AS n,
+         CAST(CAST(sum(dl) AS DOUBLE) / count(*) AS REAL) AS avgdl
+  FROM pp
+),
+pnormmap(dl_lo, dl_hi, norm_byte, dl_approx) AS (
+  VALUES {_norm_values()}
+),
+pv AS (
+  SELECT pp.*, m.dl_approx
+  FROM pp JOIN pnormmap m ON pp.dl BETWEEN m.dl_lo AND m.dl_hi
+)
+SELECT pv.docid,
+       round(({span}) * pv.pay, 4) AS score
+FROM pv
+ORDER BY score DESC, pv.docid ASC LIMIT 10"""
+
+    @_q("payload_term_query", sql)
+    def payload_term_query(spark, sf_dir):
+        """PayloadTermQuery (lucene/core search/payloads/PayloadTermQuery.
+        java:60-175 + MaxPayloadFunction) over a DelimitedPayloadTokenFilter
+        chain (analysis/payloads DelimitedPayloadTokenFilter.java:39-70):
+        the payload-delimited field is synthesized deterministically from
+        docid arithmetic IN BOTH ENGINES — the Spark path builds and PARSES
+        real 'term|payload' text through the whitespace-tokenizer chain and
+        scores spanScore * max(payloads), while the oracle derives the same
+        tf/dl/payload values from the arithmetic directly, so the whole
+        parse -> fold -> score path is independently checked.  The bare
+        'alpha' occurrence on every third doc exercises the
+        isPayloadAvailable() skip (tf counts it, the payload fold does not).
+        """
+        from lucene_solr_spark.analysis.payloads import build_payload_index
+        from lucene_solr_spark.search.payloadquery import payload_term_topk
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        d = F.col("doc_id").cast("long")
+        text = F.concat(
+            F.lit("alpha|"), (d % 10).cast("string"),
+            F.lit(".5 beta|"), (d % 7).cast("string"),
+            F.lit(" alpha|"), ((d * 7) % 5).cast("string"),
+            F.lit(" gamma"),
+            F.when(d % 3 == 0, F.lit(" alpha")).otherwise(F.lit("")),
+        )
+        pdocs = docs.select("doc_id", text.alias("text"))
+        pidx = build_payload_index(spark, pdocs)
+        return payload_term_topk(pidx, "alpha", function="max", k=10)
+
+
+_register_payload_term_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -5016,6 +5084,7 @@ GRADE_WINDOW = 50
 _DEFER_LAST = [
     "sweetspot_query",          # classic_tfidf_query (same DefaultSimilarity idf/queryNorm/coord frame, in-window); SweetSpot's plateau norm + hyperbolic tf hold float32 oracles in test_sweetspot; registered r4
     "common_terms_query",       # boolean_and / min_should_match (same pivot-sum boolean frame, in-window); the df-classification rewrite holds a pure-Python oracle in test_commonterms; registered r4
+    "payload_term_query",       # term_query (same postings-scan + BM25 score discipline, in-window); the payload parse/fold path holds a pure-Python oracle in test_payloads and this row's arithmetic-derived SQL oracle; registered r4
     # --- round-4 field-type rows: slots for currency_field_query /
     # enum_field_sort ---
     "stemmed_term_query",       # snowball_term_query + kstem_term_query (same vocabulary term-map index build, both in-window; Porter itself holds 23,531 reference goldens in test_stemmer); r1-r3 green

@@ -1,0 +1,132 @@
+"""Payload family: DelimitedPayloadTokenFilter parsing (first-delimiter
+split, encoder typing, null for payload-less tokens) and PayloadTermQuery
+scoring (avg/min/max folds, isPayloadAvailable skip, includeSpanScore),
+differential vs a pure-Python oracle."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.analysis.payloads import (
+    build_payload_index,
+    delimited_payload_tokens,
+)
+from lucene_solr_spark.search.payloadquery import payload_term_topk
+
+
+def _parse(spark, text, encoder="float", delimiter="|"):
+    df = spark.createDataFrame([(text,)], "t string")
+    row = df.select(
+        delimited_payload_tokens(F.col("t"), delimiter, encoder).alias("p")
+    ).collect()[0]
+    return [(s["term"], s["payload"]) for s in row.p]
+
+
+def test_delimited_parse_float(spark):
+    got = _parse(spark, "foo|3.5 bar baz|7")
+    assert got == [("foo", 3.5), ("bar", None), ("baz", 7.0)]
+
+
+def test_delimited_first_delimiter_only(spark):
+    # java :57-63 splits at the FIRST delimiter; the rest is all payload
+    got = _parse(spark, "q|1|2", encoder="identity")
+    assert got == [("q", "1|2")]
+
+
+def test_delimited_integer_encoder(spark):
+    got = _parse(spark, "a|42 b|7", encoder="integer")
+    assert got == [("a", 42.0), ("b", 7.0)]
+
+
+def test_delimited_float32_parse(spark):
+    # FloatEncoder parses float32 (PayloadHelper.encodeFloat): 0.1 -> f32(0.1)
+    got = _parse(spark, "x|0.1")
+    assert got == [("x", float(np.float32("0.1")))]
+
+
+def _payload_docs(spark, n=60):
+    """Synthetic payload-delimited corpus derived from docid arithmetic."""
+    d = F.col("doc_id").cast("long")
+    text = F.concat(
+        F.lit("alpha|"), (d % 10).cast("string"),
+        F.lit(".5 beta|"), (d % 7).cast("string"),
+        F.lit(" alpha|"), ((d * 7) % 5).cast("string"),
+        F.lit(" gamma"),
+        F.when(d % 3 == 0, F.lit(" alpha")).otherwise(F.lit("")),
+    )
+    base = spark.range(n).select(F.col("id").alias("doc_id"))
+    return base.select("doc_id", text.alias("text"))
+
+
+@pytest.fixture(scope="module")
+def pindex(spark):
+    return build_payload_index(spark, _payload_docs(spark))
+
+
+def _py_oracle(n_docs, function, include_span=True, k=10):
+    """Pure-Python mirror: tf/dl/payloads from the same docid arithmetic,
+    dl_approx through the engine's norm quantization, BM25 span score."""
+    from lucene_solr_spark.smallfloat import NORM_TABLE, encode_norm
+
+    rows = []
+    total_dl = 0
+    for d in range(n_docs):
+        extra = d % 3 == 0
+        total_dl += 5 if extra else 4
+    avgdl = float(np.float32(total_dl / n_docs))
+    for d in range(n_docs):
+        extra = d % 3 == 0
+        tf = 3 if extra else 2
+        dl = 5 if extra else 4
+        dl_approx = float(NORM_TABLE[int(encode_norm(dl)[0])])
+        pays = [d % 10 + 0.5, float((d * 7) % 5)]
+        if function == "avg":
+            pay = sum(pays) / len(pays)
+        elif function == "min":
+            pay = min(pays)
+        else:
+            pay = max(pays)
+        df = n_docs  # alpha in every doc
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        span = idf * 2.2 * tf / (tf + 1.2 * (0.25 + 0.75 * dl_approx / avgdl))
+        s = span * pay if include_span else pay
+        rows.append((d, s))
+    rows.sort(key=lambda x: (-round(x[1], 6), x[0]))
+    return rows[:k]
+
+
+def _compare(got, want):
+    # Spark round() is HALF_UP, Python round() is HALF_EVEN — compare with
+    # tolerance on the unrounded oracle values, exact on the doc order
+    assert [d for d, _ in got] == [d for d, _ in want], (got, want)
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-3 * max(1.0, abs(ws)), (gd, gs, ws)
+
+
+@pytest.mark.parametrize("function", ["avg", "min", "max"])
+def test_payload_term_functions(pindex, function):
+    got = [
+        (int(r.docid), float(r.score))
+        for r in payload_term_topk(pindex, "alpha", function=function, k=10).collect()
+    ]
+    _compare(got, _py_oracle(60, function))
+
+
+def test_payload_score_only(pindex):
+    got = [
+        (int(r.docid), float(r.score))
+        for r in payload_term_topk(
+            pindex, "alpha", function="max", include_span_score=False, k=10
+        ).collect()
+    ]
+    _compare(got, _py_oracle(60, "max", include_span=False))
+
+
+def test_payloadless_occurrences_skipped(pindex):
+    """gamma never carries a payload -> payloadScore 1 -> score = span score."""
+    got = payload_term_topk(pindex, "gamma", function="avg", k=5).collect()
+    assert len(got) == 5
+    # every doc has exactly one gamma, dl in {4,5}: two distinct score levels
+    assert len({float(r.score) for r in got}) <= 2
