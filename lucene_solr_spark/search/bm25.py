@@ -1216,6 +1216,66 @@ def span_not_topk(
     return _sloppy_span_score(index, clean, include_terms, slop, round_dp)
 
 
+def span_position_range_topk(
+    index: IndexTables,
+    terms: list[str],
+    start: int = 0,
+    end: int = 1 << 31,
+    slop: int = 0,
+    in_order: bool = True,
+    round_dp: int = 4,
+) -> DataFrame:
+    """SpanPositionRangeQuery (lucene/core/.../search/spans/
+    SpanPositionRangeQuery.java:42-50): keep only spans of the match query
+    with ``spans.start() >= start`` and ``spans.end() <= end`` (Lucene's
+    end() is EXCLUSIVE — a term span at position p has end p+1).  The match
+    query is one term (SpanTermQuery) or an ordered/unordered span-near
+    chain over >= 2 terms.  Accepted spans score through the standard
+    SpanScorer sloppyFreq sum with idf over the extracted terms —
+    position-gated occurrences simply drop out of tf.
+
+    Scale shape: positions are term-pruned at the scan; the gate is one
+    codegen filter on the span frame; no new shuffle.
+    """
+    if index.positions is None:
+        raise ValueError("index built without positions")
+    if not terms:
+        raise ValueError("span_position_range needs >= 1 term")
+    if len(terms) == 1:
+        spans = index.positions.filter(F.col("term") == terms[0]).select(
+            "docid",
+            "dl_approx",
+            F.col("pos").alias("_p0"),
+            F.col("pos").alias("_end"),
+            F.lit(0).alias("_ml"),
+        )
+    else:
+        spans = _span_near_spans(index, terms, in_order=in_order)
+    # engine _end is the INCLUSIVE last position; Lucene end() = _end + 1
+    accepted = spans.filter(
+        (F.col("_p0") >= F.lit(int(start)))
+        & (F.col("_end") + F.lit(1) <= F.lit(int(end)))
+    )
+    return _sloppy_span_score(index, accepted, list(terms), slop, round_dp)
+
+
+def span_first_topk(
+    index: IndexTables,
+    terms: list[str],
+    end: int,
+    slop: int = 0,
+    in_order: bool = True,
+    round_dp: int = 4,
+) -> DataFrame:
+    """SpanFirstQuery (SpanFirstQuery.java:40-48) — SpanPositionRange with
+    start=0: match spans that END within the first ``end`` positions of the
+    field (the 'boost matches near the start of the document' primitive)."""
+    return span_position_range_topk(
+        index, terms, start=0, end=end, slop=slop,
+        in_order=in_order, round_dp=round_dp,
+    )
+
+
 def to_parent_block_join(
     scored_children: DataFrame,
     parent_col: str,
