@@ -35,8 +35,28 @@ SIMHASH_BITS = 60  # full portable-hash width; non-negative in both engines
 SIMHASH_BANDS = 4  # pigeonhole: hamming <= BANDS-1 guarantees an equal band
 
 
+def _widen_scan(df: DataFrame) -> DataFrame:
+    """Fan an under-split source out to the session's parallelism before the
+    expensive tokenize/explode map work.
+
+    Small parquet inputs plan only 1-2 scan tasks (files.maxPartitionBytes),
+    which starves the analyzer/shingle stage on a wide executor — measured
+    4x on the 50k-doc bench point (32.8s -> 8.2s for near_dup_pairs on
+    local[32]).  The round-robin repartition of the RAW doc rows is one
+    cheap shuffle and fires ONLY when the scan is narrower than the
+    cluster; at real corpus scale the file split count far exceeds the
+    core count and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - exotic plans without RDD lineage
+        return df
+    return df.repartition(target) if nparts < target else df
+
+
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
+    return _widen_scan(df).select(
         F.col(id_col).alias("docid"),
         F.coalesce(tokens_expr(F.col(text_col)), F.array()).alias("toks"),
     )
