@@ -66,6 +66,83 @@ def delimited_payload_tokens(
     return F.transform(whitespace_tokenizer(text), split)
 
 
+def token_type_col(tok: Column) -> Column:
+    """StandardTokenizer token-type classification for a single token
+    (StandardTokenizer.java:61-91 TOKEN_TYPES): ``<NUM>`` for digit-bearing
+    numeric runs, ``<IDEOGRAPHIC>`` for Han/Hiragana single-char tokens,
+    ``<HANGUL>`` for Hangul runs, else ``<ALPHANUM>``."""
+    return (
+        F.when(tok.rlike(r"^[0-9][0-9.,]*$"), F.lit("<NUM>"))
+        .when(tok.rlike(r"^[一-鿿぀-ゟ]$"), F.lit("<IDEOGRAPHIC>"))
+        .when(tok.rlike(r"^[가-힯]+$"), F.lit("<HANGUL>"))
+        .otherwise(F.lit("<ALPHANUM>"))
+    )
+
+
+def type_as_payload_tokens(text: Column) -> Column:
+    """TypeAsPayloadTokenFilter (TypeAsPayloadTokenFilter.java:30-47):
+    every token carries its type string as the payload.  Returns
+    array<struct<term, payload:string>> over whitespace tokens."""
+    return F.transform(
+        whitespace_tokenizer(text),
+        lambda t: F.struct(t.alias("term"), token_type_col(t).alias("payload")),
+    )
+
+
+def numeric_payload_tokens(
+    text: Column, payload: float, type_match: str = "<ALPHANUM>"
+) -> Column:
+    """NumericPayloadTokenFilter (NumericPayloadTokenFilter.java:30-50):
+    tokens whose type equals ``type_match`` carry the constant float
+    ``payload``; other tokens carry none (null)."""
+    return F.transform(
+        whitespace_tokenizer(text),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.when(
+                token_type_col(t) == F.lit(type_match), F.lit(float(payload))
+            ).alias("payload"),
+        ),
+    )
+
+
+def token_offset_payload_tokens(text: Column) -> Column:
+    """TokenOffsetPayloadTokenFilter (TokenOffsetPayloadTokenFilter.java:
+    30-48): each token's payload is its (startOffset, endOffset) pair.
+    Returns array<struct<term, start_offset, end_offset>> over whitespace
+    tokens — offsets computed from cumulative token positions in the raw
+    string (whitespace tokenizer keeps the source text intact)."""
+    toks = whitespace_tokenizer(text)
+
+    # one left fold carrying a 1-based search cursor; each token's start is
+    # its first occurrence at-or-after the cursor (whitespace tokens always
+    # reappear verbatim in the source)
+    def step(acc: Column, t: Column) -> Column:
+        found = F.instr(F.substring(text, acc["cursor"], 1 << 30), t)
+        start = (acc["cursor"] + found - 2).cast("int")  # 0-based absolute
+        end = (start + F.length(t)).cast("int")
+        return F.struct(
+            (end + 1).cast("int").alias("cursor"),  # back to 1-based
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        t.alias("term"),
+                        start.alias("start_offset"),
+                        end.alias("end_offset"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    init = F.expr(
+        "named_struct('cursor', 1, 'out',"
+        " cast(array() as array<struct<term:string,"
+        " start_offset:int, end_offset:int>>))"
+    )
+    return F.aggregate(toks, init, step, lambda acc: acc["out"])
+
+
 @dataclass
 class PayloadIndex:
     """Payload postings + the collection stats PayloadTermQuery needs."""

@@ -130,3 +130,38 @@ def test_payloadless_occurrences_skipped(pindex):
     assert len(got) == 5
     # every doc has exactly one gamma, dl in {4,5}: two distinct score levels
     assert len({float(r.score) for r in got}) <= 2
+
+
+def test_type_as_payload(spark):
+    from lucene_solr_spark.analysis.payloads import type_as_payload_tokens
+
+    df = spark.createDataFrame([("foo 42 한국 中",)], "t string")
+    row = df.select(type_as_payload_tokens(F.col("t")).alias("p")).collect()[0]
+    got = [(s["term"], s["payload"]) for s in row.p]
+    assert got == [
+        ("foo", "<ALPHANUM>"), ("42", "<NUM>"),
+        ("한국", "<HANGUL>"), ("中", "<IDEOGRAPHIC>"),
+    ]
+
+
+def test_numeric_payload_filter(spark):
+    from lucene_solr_spark.analysis.payloads import numeric_payload_tokens
+
+    df = spark.createDataFrame([("foo 42 bar",)], "t string")
+    row = df.select(
+        numeric_payload_tokens(F.col("t"), 7.5, "<ALPHANUM>").alias("p")
+    ).collect()[0]
+    got = [(s["term"], s["payload"]) for s in row.p]
+    assert got == [("foo", 7.5), ("42", None), ("bar", 7.5)]
+
+
+def test_token_offset_payload(spark):
+    from lucene_solr_spark.analysis.payloads import token_offset_payload_tokens
+
+    df = spark.createDataFrame([("ab cd ab",)], "t string")
+    row = df.select(
+        token_offset_payload_tokens(F.col("t")).alias("p")
+    ).collect()[0]
+    got = [(s["term"], s["start_offset"], s["end_offset"]) for s in row.p]
+    # the second 'ab' must resolve PAST the first occurrence
+    assert got == [("ab", 0, 2), ("cd", 3, 5), ("ab", 6, 8)]
