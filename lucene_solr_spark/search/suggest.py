@@ -421,3 +421,74 @@ def suggest_word_combinations(
         .orderBy(F.col("freq").desc(), F.col("position").asc())
         .limit(max_suggestions)
     )
+
+
+def suggest_blended_infix(
+    suggestions: DataFrame,
+    query: str,
+    k: int = 10,
+    blender: str = "linear",
+    text_col: str = "text",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """BlendedInfixSuggester analog (lucene/suggest/.../analyzing/
+    BlendedInfixSuggester.java:61-266): infix lookup over multi-token
+    suggestion surfaces whose weight is BLENDED by the position of the
+    first matching token — POSITION_LINEAR ``weight * (1 - 0.10*p)`` or
+    POSITION_RECIPROCAL ``weight / (1 + p)`` (:85-88, 259-266), score
+    truncated to long like ``(long)(weight * coefficient)`` (:179).
+
+    Every query token must appear in the surface (the super.lookup
+    allTermsRequired contract); a query NOT ending in whitespace treats its
+    last token as a prefix (matched by startswith), mirroring the
+    lookup-time prefixToken split.  One codegen projection over the
+    suggestion frame — positions come from the whitespace token array, no
+    term-vector fetch needed.
+    """
+    q = query.lower()
+    toks = [t for t in q.split() if t]
+    if not toks:
+        raise ValueError("blended infix lookup needs at least one token")
+    prefix_token = None
+    exact = toks
+    if not q.endswith((" ", "\t")):
+        prefix_token, exact = toks[-1], toks[:-1]
+    arr = F.split(F.lower(F.col(text_col)), r"\s+")
+    conds, poss = [], []
+    for t in exact:
+        p = F.array_position(arr, t)  # 1-based; 0 when absent
+        conds.append(p > 0)
+        poss.append(F.when(p > 0, p))
+    if prefix_token is not None:
+        fp = F.array_min(
+            F.filter(
+                F.transform(
+                    arr,
+                    lambda x, i: F.when(x.startswith(prefix_token), i + 1),
+                ),
+                lambda v: v.isNotNull(),
+            )
+        )
+        conds.append(fp.isNotNull())
+        poss.append(fp)
+    position0 = (F.least(*poss) if len(poss) > 1 else poss[0]) - F.lit(1)
+    if blender == "linear":
+        coef = F.lit(1.0) - F.lit(0.10) * position0.cast("double")
+    elif blender == "reciprocal":
+        coef = F.lit(1.0) / (F.lit(1.0) + position0.cast("double"))
+    else:
+        raise ValueError(f"unknown blender {blender!r}")
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return (
+        suggestions.where(cond)
+        .select(
+            F.col(text_col).alias("suggestion"),
+            F.col(weight_col).cast("long").alias("weight"),
+            (F.col(weight_col).cast("double") * coef).cast("long").alias("score"),
+            position0.cast("int").alias("position"),
+        )
+        .orderBy(F.col("score").desc(), F.col("suggestion").asc())
+        .limit(k)
+    )
