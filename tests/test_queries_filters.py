@@ -92,3 +92,24 @@ def test_chained_filter_initial_andnot(index, sets):
     got = _ids(chained_filter(index, chain, ["andnot", "and"]))
     want = (alldocs - member["table"]) & member["merge"]
     assert got == want
+
+
+def test_duplicate_filter(index, spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.search.filtercache import duplicate_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vals = docs.select(
+        F.col("doc_id").cast("long").alias("docid"),
+        F.col("source").alias("keyval"),
+    )
+    rows = [(int(r.docid), r.keyval) for r in vals.collect()]
+    first, last = {}, {}
+    for d, v in sorted(rows):
+        last[v] = d
+        first.setdefault(v, d)
+    got_last = _ids(duplicate_filter(vals, "last"))
+    got_first = _ids(duplicate_filter(vals, "first"))
+    assert got_last == set(last.values())
+    assert got_first == set(first.values())
