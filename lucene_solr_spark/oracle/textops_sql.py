@@ -427,3 +427,72 @@ SELECT e.vec_id,
 FROM e JOIN a1 ON a1.vec_id = e.vec_id CROSS JOIN q
 WHERE a1.cid IN (SELECT cid FROM probe) AND e.vec_id <> {query_id}
 ORDER BY cosine DESC, e.vec_id ASC LIMIT {k}"""
+
+
+def _ivf_assign_ctes(n_centroids: int) -> str:
+    """Shared CTE prefix: embeddings -> deterministic init -> one Lloyd
+    round with grid-quantized means -> final assignment ``a1`` (the same
+    text ivf_topk_sql proves against test_ivf)."""
+    dist = (
+        "(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b}))"
+        " + list_dot_product({b}, {b})"
+    )
+    d_ec0 = dist.format(a="e.v", b="c0.cv")
+    d_ec1 = dist.format(a="e.v", b="c1.cv")
+    return f"""e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_centroids}),
+a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c0.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {d_ec0} ASC, c0.cid ASC
+           ) AS rn
+    FROM e CROSS JOIN c0
+  ) WHERE rn = 1
+),
+comp AS (
+  SELECT cid, d,
+         CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qq
+  FROM (
+    SELECT a0.cid,
+           unnest(range(1, len(em.embedding) + 1)) AS d,
+           unnest(em.embedding) AS x
+    FROM embeddings em JOIN a0 ON a0.vec_id = em.vec_id
+  )
+),
+cm AS (
+  SELECT cid, list((sq / n) / 1000000.0 ORDER BY d) AS cv
+  FROM (SELECT cid, d, sum(qq) AS sq, count(*) AS n FROM comp GROUP BY 1, 2)
+  GROUP BY cid
+),
+c1 AS (
+  SELECT c0.cid, coalesce(cm.cv, c0.cv) AS cv
+  FROM c0 LEFT JOIN cm ON cm.cid = c0.cid
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c1.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {d_ec1} ASC, c1.cid ASC
+           ) AS rn
+    FROM e CROSS JOIN c1
+  ) WHERE rn = 1
+)"""
+
+
+def semdedup_pairs_sql(n_centroids: int = 8, threshold: float = 0.95) -> str:
+    """SemDeDup oracle: within-cluster cosine pairs over the one-round
+    Lloyd assignment (mirrors textops/similarity.semdedup_pairs)."""
+    return f"""WITH {_ivf_assign_ctes(n_centroids)},
+wc AS (SELECT e.vec_id, e.v, a1.cid FROM e JOIN a1 USING (vec_id))
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             4) AS cosine
+FROM wc a JOIN wc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            4) >= {threshold!r}
+ORDER BY vec_id_a ASC, vec_id_b ASC"""

@@ -391,3 +391,63 @@ def ivf_build(
     with open(model_path, "w") as fh:
         json.dump({"cents": cents, "n_centroids": n_centroids}, fh)
     return IvfIndex(path, cents, id_col, vec_col)
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540 — published method): k-means-cluster the embeddings,
+    then flag pairs with cosine >= threshold WITHIN each cluster only.
+    The clustering is the scale trick — candidate pairs are
+    O(sum cluster_size^2), not O(N^2), and cross-cluster duplicates are
+    the method's documented approximation.
+
+    Reuses the IVF coarse quantizer (deterministic init + grid-quantized
+    Lloyd rounds, ivf_train/ivf_assign), so both engines derive
+    bit-identical clusters; the within-cluster self-join shuffles on cid —
+    the partition key a 100-TB run would bucket by.
+    """
+    cents = ivf_train(emb, n_centroids, iters, id_col, vec_col)
+    assign = ivf_assign(emb, cents, id_col, vec_col)
+    withc = emb.join(assign, id_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"), "cid"
+    )
+    a, b = withc.alias("a"), withc.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        _norm(F.col("a.v")) * _norm(F.col("b.v"))
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def semdedup_survivors(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup keep-set: drop every id that duplicates a SMALLER id
+    (min-id canonical, the same greedy survivor policy as the MinHash
+    family) — one anti-join against the pair frame's right side."""
+    pairs = semdedup_pairs(emb, threshold, n_centroids, iters, id_col, vec_col)
+    dropped = pairs.select(F.col("vec_id_b").alias(id_col)).distinct()
+    return emb.select(id_col).join(dropped, id_col, "left_anti")
