@@ -5419,6 +5419,46 @@ def _register_semdedup_query() -> None:
 _register_semdedup_query()
 
 
+def _register_decontaminate_query() -> None:
+    from lucene_solr_spark.oracle.textops_sql import SHINGLES_CTE, tok_cte
+
+    @_q(
+        "decontaminate_ngrams",
+        f"""WITH {tok_cte()},
+{SHINGLES_CTE},
+bm AS (SELECT DISTINCT shingle FROM sh WHERE docid < 5),
+cnt AS (
+  SELECT s.docid, count(*) AS n_contaminated
+  FROM sh s JOIN bm USING (shingle) GROUP BY s.docid
+)
+SELECT d.docid,
+       coalesce(c.n_contaminated, 0) AS n_contaminated,
+       coalesce(c.n_contaminated, 0) >= 3 AS contaminated
+FROM (SELECT CAST(doc_id AS BIGINT) AS docid FROM documents) d
+LEFT JOIN cnt c USING (docid)
+ORDER BY d.docid ASC LIMIT 100""",
+    )
+    def decontaminate_ngrams(spark, sf_dir):
+        """Benchmark decontamination (the published GPT-3 appendix-C /
+        PaLM n-gram collision procedure): docs 0-4 stand in as the eval
+        set; every training doc is flagged by its count of distinct
+        3-gram collisions with that set (>= 3 -> contaminated).  One
+        corpus shingle scan + one BROADCAST join against the benchmark
+        n-grams + one hash aggregate (textops/dedup.decontaminate)."""
+        from lucene_solr_spark.textops.dedup import decontaminate, shingles
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bench = shingles(docs.where(F.col("doc_id") < 5))
+        return (
+            decontaminate(docs, bench, min_overlap=3)
+            .orderBy(F.asc("docid"))
+            .limit(100)
+        )
+
+
+_register_decontaminate_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -5447,6 +5487,7 @@ _DEFER_LAST = [
     "suggest_blended_infix",    # suggest_fuzzy_typo (suggester family, in-window) + infix machinery r3-green; position-blend cases in test_blended_infix; registered r4
     "duplicate_filter_query",   # collapse_by_source / clean_url_dedup (same best-per-group survivor shape, in-window); first/last differentials in test_queries_filters; registered r4
     "semdedup_pairs",           # emb_ivf_ann (same quantizer + cluster-pruned exact-cosine shape, in-window) + dedup_near_pairs (banded pair family); cluster differentials in test_semdedup; registered r4
+    "decontaminate_ngrams",     # dedup_near_pairs (same shingle-scan machinery, in-window); broadcast-set overlap counts checked in test_textops decontamination cases; registered r4
     # --- round-4 field-type rows: slots for currency_field_query /
     # enum_field_sort ---
     "stemmed_term_query",       # snowball_term_query + kstem_term_query (same vocabulary term-map index build, both in-window; Porter itself holds 23,531 reference goldens in test_stemmer); r1-r3 green

@@ -259,3 +259,46 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
     return pairs.select(
         "docid_a", "docid_b", hamming.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Benchmark decontamination — flag training docs that share word
+    n-grams with an evaluation set (the published GPT-3 appendix-C /
+    PaLM-style n-gram collision procedure).
+
+    ``benchmark`` is a one-column ``shingle`` frame (the eval set's
+    n-grams).  Returns (docid, n_contaminated, contaminated) for EVERY
+    input doc — n_contaminated counts the doc's distinct colliding
+    n-grams; ``contaminated`` is the >= min_overlap verdict.
+
+    Scale shape: one shingle scan over the corpus (shared with the dedup
+    family, widened like it), one BROADCAST semi-join against the
+    benchmark n-gram set (benchmarks are tiny next to a training corpus),
+    one hash aggregate.  No driver materialization; at 100 TB this is a
+    map-side filter plus combine."""
+    sh = shingles(df, id_col, text_col, k)
+    bm = benchmark.select("shingle").distinct()
+    counts = (
+        sh.join(F.broadcast(bm), "shingle")
+        .groupBy("docid")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    base = df.select(F.col(id_col).alias("docid"))
+    return (
+        base.join(counts, "docid", "left")
+        .select(
+            "docid",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            (
+                F.coalesce(F.col("n_contaminated"), F.lit(0))
+                >= F.lit(int(min_overlap))
+            ).alias("contaminated"),
+        )
+    )

@@ -184,3 +184,36 @@ def test_decode_is_deterministic(spark, sf_dir):
     a = sorted(map(tuple, decode_media(pages).drop("features").collect()))
     b = sorted(map(tuple, decode_media(pages.repartition(3)).drop("features").collect()))
     assert a == b
+
+
+def test_decontaminate_flags_eval_overlap(spark, sf_dir):
+    """Benchmark decontamination: docs sharing >= min_overlap distinct
+    3-grams with the eval set are flagged; the eval docs themselves are
+    (trivially) contaminated; counts match a Python set intersection."""
+    from collections import Counter
+
+    from lucene_solr_spark.analysis.analyzer import analyze_text
+    from lucene_solr_spark.textops.dedup import decontaminate, shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = shingles(docs.where(F.col("doc_id") < 5))
+    got = {
+        int(r.docid): (int(r.n_contaminated), bool(r.contaminated))
+        for r in decontaminate(docs, bench, min_overlap=3).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+
+    def grams(text):
+        t = analyze_text(text)
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    bm = set()
+    for r in rows:
+        if int(r.doc_id) < 5:
+            bm |= grams(r.text)
+    for r in rows:
+        n = len(grams(r.text) & bm)
+        assert got[int(r.doc_id)] == (n, n >= 3), r.doc_id
+    # eval docs flag themselves
+    for d in range(5):
+        assert got[d][1]
