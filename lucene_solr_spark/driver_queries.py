@@ -1768,7 +1768,7 @@ ORDER BY facet_count DESC, facet_term ASC LIMIT 10""",
         # layout-versioned path: a stale store written by an older codec
         # layout must never be resumed into
         tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
-        root = f"{tempfile.gettempdir()}/lss_store_v3_{tag}"
+        root = f"{tempfile.gettempdir()}/lss_store_v4_{tag}"
         pages = pages_from_documents(spark, sf_dir)
         build_pages_to_store(
             spark, pages, root, num_index_partitions=_PAGES_P, batch_size=4
@@ -5459,6 +5459,50 @@ ORDER BY d.docid ASC LIMIT 100""",
 _register_decontaminate_query()
 
 
+def _register_store_metrics_query() -> None:
+    prelude = _pages_prelude()
+
+    @_q(
+        "store_build_metrics",
+        f"""{prelude}
+SELECT 2 AS n_snapshots,
+       {_PAGES_P} AS n_partitions,
+       (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT sum(dl) FROM doclen) AS sum_tf""",
+    )
+    def store_build_metrics(spark, sf_dir):
+        """The store's METRICS table (north-rule lineage + metrics pair):
+        one row per snapshot commit with batch doc/token counts and
+        throughput.  The graded projection rolls the table up to its
+        deterministic totals — snapshot count (ceil(8 partitions / batch 4)
+        = 2), partition count, corpus doc count, and the post-filter token
+        total, each independently recomputable from the raw pages by the
+        oracle (store/store.py metrics write)."""
+        import hashlib as _h
+        import tempfile
+
+        from lucene_solr_spark.pages import pages_from_documents
+        from lucene_solr_spark.store import build_pages_to_store
+        from lucene_solr_spark.store.store import IndexStore
+
+        tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+        root = f"{tempfile.gettempdir()}/lss_store_v4_{tag}"
+        pages = pages_from_documents(spark, sf_dir)
+        build_pages_to_store(
+            spark, pages, root, num_index_partitions=_PAGES_P, batch_size=4
+        )
+        m = IndexStore(root).metrics(spark)
+        return m.agg(
+            F.count(F.lit(1)).cast("int").alias("n_snapshots"),
+            F.sum("n_partitions").cast("int").alias("n_partitions"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_tf").alias("sum_tf"),
+        )
+
+
+_register_store_metrics_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -5488,6 +5532,7 @@ _DEFER_LAST = [
     "duplicate_filter_query",   # collapse_by_source / clean_url_dedup (same best-per-group survivor shape, in-window); first/last differentials in test_queries_filters; registered r4
     "semdedup_pairs",           # emb_ivf_ann (same quantizer + cluster-pruned exact-cosine shape, in-window) + dedup_near_pairs (banded pair family); cluster differentials in test_semdedup; registered r4
     "decontaminate_ngrams",     # dedup_near_pairs (same shingle-scan machinery, in-window); broadcast-set overlap counts checked in test_textops decontamination cases; registered r4
+    "store_build_metrics",      # store_persisted_query (same checkpointed build, in-window grades the store end to end); the metrics rollup's totals are oracle-recomputed from raw pages; registered r4
     # --- round-4 field-type rows: slots for currency_field_query /
     # enum_field_sort ---
     "stemmed_term_query",       # snowball_term_query + kstem_term_query (same vocabulary term-map index build, both in-window; Porter itself holds 23,531 reference goldens in test_stemmer); r1-r3 green

@@ -90,6 +90,7 @@ class IndexStore:
         self.positions_path = os.path.join(root, "positions")
         self.deletes_path = os.path.join(root, "deletes")
         self.lineage_path = os.path.join(root, "lineage")
+        self.metrics_path = os.path.join(root, "metrics")
         self.snapshots_dir = os.path.join(root, "snapshots")
         self.head_path = os.path.join(root, "HEAD")
         os.makedirs(self.snapshots_dir, exist_ok=True)
@@ -126,6 +127,11 @@ class IndexStore:
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.lineage_path)
+
+    def metrics(self, spark: SparkSession) -> DataFrame:
+        """Per-snapshot build metrics: one row per committed batch —
+        the north-rule metrics table next to the per-partition lineage."""
+        return spark.read.parquet(self.metrics_path)
 
 
 def _write_partitioned(df: DataFrame, path: str) -> None:
@@ -237,6 +243,26 @@ def build_pages_to_store(
             "index_partition int, status string, n_docs long, sum_tf long, "
             "wall_s double, snapshot_id int",
         ).write.mode("append").parquet(store.lineage_path)
+
+        # metrics table: one row per snapshot commit (build-level rollup of
+        # the lineage rows — n_docs/sum_tf are deterministic, wall/throughput
+        # are the operational signals a 1000-executor run would chart)
+        b_docs = sum(r[2] for r in lineage_rows)
+        b_tf = sum(r[3] for r in lineage_rows)
+        spark.createDataFrame(
+            [
+                (
+                    sid,
+                    len(batch),
+                    int(b_docs),
+                    int(b_tf),
+                    float(wall),
+                    float(b_docs / wall) if wall > 0 else 0.0,
+                )
+            ],
+            "snapshot_id int, n_partitions int, n_docs long, sum_tf long, "
+            "wall_s double, docs_per_sec double",
+        ).write.mode("append").parquet(store.metrics_path)
 
         snap = Snapshot(
             snapshot_id=sid,
