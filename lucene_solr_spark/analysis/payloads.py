@@ -150,6 +150,7 @@ class PayloadIndex:
     postings: DataFrame  # (docid, term, tf, payloads array, dl_approx)
     max_doc: int
     avgdl: float  # float32-rounded, like BM25Similarity.java:82-87
+    positions: DataFrame | None = None  # (docid, pos, term, payload, dl_approx)
 
     def term_df(self, term: str) -> int:
         return (
@@ -208,9 +209,26 @@ def build_payload_index(
         )
         .select("docid", "term", "tf", "payloads", "dl_approx")
     )
+    positions = (
+        occ.where(F.col("_tok").isNotNull())
+        .join(
+            F.broadcast(ranges),
+            (F.col("_dl") >= F.col("dl_lo")) & (F.col("_dl") <= F.col("dl_hi")),
+            "left",
+        )
+        .select(
+            "docid",
+            F.col("_pos").alias("pos"),
+            F.col("_tok.term").alias("term"),
+            F.col("_tok.payload").alias("payload"),
+            F.coalesce(F.col("dl_approx"), F.lit(float("inf"))).alias("dl_approx"),
+        )
+    )
     n = docs.count()
     total = base.agg(F.sum("_dl")).collect()[0][0] or 0
     import numpy as np
 
     avgdl = float(np.float32(total / n)) if n else 0.0
-    return PayloadIndex(postings=per_term, max_doc=n, avgdl=avgdl)
+    return PayloadIndex(
+        postings=per_term, max_doc=n, avgdl=avgdl, positions=positions
+    )

@@ -80,3 +80,114 @@ def payload_term_topk(
         .orderBy(F.desc("score"), F.asc("docid"))
         .limit(k)
     )
+
+
+def payload_near_topk(
+    pindex: PayloadIndex,
+    terms: list[str],
+    slop: int = 0,
+    function: str = "avg",
+    include_span_score: bool = True,
+    k: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """PayloadNearQuery (PayloadNearQuery.java:48-180 PayloadNearSpanScorer):
+    an ordered two-term span-near whose score is shaped by the payloads of
+    EVERY subspan inside each matched span — per span, both terms' payloads
+    feed the running function (processPayloads :150-170); the doc score is
+    ``spanScore * docScore(payloadsSeen, payloadScore)`` like the term
+    variant.
+
+    Engine mapping: the anchor form of the ordered chain (first term's
+    position + the NEXT occurrence of the second term, matchLength = gap
+    slack — the repo-wide span convention), payload collection as one
+    flatten + null-filter over the span frame, avg folded over the
+    ASCENDING-sorted payload values (canonical float order).  Scale shape:
+    positions term-pruned at the scan, one join + one hash aggregate.
+    """
+    if pindex.positions is None:
+        raise ValueError("payload index built without positions")
+    if len(terms) != 2:
+        raise ValueError("payload_near supports the two-term ordered chain")
+    t0, t1 = terms
+    pos = pindex.positions
+    a = pos.filter(F.col("term") == t0).select(
+        "docid", "dl_approx",
+        F.col("pos").alias("_p0"), F.col("payload").alias("_pay0"),
+    )
+    b = pos.filter(F.col("term") == t1).select(
+        F.col("docid").alias("_d"),
+        F.col("pos").alias("_e"), F.col("payload").alias("_pay1"),
+    )
+    j = a.join(b, (a["docid"] == b["_d"]) & (F.col("_e") > F.col("_p0")))
+    # NearSpansOrdered greedy minimal continuation: the FIRST t1 past p0;
+    # struct-min carries that occurrence's payload along
+    spans = (
+        j.groupBy("docid", "dl_approx", "_p0", "_pay0")
+        .agg(F.min(F.struct(F.col("_e"), F.col("_pay1"))).alias("_m"))
+        .select(
+            "docid", "dl_approx", "_p0", "_pay0",
+            F.col("_m._e").alias("_e"), F.col("_m._pay1").alias("_pay1"),
+        )
+        .withColumn("_ml", F.col("_e") - F.col("_p0") - 1)
+        .where(F.col("_ml") <= slop)
+    )
+    aggs = [
+        F.sum((F.col("_ml") == m).cast("long")).alias(f"_c{m}")
+        for m in range(slop + 1)
+    ]
+    aggs.append(
+        F.array_sort(
+            F.flatten(F.collect_list(F.array(F.col("_pay0"), F.col("_pay1"))))
+        ).alias("_praw")
+    )
+    g = spans.groupBy("docid", "dl_approx").agg(*aggs)
+    tf = F.lit(0.0)
+    for m in range(slop + 1):
+        tf = tf + F.col(f"_c{m}") * F.lit(1.0 / (1 + m))
+    pays = F.filter(F.col("_praw"), lambda x: x.isNotNull())
+    n_pay = F.size(pays)
+    if function == "avg":
+        fold = F.aggregate(pays, F.lit(0.0), lambda acc, x: acc + x) / n_pay
+    elif function == "min":
+        fold = F.array_min(pays)
+    elif function == "max":
+        fold = F.array_max(pays)
+    else:
+        raise ValueError(f"unknown payload function {function!r}")
+    pay_score = F.when(n_pay > 0, fold).otherwise(F.lit(1.0))
+    g = g.withColumn("_tf", tf).where(F.col("_tf") > 0)
+    if include_span_score:
+        import math
+
+        dfs = {
+            r.term: r.df
+            for r in pindex.postings.filter(F.col("term").isin([t0, t1]))
+            .groupBy("term")
+            .agg(F.countDistinct("docid").alias("df"))
+            .collect()
+        }
+        n = pindex.max_doc
+        idf = sum(
+            math.log(1.0 + (n - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
+            for t in (t0, t1)
+        )
+        span = (
+            F.lit(idf) * F.lit(2.2) * F.col("_tf")
+            / (
+                F.col("_tf")
+                + F.lit(1.2)
+                * (
+                    F.lit(0.25)
+                    + F.lit(0.75) * F.col("dl_approx") / F.lit(float(pindex.avgdl))
+                )
+            )
+        )
+        score = span * pay_score
+    else:
+        score = pay_score
+    return (
+        g.select("docid", F.round(score, round_dp).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )

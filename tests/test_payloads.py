@@ -165,3 +165,100 @@ def test_token_offset_payload(spark):
     got = [(s["term"], s["start_offset"], s["end_offset"]) for s in row.p]
     # the second 'ab' must resolve PAST the first occurrence
     assert got == [("ab", 0, 2), ("cd", 3, 5), ("ab", 6, 8)]
+
+
+def _near_py_oracle(n_docs, terms, slop, function, include_span=True, k=10):
+    """Python mirror of payload_near_topk over the synthetic corpus."""
+    from lucene_solr_spark.smallfloat import NORM_TABLE, encode_norm
+
+    total_dl = sum(5 if d % 3 == 0 else 4 for d in range(n_docs))
+    avgdl = float(np.float32(total_dl / n_docs))
+
+    def doc_tokens(d):
+        toks = [
+            ("alpha", d % 10 + 0.5),
+            ("beta", float(d % 7)),
+            ("alpha", float((d * 7) % 5)),
+            ("gamma", None),
+        ]
+        if d % 3 == 0:
+            toks.append(("alpha", None))
+        return toks
+
+    # df per term over the corpus
+    df = {}
+    for d in range(n_docs):
+        for t in {t for t, _ in doc_tokens(d)}:
+            df[t] = df.get(t, 0) + 1
+    t0, t1 = terms
+    idf = sum(
+        math.log(1.0 + (n_docs - df.get(t, 0) + 0.5) / (df.get(t, 0) + 0.5))
+        for t in terms
+    )
+    hits = []
+    for d in range(n_docs):
+        toks = doc_tokens(d)
+        dl = len(toks)
+        dl_approx = float(NORM_TABLE[int(encode_norm(dl)[0])])
+        spans, pays = [], []
+        for p0, (t, pay0) in enumerate(toks):
+            if t != t0:
+                continue
+            nxt = [(e, pv) for e, (tt, pv) in enumerate(toks) if tt == t1 and e > p0]
+            if not nxt:
+                continue
+            e, pay1 = min(nxt)
+            ml = e - p0 - 1
+            if ml <= slop:
+                spans.append(ml)
+                pays.extend(x for x in (pay0, pay1) if x is not None)
+        if not spans:
+            continue
+        tf = sum(1.0 / (1 + m) for m in spans)
+        if pays:
+            if function == "avg":
+                ps = sorted(pays)
+                acc = 0.0
+                for x in ps:
+                    acc += x
+                pay = acc / len(ps)
+            elif function == "min":
+                pay = min(pays)
+            else:
+                pay = max(pays)
+        else:
+            pay = 1.0
+        span = idf * 2.2 * tf / (tf + 1.2 * (0.25 + 0.75 * dl_approx / avgdl))
+        hits.append((d, (span * pay) if include_span else pay))
+    hits.sort(key=lambda x: (-round(x[1], 6), x[0]))
+    return hits[:k]
+
+
+@pytest.mark.parametrize("function", ["avg", "min", "max"])
+def test_payload_near_adjacent(pindex, function):
+    from lucene_solr_spark.search.payloadquery import payload_near_topk
+
+    got = [
+        (int(r.docid), float(r.score))
+        for r in payload_near_topk(
+            pindex, ["alpha", "beta"], slop=0, function=function, k=10
+        ).collect()
+    ]
+    _compare(got, _near_py_oracle(60, ["alpha", "beta"], 0, function))
+
+
+def test_payload_near_slop_and_null_payload(pindex):
+    from lucene_solr_spark.search.payloadquery import payload_near_topk
+
+    # beta .. gamma needs slop 1; gamma has no payload -> fold sees beta's only
+    got = [
+        (int(r.docid), float(r.score))
+        for r in payload_near_topk(
+            pindex, ["beta", "gamma"], slop=1, function="avg", k=10
+        ).collect()
+    ]
+    _compare(got, _near_py_oracle(60, ["beta", "gamma"], 1, "avg"))
+    # slop 0 finds nothing (one token between them)
+    assert (
+        payload_near_topk(pindex, ["beta", "gamma"], slop=0, k=10).count() == 0
+    )
