@@ -36,6 +36,9 @@ def spellcheck(
     max_edits: int = 2,
     k: int = 5,
     min_df: int = 1,
+    min_prefix: int = 0,
+    min_query_length: int = 0,
+    max_query_frequency: float | None = None,
 ) -> DataFrame:
     """Top-k corrections -> (suggestion, distance, df).
 
@@ -43,13 +46,46 @@ def spellcheck(
     suggestion asc — DirectSpellChecker's comparator chain with the term
     itself excluded (``DirectSpellChecker.java:425-431`` skips the exact
     match unless the term is absent from the dictionary).
+
+    The optional gates are DirectSpellChecker's remaining knobs (defaults
+    here OFF for row stability; Solr's own defaults are minPrefix=1,
+    minQueryLength=4, maxQueryFrequency=0.01):
+    ``min_prefix`` requires candidates to share the first N chars
+    (:minPrefix — Lucene never edits inside the prefix);
+    ``min_query_length`` suppresses suggestions for short inputs
+    (:minQueryLength); ``max_query_frequency`` suppresses them when the
+    input itself is FREQUENT in the index (df > threshold docs, or
+    > threshold*maxDoc for a ratio) — a common word needs no correction
+    (:maxQueryFrequency).
     """
     q = term.lower()
-    return (
+    spark = index.docs.sparkSession
+    empty = spark.createDataFrame(
+        [], "suggestion string, distance int, df long"
+    )
+    if min_query_length and len(q) < min_query_length:
+        return empty
+    if max_query_frequency is not None:
+        qdf = index.term_stats().filter(F.col("term") == q).count()
+        cut = (
+            max_query_frequency
+            if max_query_frequency >= 1.0
+            else max_query_frequency * index.max_doc
+        )
+        if qdf > cut:
+            return empty
+    cands = (
         index.term_stats()
         .filter(F.col("term") != q)
         .filter(F.abs(F.length("term") - F.lit(len(q))) <= max_edits)
         .filter(F.col("df") >= min_df)
+    )
+    if min_prefix > 0:
+        cands = cands.filter(
+            F.substring(F.col("term"), 1, min_prefix) == q[:min_prefix]
+        )
+    return (
+        cands
         .withColumn("distance", F.levenshtein(F.col("term"), F.lit(q)))
         .filter(F.col("distance") <= max_edits)
         .select(

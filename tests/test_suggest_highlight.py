@@ -366,3 +366,26 @@ def test_word_combinations(wb_index):
     ]
     # 'timeout' df=2 from adjacent pair at position 0; 'outfires' absent
     assert got == [(0, "timeout", 2)]
+
+
+def test_spellcheck_direct_gates(spark, sf_dir):
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.suggest import spellcheck
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index = build_index(
+        spark, docs, key_col="doc_id", docid_col="doc_id",
+        num_index_partitions=8,
+    )
+    base = spellcheck(index, "tabel", k=5).collect()
+    assert base, "baseline correction expected"
+    # minPrefix: candidates must share the first char
+    pref = spellcheck(index, "tabel", k=5, min_prefix=1).collect()
+    assert all(r.suggestion.startswith("t") for r in pref)
+    assert {r.suggestion for r in pref} <= {r.suggestion for r in base}
+    # minQueryLength suppresses short inputs entirely
+    assert spellcheck(index, "tab", k=5, min_query_length=4).count() == 0
+    # maxQueryFrequency: a term present in (almost) every doc needs no fix
+    assert spellcheck(index, "table", k=5, max_query_frequency=0.01).count() == 0
+    # ...but an absent/misspelled term still gets suggestions under the gate
+    assert spellcheck(index, "tabel", k=5, max_query_frequency=0.01).count() > 0
