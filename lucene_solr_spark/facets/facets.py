@@ -395,3 +395,27 @@ def group_func(
         )
         .drop("group_rank")
     )
+
+
+def stats_percentiles(
+    results: DataFrame, field: str, percentiles: tuple[float, ...] = (0.25, 0.5, 0.75)
+) -> DataFrame:
+    """Percentile statistics over a numeric field — the solr/contrib/
+    analytics ``percentile(n, expr)`` expression family (the AnalyticsComponent
+    statistics facets; StatsComponent itself gained percentiles later via
+    t-digest — this is the EXACT variant the contrib computes).
+
+    One row with a ``pct_<n>`` column per requested fraction; both engines
+    use the same linear-interpolation definition (Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` over DOUBLE).  Exact percentiles shuffle the
+    field column once; the documented 100-TB swap is approx_percentile
+    (t-digest), which is also what Solr itself ships at scale."""
+    c = F.col(field).cast("double")
+    row = results.agg(
+        F.percentile(c, F.lit(list(float(p) for p in percentiles))).alias("_ps")
+    )
+    cols = [
+        F.col("_ps")[i].alias(f"pct_{int(round(p * 100))}")
+        for i, p in enumerate(percentiles)
+    ]
+    return row.select(*cols)
