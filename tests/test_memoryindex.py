@@ -58,3 +58,46 @@ def test_match_queries(docs, qframe):
     # conjunction query is a subset of docs containing 'table'
     t_docs = {d for d, t in rows if "table" in analyze_text(t)}
     assert {d for d, q, _ in got if q == 1} <= t_docs
+
+
+def test_match_queries_streaming(spark, tmp_path, qframe, docs):
+    """Percolator over a STREAM: the same match_queries frame runs per
+    micro-batch (stateless — the alerting production shape); stream output
+    equals the batch run over the union of batches."""
+    sample = docs.select("doc_id", "text").limit(40)
+    rows = [(int(r.doc_id), r.text) for r in sample.collect()]
+    inp = str(tmp_path / "in")
+    for i in range(2):
+        spark.createDataFrame(
+            rows[i * 20:(i + 1) * 20], "doc_id long, text string"
+        ).coalesce(1).write.parquet(f"{inp}/b{i}")
+    stream = (
+        spark.readStream.schema("doc_id long, text string").format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{inp}/*")
+    )
+    hits: list[tuple] = []
+
+    def sink(batch_df, _bid):
+        # per-micro-batch matching: docs arrive once, so the per-batch
+        # aggregate IS the stream answer (no cross-batch state needed)
+        hits.extend(
+            (int(r.docid), int(r.query_id), int(r.n_matched))
+            for r in match_queries(batch_df, qframe).collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = set(hits)
+    want = {
+        (int(r.docid), int(r.query_id), int(r.n_matched))
+        for r in match_queries(
+            spark.createDataFrame(rows, "doc_id long, text string"), qframe
+        ).collect()
+    }
+    assert got == want and want
