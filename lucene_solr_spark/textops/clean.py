@@ -164,3 +164,53 @@ def strip_boilerplate_lines(
     return df.select(*keep_cols).join(rebuilt, id_col, "left").fillna(
         {out or text_col: ""}
     )
+
+
+def extract_domain(url: Column) -> Column:
+    """Registrable host of a URL, lowercased, ``www.`` stripped — the key a
+    domain blocklist matches on (one codegen regex chain)."""
+    host = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)", 1))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    mode: str = "drop",
+) -> DataFrame:
+    """Domain blocklist filter — the standard web-corpus curation gate
+    (the UT1/StopForumSpam-style blocklists every published pipeline
+    applies; e.g. RefinedWeb §3.1, public method).
+
+    ``blocklist`` is a one-column ``domain`` frame.  A doc is blocked when
+    its URL's registrable host equals a listed domain OR is a subdomain of
+    one.  ``mode='drop'`` keeps the clean docs; ``mode='flag'`` returns
+    every doc with a ``blocked`` column.
+
+    Scale shape: blocklists are small (10^4-10^6 rows) — the match is one
+    BROADCAST join on the exact host plus a broadcast suffix probe for
+    subdomains; the corpus side is a single projection, no shuffle."""
+    bl = F.broadcast(blocklist.select(F.lower(F.col("domain")).alias("domain")).distinct())
+    withd = df.withColumn("_dom", extract_domain(F.col(url_col)))
+    # exact match OR suffix match ('.domain' boundary so evil.com never
+    # blocks notevil.com)
+    hit = withd.join(
+        bl,
+        (F.col("_dom") == F.col("domain"))
+        | F.col("_dom").endswith(F.concat(F.lit("."), F.col("domain"))),
+        "left",
+    )
+    # a doc may match several blocklist rows; collapse to one verdict
+    key_cols = [c for c in df.columns]
+    flagged = (
+        hit.groupBy(*[F.col(c) for c in key_cols], "_dom")
+        .agg(F.max(F.col("domain").isNotNull().cast("int")).alias("_b"))
+        .withColumn("blocked", F.col("_b") == 1)
+        .drop("_b", "_dom")
+    )
+    if mode == "flag":
+        return flagged
+    if mode == "drop":
+        return flagged.where(~F.col("blocked")).drop("blocked")
+    raise ValueError(f"unknown mode {mode!r}")

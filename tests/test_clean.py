@@ -96,3 +96,31 @@ def test_redact_pii_hard_shapes(spark):
     out = redact_pii(df).collect()[0].text
     assert "5551234567" not in out and "<PHONE>" in out
     assert "jo.doe" not in out and "<EMAIL>" in out  # local part never leaks
+
+
+def test_domain_blocklist(spark):
+    from lucene_solr_spark.textops.clean import extract_domain, filter_blocked_domains
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://evil.com/a"),
+            (2, "https://sub.evil.com/b"),
+            (3, "http://www.evil.com/c"),
+            (4, "https://notevil.com/d"),
+            (5, "https://good.org/e"),
+            (6, "https://EVIL.com/upper"),
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("evil.com",), ("spam.net",)], "domain string")
+    flagged = {
+        int(r.doc_id): bool(r.blocked)
+        for r in filter_blocked_domains(docs, bl, mode="flag").collect()
+    }
+    assert flagged == {1: True, 2: True, 3: True, 4: False, 5: False, 6: True}
+    kept = {int(r.doc_id) for r in filter_blocked_domains(docs, bl).collect()}
+    assert kept == {4, 5}
+    # extract_domain strips www. and lowercases
+    got = docs.select("doc_id", extract_domain(F.col("url")).alias("d")).collect()
+    dd = {int(r.doc_id): r.d for r in got}
+    assert dd[3] == "evil.com" and dd[6] == "evil.com" and dd[2] == "sub.evil.com"
