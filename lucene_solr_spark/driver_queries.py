@@ -5723,6 +5723,113 @@ FROM d ORDER BY docid ASC LIMIT 100""",
 _register_blocklist_query()
 
 
+def _register_curation_pipeline_query() -> None:
+    from lucene_solr_spark.oracle.textops_sql import SHINGLES_CTE, tok_cte
+
+    @_q(
+        "curation_pipeline_verdicts",
+        rf"""WITH {tok_cte()},
+{SHINGLES_CTE},
+bm AS (SELECT DISTINCT shingle FROM sh WHERE docid < 5),
+dccnt AS (
+  SELECT s.docid, count(*) AS nc FROM sh s JOIN bm USING (shingle) GROUP BY 1
+),
+t AS (SELECT doc_id, text, {_WS_TOKS_SQL} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0 / len(toks)
+              ELSE 0.0 END AS mean_len,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0 / length(text)
+              ELSE 0.0 END AS symbol_ratio,
+         (SELECT CASE WHEN len(g) > 0 THEN 1.0 - len(list_distinct(g)) * 1.0 / len(g) ELSE 0.0 END
+          FROM (SELECT {_GRAMS_SQL} AS g)) AS dup2,
+         len(list_distinct(list_filter(list_transform(toks, x -> lower(x)),
+             x -> x IN ('the','be','to','of','and','that','have','with')))) AS stop_hits
+  FROM t
+),
+gv AS (
+  SELECT CAST(doc_id AS BIGINT) AS docid,
+         (n_tokens >= 20 AND n_tokens <= 100000
+          AND round(mean_len, 4) >= 3.0 AND round(mean_len, 4) <= 10.0
+          AND round(symbol_ratio, 4) <= 0.1 AND round(dup2, 4) <= 0.5
+          AND stop_hits >= 1) AS gkeep
+  FROM m
+),
+u AS (
+  SELECT CAST(doc_id AS BIGINT) AS docid,
+         'site' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS dom,
+         'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id % 100 AS VARCHAR) AS url
+  FROM documents
+),
+ub AS (
+  SELECT docid,
+         dom IN ('site1.example', 'site7.example', 'site42.example') AS blocked,
+         min(docid) OVER (PARTITION BY url) AS firstd
+  FROM u
+),
+xd AS (SELECT CAST(doc_id AS BIGINT) AS docid, md5(text) AS h FROM documents),
+xg AS (SELECT h, min(docid) AS cano, count(*) AS c FROM xd GROUP BY h),
+verdict AS (
+  SELECT ub.docid,
+         CASE WHEN ub.blocked THEN 'blocked_domain'
+              WHEN ub.docid <> ub.firstd THEN 'url_duplicate'
+              WHEN xg.c > 1 AND ub.docid <> xg.cano THEN 'exact_duplicate'
+              WHEN NOT gv.gkeep THEN 'gopher_fail'
+              WHEN coalesce(dc.nc, 0) >= 3 THEN 'contaminated'
+              ELSE 'keep' END AS reason
+  FROM ub
+  JOIN xd ON xd.docid = ub.docid JOIN xg ON xg.h = xd.h
+  JOIN gv ON gv.docid = ub.docid
+  LEFT JOIN dccnt dc ON dc.docid = ub.docid
+)
+SELECT docid, (reason = 'keep') AS keep, reason
+FROM verdict ORDER BY docid ASC LIMIT 200""",
+    )
+    def curation_pipeline_verdicts(spark, sf_dir):
+        """The COMPOSED curation pass — the round's training-data operators
+        chained in the order every published pipeline applies them
+        (blocklist -> url dedup -> exact dedup -> Gopher rules ->
+        decontamination), one verdict + first-failing-reason per doc.
+        Urls are synthesized from docid arithmetic (100-way path reuse
+        creates real url duplicates; hosts d%50 hit a 3-domain blocklist);
+        docs 0-4 are the eval set (textops/clean.curation_pipeline)."""
+        from lucene_solr_spark.textops.clean import curation_pipeline
+        from lucene_solr_spark.textops.dedup import shingles
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        d = F.col("doc_id").cast("long")
+        with_url = docs.select(
+            "doc_id", "text",
+            F.concat(
+                F.lit("https://site"), (d % 50).cast("string"),
+                F.lit(".example/p/"), (d % 100).cast("string"),
+            ).alias("url"),
+        )
+        bl = spark.createDataFrame(
+            [("site1.example",), ("site7.example",), ("site42.example",)],
+            "domain string",
+        )
+        bench = shingles(docs.where(F.col("doc_id") < 5))
+        return (
+            curation_pipeline(
+                with_url, benchmark=bench, blocklist=bl, url_col="url",
+                min_overlap=3,
+                gopher_kwargs={
+                    "min_tokens": 20, "max_dup_2gram": 0.5, "min_stop_hits": 1,
+                },
+            )
+            .orderBy(F.asc("docid"))
+            .limit(200)
+        )
+
+
+_register_curation_pipeline_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -5758,6 +5865,7 @@ _DEFER_LAST = [
     "memory_index_match",       # boolean_and / filter_cache_intersect (same token-set match algebra, in-window); query-table differential in test_memoryindex; registered r4
     "xml_query_boolean",        # min_should_match / boolean_and (same executed path, in-window — the XML surface is a parser front door); node-set equivalences in test_xmlparser; registered r4
     "clean_domain_blocklist",   # clean_url_dedup (same url-regex surgery + broadcast-set shape, in-window); subdomain-boundary cases in test_clean; registered r4
+    "curation_pipeline_verdicts",  # composes clean_url_dedup + text_gopher_filter + dedup/decontaminate stages (each holding its own in-window or r4 row); stage-priority cases in test_clean; registered r4
     # --- round-4 field-type rows: slots for currency_field_query /
     # enum_field_sort ---
     "stemmed_term_query",       # snowball_term_query + kstem_term_query (same vocabulary term-map index build, both in-window; Porter itself holds 23,531 reference goldens in test_stemmer); r1-r3 green

@@ -214,3 +214,93 @@ def filter_blocked_domains(
     if mode == "drop":
         return flagged.where(~F.col("blocked")).drop("blocked")
     raise ValueError(f"unknown mode {mode!r}")
+
+
+def curation_pipeline(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    blocklist: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str | None = None,
+    min_overlap: int = 3,
+    gopher_kwargs: dict | None = None,
+) -> DataFrame:
+    """The composed training-data curation pass — one verdict per doc with
+    the FIRST failing stage as the reason, in the order every published
+    pipeline applies them (cheap gates first):
+
+        blocked_domain -> url_duplicate -> exact_duplicate -> gopher_fail
+        -> contaminated -> keep
+
+    Stages are the engine's existing operators (filter_blocked_domains,
+    dedup_by_canonical_url survivors, exact_dup_groups canonicals,
+    filters.gopher_filter, dedup.decontaminate); each contributes one
+    boolean column via a docid-keyed join, and the verdict is a single
+    fixed-order CASE.  Optional stages (no blocklist / no url column / no
+    benchmark) drop out of the plan entirely.
+
+    Scale shape: every stage is an audited shape (broadcast joins, hash
+    aggregates); composing them adds joins on docid only — at 100 TB this
+    is the run-once curation job, checkpointed per stage like the store
+    build."""
+    from lucene_solr_spark.textops.dedup import decontaminate, exact_dup_groups
+    from lucene_solr_spark.textops.filters import gopher_filter
+
+    out = docs.select(F.col(id_col).cast("long").alias("docid"))
+
+    conds = []  # (reason, boolean column name) in gate order
+    if blocklist is not None and url_col is not None:
+        bd = (
+            filter_blocked_domains(
+                docs.select(F.col(id_col).cast("long").alias("docid"), url_col),
+                blocklist, url_col=url_col, mode="flag",
+            ).select("docid", F.col("blocked").alias("_blocked"))
+        )
+        out = out.join(bd, "docid", "left")
+        conds.append(("blocked_domain", "_blocked"))
+    if url_col is not None:
+        surv = dedup_by_canonical_url(
+            docs.select(F.col(id_col).cast("long").alias(id_col), url_col),
+            url_col=url_col, key_col=id_col,
+        ).select(F.col(id_col).alias("docid"), F.lit(1).alias("_usurv"))
+        out = out.join(surv, "docid", "left").withColumn(
+            "_urldup", F.col("_usurv").isNull()
+        )
+        conds.append(("url_duplicate", "_urldup"))
+    # exact content dedup: non-canonical members of dup groups drop
+    groups = exact_dup_groups(docs, id_col=id_col, text_col=text_col)
+    chash = docs.select(
+        F.col(id_col).cast("long").alias("docid"),
+        F.md5(F.col(text_col).cast("binary")).alias("chash"),
+    )
+    dropped = (
+        chash.join(groups, "chash")
+        .where(F.col("docid") != F.col("canonical_id"))
+        .select("docid", F.lit(1).alias("_xdup"))
+    )
+    out = out.join(dropped, "docid", "left").withColumn(
+        "_exactdup", F.col("_xdup").isNotNull()
+    )
+    conds.append(("exact_duplicate", "_exactdup"))
+    g = gopher_filter(docs, id_col=id_col, text_col=text_col, **(gopher_kwargs or {}))
+    out = out.join(
+        g.select("docid", (~F.col("keep")).alias("_gfail")), "docid", "left"
+    )
+    conds.append(("gopher_fail", "_gfail"))
+    if benchmark is not None:
+        dc = decontaminate(
+            docs, benchmark, min_overlap=min_overlap,
+            id_col=id_col, text_col=text_col,
+        ).select("docid", F.col("contaminated").alias("_contam"))
+        out = out.join(dc, "docid", "left")
+        conds.append(("contaminated", "_contam"))
+
+    reason = F.lit("keep")
+    for name, col in reversed(conds):
+        reason = F.when(F.coalesce(F.col(col), F.lit(False)), F.lit(name)).otherwise(reason)
+    return out.select(
+        "docid",
+        (reason == F.lit("keep")).alias("keep"),
+        reason.alias("reason"),
+    )

@@ -124,3 +124,63 @@ def test_domain_blocklist(spark):
     got = docs.select("doc_id", extract_domain(F.col("url")).alias("d")).collect()
     dd = {int(r.doc_id): r.d for r in got}
     assert dd[3] == "evil.com" and dd[6] == "evil.com" and dd[2] == "sub.evil.com"
+
+
+def test_curation_pipeline_reason_priority(spark):
+    from lucene_solr_spark.textops.clean import curation_pipeline
+
+    good = " ".join(f"the wordy{i} of valued{i} nice{i}" for i in range(16))
+    rows = [
+        # blocked domain wins over everything else
+        (0, good, "https://evil.com/a"),
+        # url duplicate of doc 1 (same canonical url, higher id)
+        (1, good + " one", "https://ok.org/p"),
+        (2, good + " two", "https://ok.org/p"),
+        # exact duplicate of doc 3
+        (3, good + " three", "https://ok.org/x"),
+        (4, good + " three", "https://ok.org/y"),
+        # gopher fail: too short
+        (5, "tiny", "https://ok.org/z"),
+        # clean keeper
+        (6, good + " six", "https://ok.org/w"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    bl = spark.createDataFrame([("evil.com",)], "domain string")
+    got = {
+        int(r.docid): (bool(r.keep), r.reason)
+        for r in curation_pipeline(
+            docs, blocklist=bl, url_col="url"
+        ).collect()
+    }
+    assert got[0] == (False, "blocked_domain")
+    assert got[1][0] is True
+    assert got[2] == (False, "url_duplicate")
+    assert got[3][0] is True
+    assert got[4] == (False, "exact_duplicate")
+    assert got[5] == (False, "gopher_fail")
+    assert got[6] == (True, "keep")
+
+
+def test_curation_pipeline_decontaminate_stage(spark):
+    from lucene_solr_spark.textops.clean import curation_pipeline
+    from lucene_solr_spark.textops.dedup import shingles
+
+    good = " ".join(f"the wordy{i} of valued{i} nice{i}" for i in range(16))
+    eval_text = " ".join(
+        f"the secret{i} of benchmark{i} answer{i}" for i in range(14)
+    )
+    leak = " ".join(eval_text.split()[:12])  # >= 3 eval shingles post-analysis
+    rows = [
+        (0, eval_text, None),
+        (1, good + " " + leak, None),
+        (2, good + " clean", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    bench = shingles(docs.where(F.col("doc_id") == 0))
+    got = {
+        int(r.docid): r.reason
+        for r in curation_pipeline(docs, benchmark=bench).collect()
+    }
+    assert got[0] == "contaminated"   # the eval doc flags itself
+    assert got[1] == "contaminated"
+    assert got[2] == "keep"
