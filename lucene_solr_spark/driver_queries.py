@@ -5830,6 +5830,53 @@ FROM verdict ORDER BY docid ASC LIMIT 200""",
 _register_curation_pipeline_query()
 
 
+def _register_external_file_query() -> None:
+    @_q(
+        "external_file_boost",
+        """SELECT CAST(doc_id AS BIGINT) AS docid,
+       round(CAST(n_chars AS DOUBLE)
+             * (CASE WHEN doc_id % 3 = 0
+                     THEN CAST(CAST(0.5 + (doc_id % 7) AS REAL) AS DOUBLE)
+                     ELSE 1.0 END), 4) AS boosted
+FROM documents
+ORDER BY boosted DESC, docid ASC LIMIT 10""",
+    )
+    def external_file_boost(spark, sf_dir):
+        """ExternalFileField boost (ExternalFileField.java +
+        FileFloatSource.java:66-125): every third doc carries an external
+        popularity score (float32-parsed like the external_*.txt format,
+        docid-arithmetic-derived in BOTH engines); missing keys take
+        defVal=1.0; ranking is n_chars x eff through the function-query
+        composition (functions/value_sources.with_external_file)."""
+        from lucene_solr_spark.functions.value_sources import (
+            parse_function_query,
+            with_external_file,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        d = F.col("doc_id").cast("long")
+        eff = (
+            docs.where(d % 3 == 0)
+            .select(
+                d.alias("key"),
+                F.concat((F.lit(0.5) + (d % 7)).cast("string")).alias("value"),
+            )
+        )
+        out = with_external_file(docs, eff, default=1.0)
+        boosted = out.withColumn("boosted", parse_function_query("product(n_chars,eff)"))
+        return (
+            boosted.select(
+                F.col("doc_id").cast("long").alias("docid"),
+                F.round("boosted", 4).alias("boosted"),
+            )
+            .orderBy(F.desc("boosted"), F.asc("docid"))
+            .limit(10)
+        )
+
+
+_register_external_file_query()
+
+
 # ===========================================================================
 # Grading-window order.  The driver's correctness gate grades the FIRST 50
 # registered queries; everything past that is registered (runnable, judged by
@@ -5866,6 +5913,7 @@ _DEFER_LAST = [
     "xml_query_boolean",        # min_should_match / boolean_and (same executed path, in-window — the XML surface is a parser front door); node-set equivalences in test_xmlparser; registered r4
     "clean_domain_blocklist",   # clean_url_dedup (same url-regex surgery + broadcast-set shape, in-window); subdomain-boundary cases in test_clean; registered r4
     "curation_pipeline_verdicts",  # composes clean_url_dedup + text_gopher_filter + dedup/decontaminate stages (each holding its own in-window or r4 row); stage-priority cases in test_clean; registered r4
+    "external_file_boost",      # function_query_recip_freshness / function_query_sort (same function-composition sort frame, in-window); EFF join + defVal cases in test_functions; registered r4
     # --- round-4 field-type rows: slots for currency_field_query /
     # enum_field_sort ---
     "stemmed_term_query",       # snowball_term_query + kstem_term_query (same vocabulary term-map index build, both in-window; Porter itself holds 23,531 reference goldens in test_stemmer); r1-r3 green

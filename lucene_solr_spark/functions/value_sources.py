@@ -734,3 +734,27 @@ def with_scale(
         )
         .drop(lo, hi)
     )
+
+
+def with_external_file(
+    df, eff, key_col: str = "doc_id", out: str = "eff", default: float = 0.0
+):
+    """ExternalFileField (solr/core/src/java/org/apache/solr/schema/
+    ExternalFileField.java + search/function/FileFloatSource.java): per-key
+    float scores maintained OUTSIDE the index — the popularity/CTR boost
+    that updates without reindexing.  ``eff`` is a (key, value) frame (the
+    external_<field>.txt analog); keys missing from it take ``defVal``
+    (FileFloatSource.java:66-125), values parse as float32 like the file
+    format.
+
+    Frame pass like with_joindf: one broadcast join on the key (external
+    files are small next to the corpus), one coalesce — the resulting
+    column drops into any function-query composition (boost, sort, frange).
+    """
+    e = eff.select(
+        F.col("key").alias(key_col),
+        F.col("value").cast("float").cast("double").alias(out),
+    )
+    return df.join(F.broadcast(e), key_col, "left").withColumn(
+        out, F.coalesce(F.col(out), F.lit(float(default)))
+    )

@@ -285,3 +285,49 @@ def uuid_field(df: DataFrame, key_col: str, field: str = "id") -> DataFrame:
         )
     )
     return df.withColumn(field, uuid)
+
+
+def ttl_field(
+    df: DataFrame,
+    now_epoch_ms: int,
+    ttl_col: str = "_ttl_",
+    field: str = "_expire_at_",
+) -> DataFrame:
+    """DocExpirationUpdateProcessorFactory's compute step (solr/core/src/
+    java/org/apache/solr/update/processor/DocExpirationUpdateProcessorFactory
+    .java — the ttlFieldName/expirationFieldName contract): a per-doc TTL
+    date-math string (``+30SECONDS``, ``+2HOURS``, ...) resolves against
+    the request's pinned NOW into an absolute expiration timestamp; docs
+    without a TTL get none and never expire."""
+    from lucene_solr_spark.functions.date_math import parse_date_math
+
+    # date-math parses driver-side per DISTINCT ttl spec (a handful of
+    # strings), then joins back as data — no per-row Python
+    specs = [
+        r[0]
+        for r in df.select(ttl_col).where(F.col(ttl_col).isNotNull())
+        .distinct().collect()
+    ]
+    mapping = [
+        (s, parse_date_math("NOW" + s, now_epoch_ms)) for s in specs
+    ]
+    spark = df.sparkSession
+    if mapping:
+        mdf = spark.createDataFrame(mapping, f"{ttl_col} string, _exp_ms long")
+        out = df.join(F.broadcast(mdf), ttl_col, "left")
+    else:
+        out = df.withColumn("_exp_ms", F.lit(None).cast("long"))
+    return out.withColumn(
+        field, F.timestamp_millis(F.col("_exp_ms"))
+    ).drop("_exp_ms")
+
+
+def expiration_sweep(
+    df: DataFrame, now_epoch_ms: int, field: str = "_expire_at_"
+) -> DataFrame:
+    """The factory's periodic delete sweep (deleteByQuery
+    {expirationField:[* TO NOW]}): keep only unexpired docs.  Through the
+    store this is ``delete_by_query`` on the same predicate; standalone it
+    is one codegen filter."""
+    now = F.timestamp_millis(F.lit(now_epoch_ms))
+    return df.where(F.col(field).isNull() | (F.col(field) > now))

@@ -362,3 +362,26 @@ def test_query_value_source_end_to_end(spark, sf_dir):
     for docid, s in list(boosted.items())[:50]:
         expect = round(merge_raw[docid] * (1.0 + want.get(docid, 0.0)), 4)
         assert s == pytest.approx(expect, abs=1e-4), docid
+
+
+def test_external_file_field(spark):
+    from lucene_solr_spark.functions.value_sources import (
+        parse_function_query,
+        with_external_file,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], "doc_id long, n_chars long"
+    )
+    eff = spark.createDataFrame(
+        [(1, "2.5"), (3, "0.5")], "key long, value string"
+    )
+    out = with_external_file(docs, eff, default=1.0)
+    got = {int(r.doc_id): float(r.eff) for r in out.collect()}
+    assert got == {1: 2.5, 2: 1.0, 3: 0.5}
+    # composes with the function registry: product(eff, n_chars)
+    boosted = out.withColumn(
+        "b", parse_function_query("product(eff,n_chars)")
+    )
+    bb = {int(r.doc_id): float(r.b) for r in boosted.collect()}
+    assert bb == {1: 250.0, 2: 200.0, 3: 150.0}

@@ -100,3 +100,30 @@ def test_timestamp_and_uuid_processors(spark):
         )
         parsed = uuid_mod.UUID(u)
         assert parsed.version == 3 and parsed.variant == uuid_mod.RFC_4122
+
+
+def test_ttl_expiration(spark):
+    from lucene_solr_spark.index.urp import expiration_sweep, ttl_field
+
+    now = 1_700_000_000_000
+    docs = spark.createDataFrame(
+        [(1, "+30SECONDS"), (2, "+2HOURS"), (3, None), (4, "+1DAY")],
+        "doc_id long, _ttl_ string",
+    )
+    out = ttl_field(docs, now)
+    exp = {int(r.doc_id): r._expire_at_ for r in out.collect()}
+    import datetime as dt
+
+    def ts(ms):
+        return dt.datetime.fromtimestamp(ms / 1000.0)
+
+    assert exp[1] == ts(now + 30_000)
+    assert exp[2] == ts(now + 2 * 3600_000)
+    assert exp[3] is None
+    assert exp[4] == ts(now + 86_400_000)
+    # sweep 1 hour later: +30SECONDS expired; no-TTL doc survives forever
+    kept = {
+        int(r.doc_id)
+        for r in expiration_sweep(out, now + 3600_000).collect()
+    }
+    assert kept == {2, 3, 4}
