@@ -99,7 +99,23 @@ def run(sf_dir: str, cpus: str) -> dict:
         "ivf_ann": lambda: _ivf(),
         "classify_nb": lambda: _nb(),
         "cluster_results": lambda: _cluster(),
+        "semdedup": lambda: _semdedup(),
+        "curation_pipeline": lambda: _curation(),
     }
+
+    def _semdedup():
+        from lucene_solr_spark.textops.similarity import semdedup_pairs
+        return semdedup_pairs(emb, threshold=0.4, n_centroids=8, iters=1)
+
+    def _curation():
+        from lucene_solr_spark.textops.clean import curation_pipeline
+        from lucene_solr_spark.textops.dedup import shingles
+        bench_set = shingles(docs_src.where(F.col("doc_id") < 5))
+        return curation_pipeline(
+            docs_src, benchmark=bench_set, min_overlap=3,
+            gopher_kwargs={"min_tokens": 20, "max_dup_2gram": 0.5,
+                           "min_stop_hits": 1},
+        )
 
     def _classic():
         from lucene_solr_spark.search.classic import classic_topk
