@@ -143,3 +143,40 @@ def return_fields(
             cols.append(col.alias(name))
             emitted.add(name)
     return df.select(*cols)
+
+
+def attach_child_docs(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str = "docid",
+    child_parent_col: str = "parent_id",
+    child_filter=None,
+    limit: int = 10,
+    out: str = "_childDocuments_",
+) -> DataFrame:
+    """``[child parentFilter=.. childFilter=.. limit=..]`` — the
+    ChildDocTransformer (solr/core/src/java/org/apache/solr/response/
+    transform/ChildDocTransformerFactory.java): each parent row in the
+    result page gains an array of its (optionally filtered) child documents,
+    at most ``limit`` per parent, in child-key order.
+
+    ``children`` carries ``child_parent_col`` plus whatever child columns
+    should appear; ``child_filter`` is an optional Column predicate (the
+    childFilter query).  Spark shape: the parent frame is the k-bounded
+    RESULT PAGE, so the join's left side is tiny; children aggregate once
+    per parent key with a sort_array + slice for the limit — no window, no
+    per-parent query loop (Lucene's block-adjacency walk becomes the keyed
+    aggregation, same as to_parent_block_join)."""
+    ch = children
+    if child_filter is not None:
+        ch = ch.where(child_filter)
+    child_cols = [c for c in ch.columns if c != child_parent_col]
+    packed = (
+        ch.select(
+            F.col(child_parent_col).alias(parent_key),
+            F.struct(*[F.col(c) for c in child_cols]).alias("_c"),
+        )
+        .groupBy(parent_key)
+        .agg(F.slice(F.array_sort(F.collect_list("_c")), 1, int(limit)).alias(out))
+    )
+    return parents.join(packed, parent_key, "left")

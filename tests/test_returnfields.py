@@ -101,3 +101,29 @@ def test_explain_transformer_via_handler(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="term query"):
         select(idx, {"q": "*:*", "rows": 2, "fl": "docid, [explain]"})
+
+
+def test_child_doc_transformer(spark):
+    from lucene_solr_spark.search.returnfields import attach_child_docs
+
+    parents = spark.createDataFrame(
+        [(1, 0.9), (2, 0.5), (3, 0.1)], "docid long, score double"
+    )
+    children = spark.createDataFrame(
+        [
+            (1, 11, "c11"), (1, 10, "c10"), (1, 12, "c12"),
+            (2, 20, "skuX"), (3, 30, "c30"),
+        ],
+        "parent_id long, child_id long, name string",
+    )
+    out = attach_child_docs(parents, children, limit=2)
+    rows = {int(r.docid): r._childDocuments_ for r in out.collect()}
+    # child-key order, capped at limit
+    assert [c.child_id for c in rows[1]] == [10, 11]
+    assert [c.name for c in rows[2]] == ["skuX"]
+    # childFilter prunes
+    out2 = attach_child_docs(
+        parents, children, child_filter=F.col("name").startswith("c")
+    )
+    rows2 = {int(r.docid): r._childDocuments_ for r in out2.collect()}
+    assert rows2[2] is None and [c.child_id for c in rows2[1]] == [10, 11, 12]
