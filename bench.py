@@ -104,8 +104,13 @@ def run(sf_dir: str, cpus: str) -> dict:
     }
 
     def _semdedup():
-        from lucene_solr_spark.textops.similarity import semdedup_pairs
-        return semdedup_pairs(emb, threshold=0.4, n_centroids=8, iters=1)
+        # arrow kernels + sqrt-ish cluster scaling: C ~ N/256 keeps the
+        # within-cluster pair count linear-ish in N (SCALE.md §16)
+        from lucene_solr_spark.textops.similarity import semdedup_pairs_arrow
+        n_vec = emb.count()
+        return semdedup_pairs_arrow(
+            emb, threshold=0.4, n_centroids=max(8, n_vec // 256), iters=1
+        )
 
     def _curation():
         from lucene_solr_spark.textops.clean import curation_pipeline

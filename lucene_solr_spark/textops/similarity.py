@@ -451,3 +451,118 @@ def semdedup_survivors(
     pairs = semdedup_pairs(emb, threshold, n_centroids, iters, id_col, vec_col)
     dropped = pairs.select(F.col("vec_id_b").alias(id_col)).distinct()
     return emb.select(id_col).join(dropped, id_col, "left_anti")
+
+
+def ivf_assign_arrow(
+    emb: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The documented large-C assignment swap (see the IVF section header):
+    the same argmin over a broadcast centroid matrix as ONE numpy matmul
+    per Arrow batch instead of a C-element Catalyst expression tree —
+    bit-compatible cids except on exact distance ties (both sides break
+    ties to the smallest cid; numpy argmin picks the first minimum like
+    array_position(array_min))."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(cents, dtype=np.float64)          # C x D
+    c2 = (c * c).sum(axis=1)                          # C
+
+    schema = "vec_id long, cid int"
+
+    def assign(batches):
+        for pdf in batches:
+            v = np.asarray(list(pdf[vec_col]), dtype=np.float64)  # B x D
+            # (dxx - 2*dxc) + dcc, argmin over C — dxx constant per row,
+            # so argmin needs only -2*v@c.T + c2
+            d = -2.0 * (v @ c.T) + c2[None, :]
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].values, "cid": d.argmin(axis=1).astype("int32")}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def semdedup_pairs_arrow(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with the at-scale kernels: Arrow argmin assignment and a
+    per-cluster vectorized pairwise-cosine kernel (applyInPandas over cid —
+    one normalized matmul per cluster, the shape a 100-TB run partitions
+    by).  Semantics match semdedup_pairs; float sums ride numpy's pairwise
+    accumulation instead of the sequential fold, so scores can differ in
+    the last ulps — use the expression path for hash-graded rows and this
+    one when clusters are large."""
+    import numpy as np
+    import pandas as pd
+
+    # centroid TRAINING stays the exact grid-quantized frame logic (shared
+    # with the oracle); only the assignment argmin swaps kernels
+    init = (
+        emb.where(F.col(id_col) < n_centroids)
+        .orderBy(F.col(id_col))
+        .select(vec_col)
+        .collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in init]
+    for _ in range(iters):
+        assign = ivf_assign_arrow(emb, cents, id_col, vec_col).withColumnRenamed(
+            "vec_id", "_aid"
+        )
+        stats = (
+            emb.join(assign, emb[id_col] == assign["_aid"])
+            .select("cid", F.posexplode(vec_col).alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x").cast("double") * F.lit(_IVF_QUANT) + F.lit(0.5))
+                    .cast("long")
+                ).alias("sq"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new: dict[int, list[float]] = {}
+        for r in stats:
+            new.setdefault(r.cid, [0.0] * len(cents[0]))[r.d] = (
+                r.sq / r.n
+            ) / _IVF_QUANT
+        cents = [new.get(ci, cents[ci]) for ci in range(n_centroids)]
+
+    assign = ivf_assign_arrow(emb, cents, id_col, vec_col).withColumnRenamed(
+        "vec_id", "_aid"
+    )
+    withc = emb.join(assign, emb[id_col] == assign["_aid"]).select(
+        F.col("_aid").alias("vec_id"), F.col(vec_col).alias("v"), "cid"
+    )
+
+    out_schema = "vec_id_a long, vec_id_b long, cosine double"
+
+    def pairs_of(key, pdf):
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        v = np.asarray(list(pdf["v"].iloc[order]), dtype=np.float64)
+        norms = np.linalg.norm(v, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = (v @ v.T) / np.outer(norms, norms)
+        iu = np.triu_indices(len(ids), k=1)
+        c = np.round(cos[iu], 4)
+        keep = c >= threshold
+        return pd.DataFrame(
+            {
+                "vec_id_a": ids[iu[0][keep]],
+                "vec_id_b": ids[iu[1][keep]],
+                "cosine": c[keep],
+            }
+        )
+
+    return withc.groupBy("cid").applyInPandas(pairs_of, out_schema)

@@ -80,3 +80,20 @@ def test_semdedup_survivors_policy(emb):
     surv = {int(r.vec_id) for r in semdedup_survivors(emb, 0.95, 8, 1).collect()}
     assert len(surv) == n_total - len(dropped)
     assert not (surv & dropped)
+
+
+def test_arrow_kernel_equivalence(emb):
+    """The at-scale Arrow kernels (argmin matmul + per-cluster pairwise
+    cosine) must reproduce the expression path exactly at the graded
+    config."""
+    from lucene_solr_spark.textops.similarity import semdedup_pairs_arrow
+
+    a = sorted(
+        (int(r.vec_id_a), int(r.vec_id_b), round(float(r.cosine), 4))
+        for r in semdedup_pairs(emb, 0.4, 8, 1).collect()
+    )
+    b = sorted(
+        (int(r.vec_id_a), int(r.vec_id_b), round(float(r.cosine), 4))
+        for r in semdedup_pairs_arrow(emb, 0.4, 8, 1).collect()
+    )
+    assert a == b and a
