@@ -244,9 +244,17 @@ def curation_pipeline(
     aggregates); composing them adds joins on docid only — at 100 TB this
     is the run-once curation job, checkpointed per stage like the store
     build."""
-    from lucene_solr_spark.textops.dedup import decontaminate, exact_dup_groups
+    from lucene_solr_spark.textops.dedup import (
+        _widen_scan,
+        decontaminate,
+        exact_dup_groups,
+    )
     from lucene_solr_spark.textops.filters import gopher_filter
 
+    # widen the probe side like the dedup scans: the verdict joins cascade
+    # off this frame, and an under-split source pins the whole final stage
+    # to 1-2 tasks
+    docs = _widen_scan(docs)
     out = docs.select(F.col(id_col).cast("long").alias("docid"))
 
     conds = []  # (reason, boolean column name) in gate order
