@@ -419,3 +419,35 @@ def stats_percentiles(
         for i, p in enumerate(percentiles)
     ]
     return row.select(*cols)
+
+
+def group_main(
+    results: DataFrame,
+    group_field: str,
+    order_by: list[Column],
+    group_limit: int = 1,
+    rows: int = 10,
+) -> DataFrame:
+    """group.main=true / group.format=simple (Grouping.java mainResult +
+    Format.simple): the grouped heads FLATTENED back into one plain doc
+    list — groups ordered by their best row, ``group_limit`` rows kept per
+    group, then the flat list cut at ``rows`` like an ungrouped response.
+    One extra window for the group ordering key (the head row's sort
+    value); no driver work."""
+    heads = group_topk(results, group_field, order_by, k=group_limit)
+    # order the GROUPS by their head (rank-1) row under the same sort spec:
+    # a global row_number over the one-row-per-group heads — bounded by the
+    # group count, the same single-partition moment Solr's group merge has
+    grank = (
+        heads.where(F.col("group_rank") == 1)
+        .select(
+            group_field,
+            F.row_number().over(Window.orderBy(*order_by)).alias("_grank"),
+        )
+    )
+    return (
+        heads.join(grank, group_field)
+        .orderBy(F.col("_grank"), F.col("group_rank"))
+        .drop("_grank", "group_rank")
+        .limit(rows)
+    )

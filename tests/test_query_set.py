@@ -151,3 +151,30 @@ def test_stats_component_string(spark):
     r = stats_component_string(df, "src", calcdistinct=True).first()
     assert (r.stats_min, r.stats_max) == ("alpha", "gamma")
     assert (r.stats_count, r.stats_missing, r.stats_distinct) == (4, 1, 3)
+
+
+def test_group_main_flattens(spark, sf_dir):
+    """group.main=true: grouped heads flatten into one plain list, groups
+    ordered by their best row, limit applied to the flat list."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.facets.facets import group_main
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("docid"), "lang", "n_chars"
+    )
+    out = group_main(
+        docs, "lang", [F.desc("n_chars"), F.asc("docid")],
+        group_limit=2, rows=6,
+    ).collect()
+    assert len(out) == 6
+    # per-group contiguity and within-group ordering
+    rows = [(r.lang, int(r.n_chars), int(r.docid)) for r in out]
+    langs = [l for l, _, _ in rows]
+    assert langs == sorted(langs, key=lambda l: langs.index(l))  # contiguous blocks
+    by_lang = {}
+    for l, n, d in rows:
+        by_lang.setdefault(l, []).append((n, d))
+    for l, pairs in by_lang.items():
+        assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+        assert len(pairs) <= 2
