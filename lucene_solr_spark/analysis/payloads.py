@@ -232,3 +232,19 @@ def build_payload_index(
     return PayloadIndex(
         postings=per_term, max_doc=n, avgdl=avgdl, positions=positions
     )
+
+
+def type_token_filter(
+    text: Column, types: tuple[str, ...], use_whitelist: bool = False
+) -> Column:
+    """TypeTokenFilter (lucene/analysis/common/.../core/TypeTokenFilter.java
+    + TypeTokenFilterFactory: types=.. useWhitelist=..): drop tokens whose
+    StandardTokenizer type is in ``types`` (blacklist, the default) or keep
+    ONLY those types (whitelist)."""
+    tl = [str(t) for t in types]
+
+    def keep(tok: Column) -> Column:
+        hit = token_type_col(tok).isin(tl)
+        return hit if use_whitelist else ~hit
+
+    return F.filter(whitespace_tokenizer(text), keep)

@@ -191,3 +191,60 @@ def payload_near_topk(
         .orderBy(F.desc("score"), F.asc("docid"))
         .limit(k)
     )
+
+
+def span_payload_check_topk(
+    pindex: PayloadIndex,
+    term: str,
+    payload_to_match: list[float],
+    k: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """SpanPayloadCheckQuery (lucene/core search/spans/SpanPayloadCheckQuery
+    .java:45-75): keep only the match spans whose payload SEQUENCE equals
+    ``payload_to_match`` — a term span carries at most one payload, so the
+    check is size==1 plus equality; spans with NO payload are accepted
+    unconditionally (acceptPosition returns YES when isPayloadAvailable is
+    false).  SpanNear matches are rejected by the reference constructor and
+    here too (use payload_near_topk's function fold for near semantics).
+
+    Scoring: the accepted occurrences form the span freq under the repo's
+    term-span sloppyFreq-1 convention, BM25 over the payload field's stats.
+    """
+    if pindex.positions is None:
+        raise ValueError("payload index built without positions")
+    import math
+
+    pos = pindex.positions.filter(F.col("term") == term)
+    if len(payload_to_match) == 1:
+        accept = F.col("payload").isNull() | (
+            F.col("payload") == F.lit(float(payload_to_match[0]))
+        )
+    else:
+        # a term span can never carry a multi-payload sequence: only the
+        # payload-less occurrences pass the size check's failure branch
+        accept = F.col("payload").isNull()
+    g = (
+        pos.where(accept)
+        .groupBy("docid", "dl_approx")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+    df_t = pindex.term_df(term)
+    n = pindex.max_doc
+    idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+    score = (
+        F.lit(idf) * F.lit(2.2) * F.col("_tf")
+        / (
+            F.col("_tf")
+            + F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + F.lit(0.75) * F.col("dl_approx") / F.lit(float(pindex.avgdl))
+            )
+        )
+    )
+    return (
+        g.select("docid", F.round(score, round_dp).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )

@@ -262,3 +262,32 @@ def test_payload_near_slop_and_null_payload(pindex):
     assert (
         payload_near_topk(pindex, ["beta", "gamma"], slop=0, k=10).count() == 0
     )
+
+
+def test_span_payload_check(pindex):
+    from lucene_solr_spark.search.payloadquery import span_payload_check_topk
+
+    # beta's payload is docid % 7 — requiring 3.0 keeps only docid%7==3 docs
+    got = span_payload_check_topk(pindex, "beta", [3.0], k=100).collect()
+    ids = {int(r.docid) for r in got}
+    assert ids == {d for d in range(60) if d % 7 == 3}
+    # gamma never carries a payload -> payload-less spans pass regardless
+    got_g = span_payload_check_topk(pindex, "gamma", [99.0], k=100).collect()
+    assert len(got_g) == 60
+    # multi-payload sequence can never match a term span with a payload
+    got_m = span_payload_check_topk(pindex, "beta", [1.0, 2.0], k=100).collect()
+    assert got_m == []
+
+
+def test_type_token_filter(spark):
+    from lucene_solr_spark.analysis.payloads import type_token_filter
+
+    df = spark.createDataFrame([("foo 42 bar 7 한국",)], "t string")
+    drop_num = df.select(
+        type_token_filter(F.col("t"), ("<NUM>",)).alias("p")
+    ).collect()[0].p
+    assert list(drop_num) == ["foo", "bar", "한국"]
+    only_num = df.select(
+        type_token_filter(F.col("t"), ("<NUM>",), use_whitelist=True).alias("p")
+    ).collect()[0].p
+    assert list(only_num) == ["42", "7"]
