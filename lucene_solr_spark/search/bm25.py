@@ -1712,3 +1712,31 @@ def rerank(
         .orderBy(F.col("rerank_score").desc(), F.col("docid").asc())
         .limit(k)
     )
+
+
+def span_multi_term_topk(
+    index: IndexTables,
+    q,
+    round_dp: int = 4,
+) -> DataFrame:
+    """SpanMultiTermQueryWrapper (lucene/core/.../search/spans/
+    SpanMultiTermQueryWrapper.java): a prefix/wildcard/regexp/fuzzy/range
+    query lifted into span space — the SPAN_REWRITE turns every matching
+    dictionary term into a SpanTermQuery under one SpanOr.  Engine mapping:
+    the MultiTermQuery dictionary walk (`_matched_terms_df`, bounded by
+    MAX_CLAUSE_COUNT like the scoring rewrite) feeds the span-or scorer —
+    total-occurrence tf, ONE SpanWeight idf over the expanded terms.
+
+    The wrapper exists so expanded spans can nest inside span-near trees;
+    standalone it ranks like span_or over the expansion.
+    """
+    terms = [r.term for r in _matched_terms_df(index, q).limit(
+        MAX_CLAUSE_COUNT + 1
+    ).collect()]
+    if len(terms) > MAX_CLAUSE_COUNT:
+        raise ValueError(
+            f"span rewrite expands past maxClauseCount={MAX_CLAUSE_COUNT}"
+        )
+    if not terms:
+        raise ValueError("span multi-term wrapper matched no dictionary terms")
+    return span_or_topk(index, sorted(terms), round_dp=round_dp)

@@ -3,6 +3,7 @@ positions oracle (SpanPositionRangeQuery.java:42-50, SpanFirstQuery.java:
 40-48 — start()/end() gates with Lucene's exclusive end)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from lucene_solr_spark.analysis.analyzer import analyze_text_positions
 from lucene_solr_spark.index.builder import build_index
@@ -127,3 +128,26 @@ def test_span_position_range_ordered_pair(index, rows, oracle):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (gd, gs), (_, ws) in zip(got, want):
         assert abs(gs - ws) < 1e-3, (gd, gs, ws)
+
+
+def test_span_multi_term_wrapper(index, rows, oracle):
+    """SpanMultiTermQueryWrapper: prefix-expanded span-or equals span_or
+    over the dictionary expansion (total-occurrence tf, one idf sum)."""
+    from lucene_solr_spark.search.bm25 import span_multi_term_topk, span_or_topk
+    from lucene_solr_spark.search.query import PrefixQuery
+
+    got = [
+        (int(r.docid), float(r.score))
+        for r in span_multi_term_topk(index, PrefixQuery("sc"))
+        .orderBy(F.desc("score"), F.asc("docid")).limit(10).collect()
+    ]
+    exp_terms = sorted({t for _, text in rows for t in _positions(rows).get(0, {})})
+    # independent expansion: all analyzed dictionary terms starting with 'sc'
+    vocab = sorted({t for d in _positions(rows).values() for t in d})
+    expansion = [t for t in vocab if t.startswith("sc")]
+    want = [
+        (int(r.docid), float(r.score))
+        for r in span_or_topk(index, expansion)
+        .orderBy(F.desc("score"), F.asc("docid")).limit(10).collect()
+    ]
+    assert got == want and got
