@@ -106,6 +106,34 @@ def _local_params_docset(
     raise ValueError(f"unsupported filter qparser: {qtype!r}")
 
 
+def _peel_cache_params(fq: str) -> tuple[str, bool]:
+    """Strip ``cache=``/``cost=`` from a leading local-params block
+    (SolrIndexSearcher honours {!cache=false} by recomputing the DocSet per
+    request; ``cost`` orders non-cached filters — here the smallest-first
+    intersection already orders CACHED sets by exact size, and non-cached
+    sets apply last, which is Solr's post-filter position).  Returns the
+    cleaned fq and whether caching is enabled (default True)."""
+    import re as _re
+
+    m = _re.match(r"^\s*\{!([^}]*)\}", fq)
+    if not m:
+        return fq, True
+    body = m.group(1)
+    parts = [p for p in body.split() if p]
+    kept, cache = [], True
+    for p in parts:
+        if p.startswith("cache="):
+            cache = p.split("=", 1)[1].strip().lower() != "false"
+        elif p.startswith("cost="):
+            continue  # ordering hint only; see docstring
+        else:
+            kept.append(p)
+    rest = fq[m.end():]
+    if kept:
+        return "{!" + " ".join(kept) + "}" + rest, cache
+    return rest, cache
+
+
 def _parse_filter(index: IndexTables, fq: str, now_epoch_ms: int | None = None):
     """-> ("pos", docset_df) or ("neg", matches_df).  A pure-negative fq
     (e.g. ``-slow``) means "all docs except matches" (:1030-1050); a
@@ -153,6 +181,13 @@ class FilterCache:
         # NOW participates in the key: the same frange fq pinned to two
         # different request-NOWs is two different DocSets (Solr keys the
         # filterCache on the Query object, which embeds the resolved NOW)
+        fq, cacheable = _peel_cache_params(fq)
+        if not cacheable:
+            # {!cache=false}: recompute per request, never persisted; the
+            # sentinel size sorts it AFTER every cached set — Solr's
+            # non-cached filters likewise apply at the post-filter position
+            kind, df = _parse_filter(self.index, fq, now_epoch_ms=now_epoch_ms)
+            return (kind, df, 1 << 62)
         key = (fq, now_epoch_ms)
         if key in self._entries:
             self.hits += 1

@@ -328,3 +328,31 @@ def test_with_joindf(spark, index):
     assert any(v > 0 for v in got.values()) or all(
         lang not in dfs for lang in set(langs.values())
     )
+
+
+def test_cache_false_bypasses_cache(spark, sf_dir):
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.filtercache import FilterCache
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = build_index(
+        spark, docs, key_col="doc_id", docid_col="doc_id",
+        num_index_partitions=8,
+    )
+    fc = FilterCache(idx)
+    base = {int(r.docid) for r in fc.docset("table").collect()}
+    # cache=false: same DocSet, but no cache entry / no hits recorded
+    before = fc.stats()
+    nc = {int(r.docid) for r in fc.docset("{!cache=false}table").collect()}
+    nc2 = {int(r.docid) for r in fc.docset("{!cache=false}table").collect()}
+    after = fc.stats()
+    assert nc == base == nc2
+    assert after["size"] == before["size"]
+    assert after["lookups"] == before["lookups"]
+    # composed with cached filters it applies last (post-filter position)
+    out = {
+        int(r.docid)
+        for r in fc.filtered(["table", "{!cache=false cost=150}merge"]).collect()
+    }
+    want = base & {int(r.docid) for r in fc.docset("merge").collect()}
+    assert out == want
