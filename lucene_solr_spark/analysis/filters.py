@@ -194,6 +194,28 @@ def ascii_folding_filter(tokens: Column) -> Column:
     return F.transform(tokens, fold)
 
 
+def ascii_folding_filter_preserve(tokens: Column) -> Column:
+    """ASCIIFoldingFilter with preserveOriginal=true (the factory option,
+    ASCIIFoldingFilterFactory.java): each token that CHANGES under the fold
+    emits the folded form followed by the original (the filter's
+    State-restore stacking order keeps the folded token first); unchanged
+    tokens emit once."""
+    def fold(t: Column) -> Column:
+        out = F.translate(t, _FOLD_SRC, _FOLD_DST)
+        for ch, rep in _FOLD_MULTI:
+            out = F.replace(out, F.lit(ch), F.lit(rep))
+        return out
+
+    return F.flatten(
+        F.transform(
+            tokens,
+            lambda t: F.when(fold(t) == t, F.array(t)).otherwise(
+                F.array(fold(t), t)
+            ),
+        )
+    )
+
+
 def ascii_fold_text(s: str) -> str:
     """Pure-Python mirror of ascii_folding_filter for goldens."""
     table = {ord(a): b for a, b in zip(_FOLD_SRC, _FOLD_DST)}

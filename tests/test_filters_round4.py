@@ -303,3 +303,13 @@ def test_upper_case_filter(spark):
     assert df.select(
         upper_case_filter(F.col("t")).alias("u")
     ).collect()[0].u == ["FOO", "BAR"]
+
+
+def test_ascii_folding_preserve_original(spark):
+    from lucene_solr_spark.analysis.filters import ascii_folding_filter_preserve
+
+    df = spark.createDataFrame([(["café", "plain", "über"],)], "t array<string>")
+    got = list(df.select(
+        ascii_folding_filter_preserve(F.col("t")).alias("o")
+    ).collect()[0].o)
+    assert got == ["cafe", "café", "plain", "uber", "über"]
