@@ -39,6 +39,7 @@ def spellcheck(
     min_prefix: int = 0,
     min_query_length: int = 0,
     max_query_frequency: float | None = None,
+    only_more_popular: bool = False,
 ) -> DataFrame:
     """Top-k corrections -> (suggestion, distance, df).
 
@@ -84,6 +85,16 @@ def spellcheck(
         cands = cands.filter(
             F.substring(F.col("term"), 1, min_prefix) == q[:min_prefix]
         )
+    if only_more_popular:
+        # spellcheck.onlyMorePopular (AbstractLuceneSpellChecker
+        # SUGGEST_MORE_POPULAR): keep only corrections with a HIGHER df
+        # than the input term itself
+        qdf2 = (
+            index.term_stats().filter(F.col("term") == q)
+            .select("df").collect()
+        )
+        qdf_v = int(qdf2[0][0]) if qdf2 else 0
+        cands = cands.filter(F.col("df") > qdf_v)
     return (
         cands
         .withColumn("distance", F.levenshtein(F.col("term"), F.lit(q)))

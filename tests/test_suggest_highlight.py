@@ -389,3 +389,31 @@ def test_spellcheck_direct_gates(spark, sf_dir):
     assert spellcheck(index, "table", k=5, max_query_frequency=0.01).count() == 0
     # ...but an absent/misspelled term still gets suggestions under the gate
     assert spellcheck(index, "tabel", k=5, max_query_frequency=0.01).count() > 0
+
+
+def test_spellcheck_only_more_popular(spark, sf_dir):
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.suggest import spellcheck
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index = build_index(
+        spark, docs, key_col="doc_id", docid_col="doc_id",
+        num_index_partitions=8,
+    )
+    # data-driven: the flag must keep exactly the strictly-more-popular
+    # subset of the unflagged candidate set
+    dfs = {r.term: int(r.df) for r in index.term_stats().collect()}
+    probe = "part"  # neighbors within 2 edits: fast, sort, spark
+    base = spellcheck(index, probe, k=100).collect()
+    assert base
+    omp = spellcheck(index, probe, k=100, only_more_popular=True).collect()
+    want = {r.suggestion for r in base if int(r.df) > dfs[probe]}
+    assert {r.suggestion for r in omp} == want
+    assert all(int(r.df) > dfs[probe] for r in omp)
+    # absent term: qdf 0 -> every candidate passes, same as default
+    base = {r.suggestion for r in spellcheck(index, "tabel", k=5).collect()}
+    omp = {
+        r.suggestion
+        for r in spellcheck(index, "tabel", k=5, only_more_popular=True).collect()
+    }
+    assert omp == base
