@@ -163,9 +163,17 @@ def knn_classify(
     """
     from lucene_solr_spark.search.bm25 import term_scores
 
+    # Broadcast the doc's bounded term list into the dictionary scan, never
+    # the unbounded |V|-row term_stats (see more_like_this, bm25.py).
     rows = (
-        index.postings.filter(F.col("docid") == docid)
-        .join(F.broadcast(index.term_stats()), "term")
+        index.term_stats()
+        .join(
+            F.broadcast(
+                index.postings.filter(F.col("docid") == docid)
+                .select("term", "tf")
+            ),
+            "term",
+        )
         .select("term", "tf", "df")
         .collect()
     )

@@ -4749,7 +4749,8 @@ lab AS (
     FROM cand
   ) WHERE rn = 1
 )
-SELECT label, count(*) AS size, list(docid ORDER BY docid) AS docids
+SELECT label, count(*) AS size,
+       string_agg(CAST(docid AS VARCHAR), ',' ORDER BY docid) AS docids
 FROM lab GROUP BY label
 ORDER BY size DESC, label ASC""",
     )

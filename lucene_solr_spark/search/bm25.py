@@ -1600,9 +1600,20 @@ def more_like_this(
     values so gating is opt-in)."""
     import math
 
+    # Broadcast discipline: one doc's postings are the BOUNDED side (its
+    # term list); term_stats is the unbounded |V|-row dictionary.  Ship the
+    # doc's terms into a scan of the dictionary (broadcast hash join with the
+    # tiny side broadcast), never the dictionary itself — at web scale
+    # (10^8-10^9 terms) the old full-term_stats broadcast is an executor OOM.
     rows = (
-        index.postings.filter(F.col("docid") == docid)
-        .join(F.broadcast(index.term_stats()), "term")
+        index.term_stats()
+        .join(
+            F.broadcast(
+                index.postings.filter(F.col("docid") == docid)
+                .select("term", "tf")
+            ),
+            "term",
+        )
         .select("term", "tf", "df")
         .collect()
     )
@@ -1655,9 +1666,17 @@ def mlt_interesting_terms(
     (rank, term, score) rows ordered by rank."""
     import math
 
+    # Same broadcast discipline as more_like_this: broadcast the doc's
+    # bounded term list into the dictionary scan, never |V| term_stats.
     rows = (
-        index.postings.filter(F.col("docid") == docid)
-        .join(F.broadcast(index.term_stats()), "term")
+        index.term_stats()
+        .join(
+            F.broadcast(
+                index.postings.filter(F.col("docid") == docid)
+                .select("term", "tf")
+            ),
+            "term",
+        )
         .select("term", "tf", "df")
         .collect()
     )

@@ -51,11 +51,22 @@ def cluster_results(
     ).select("docid")
 
     n = index.max_doc
-    # per-doc dominant non-query term by tf*idf (MLT interesting-terms gate)
-    cand = (
+    # per-doc dominant non-query term by tf*idf (MLT interesting-terms gate).
+    # Broadcast discipline: the window's postings are the BOUNDED side (k docs
+    # x their terms); term_stats is the unbounded |V|-row dictionary.  Prune
+    # the dictionary by the window's term set (broadcast semi-join — the tiny
+    # term list ships, the dictionary only scans) before the stats broadcast,
+    # the same pattern term_scores uses (bm25.py:72).  Never broadcast |V|.
+    doc_terms = (
         index.postings.join(window, "docid")
         .filter(~F.col("term").isin(query_terms))
-        .join(F.broadcast(index.term_stats().select("term", "df")), "term")
+    )
+    pruned_stats = index.term_stats().select("term", "df").join(
+        F.broadcast(doc_terms.select("term").distinct()), "term", "left_semi"
+    )
+    cand = (
+        doc_terms
+        .join(F.broadcast(pruned_stats), "term")
         .select(
             "docid", "term",
             (
@@ -74,11 +85,21 @@ def cluster_results(
         .filter(F.col("rn") == 1)
         .select("docid", F.col("term").alias("label"))
     )
+    # docids as a comma-joined string, not array<long>: flat scalar columns
+    # survive every downstream canonicalizer (the driver's pandas-based
+    # result compare cannot hash array cells), and the string is the same
+    # deterministic (sorted-ascending) encoding on both engines.
     return (
         labeled.groupBy("label")
         .agg(
             F.count("*").alias("size"),
-            F.array_sort(F.collect_list("docid")).alias("docids"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("docid")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("docids"),
         )
         .filter(F.col("size") >= min_cluster_size)
         .orderBy(F.desc("size"), F.asc("label"))

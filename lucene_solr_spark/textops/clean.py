@@ -188,19 +188,26 @@ def filter_blocked_domains(
     one.  ``mode='drop'`` keeps the clean docs; ``mode='flag'`` returns
     every doc with a ``blocked`` column.
 
-    Scale shape: blocklists are small (10^4-10^6 rows) — the match is one
-    BROADCAST join on the exact host plus a broadcast suffix probe for
-    subdomains; the corpus side is a single projection, no shuffle."""
+    Scale shape: blocklists are small (10^4-10^6 rows) — the host's
+    label-boundary suffix chain (``a.b.c.com -> [a.b.c.com, b.c.com,
+    c.com, com]``, bounded by the ~5-label host depth) is exploded and
+    EQUI-joined against the broadcast blocklist, a BroadcastHashJoin.  An
+    OR-of-equality-and-endswith condition would instead plan a
+    BroadcastNestedLoopJoin = O(corpus x blocklist) string comparisons —
+    the suffix explode buys the hash path for one cheap bounded explode."""
     bl = F.broadcast(blocklist.select(F.lower(F.col("domain")).alias("domain")).distinct())
     withd = df.withColumn("_dom", extract_domain(F.col(url_col)))
-    # exact match OR suffix match ('.domain' boundary so evil.com never
-    # blocks notevil.com)
-    hit = withd.join(
-        bl,
-        (F.col("_dom") == F.col("domain"))
-        | F.col("_dom").endswith(F.concat(F.lit("."), F.col("domain"))),
-        "left",
+    # exact match OR subdomain match with a '.domain' label boundary (so
+    # evil.com never blocks notevil.com): exactly the label-boundary
+    # suffixes of the host, equi-joined.
+    suffixes = F.expr(
+        "transform(sequence(1, size(split(_dom, '[.]'))),"
+        " i -> array_join(slice(split(_dom, '[.]'),"
+        " i, size(split(_dom, '[.]')) - i + 1), '.'))"
     )
+    hit = withd.select(
+        *df.columns, "_dom", F.explode(suffixes).alias("_sfx")
+    ).join(bl, F.col("_sfx") == F.col("domain"), "left")
     # a doc may match several blocklist rows; collapse to one verdict
     key_cols = [c for c in df.columns]
     flagged = (

@@ -24,10 +24,11 @@ def test_clusters_partition_the_window(index):
     number of labeled docs; ordering is (size desc, label asc)."""
     out = cluster_results(index, ["table", "merge"], rows=30).collect()
     assert out
-    all_docs = [d for r in out for d in r.docids]
+    ids = [[int(d) for d in r.docids.split(",")] for r in out]
+    all_docs = [d for row in ids for d in row]
     assert len(all_docs) == len(set(all_docs))
-    assert all(r.size == len(r.docids) for r in out)
-    assert all(r.docids == sorted(r.docids) for r in out)
+    assert all(r.size == len(row) for r, row in zip(out, ids))
+    assert all(row == sorted(row) for row in ids)
     keys = [(-r.size, r.label) for r in out]
     assert keys == sorted(keys)
     # labels never echo the query terms (Carrot2 query-word suppression)
@@ -62,8 +63,8 @@ def test_labels_match_python_argmax(index):
 
     got = {}
     for r in cluster_results(index, qterms, rows=30).collect():
-        for d in r.docids:
-            got[d] = r.label
+        for d in r.docids.split(","):
+            got[int(d)] = r.label
     assert got == want
 
 
