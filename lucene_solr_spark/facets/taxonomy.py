@@ -1,0 +1,213 @@
+"""Taxonomy faceting — the lucene/facet module analog: DrillDownQuery,
+DrillSideways, and hierarchical taxonomy counts.
+
+Reference semantics (public Apache Lucene 4.10, /root/reference):
+
+- DrillDownQuery (lucene/facet/src/java/org/apache/lucene/facet/
+  DrillDownQuery.java:69-160): base query AND one clause per drilled
+  dimension; multiple paths added to the SAME dimension are OR'd inside
+  that dimension's clause (``merge()``, DrillDownQuery.java:120-135); the
+  drill-down terms are constant-score so they never shape ranking.  A path
+  drills into the whole SUBTREE: the doc matches if any of its facet paths
+  equals the drill path or extends it.
+- DrillSideways (DrillSideways.java:49-214, DrillSidewaysScorer.java): the
+  hits are the full drill-down result; the facet counts for each DRILLED
+  dimension are computed with that one dimension's clause REMOVED (base +
+  every other dimension still applied) so the dimension's sibling values
+  don't vanish after the user drills into it; dimensions NOT drilled on are
+  counted over the full drill-down set.  The scorer implements this as a
+  near-miss pass (docs failing at most one clause); here the same idea is
+  ONE scan with per-doc dimension flags and N conditional aggregates — no
+  per-dimension re-query, no second scan.
+- Taxonomy counts (taxonomy/TaxonomyFacetCounts.java:39-90,
+  FacetsConfig.java path handling): facet labels are hierarchical paths
+  ``dim/component/...``; ``getTopChildren(n, dim, path...)`` returns the
+  immediate children under the given path ordered count-desc, where a
+  child's count is the number of docs carrying any path in that child's
+  subtree (the rollup), each doc counted once per child
+  (ordinals are per-doc sets).  Ties break label-asc here (the reference
+  breaks ties by taxonomy ordinal = insertion order, which has no stable
+  cross-engine analog).
+
+Tests the reference runs against this module: TestDrillSideways.java,
+taxonomy/TestTaxonomyFacetCounts.java.
+
+Scale shape: the per-doc dimension flags are ``F.exists`` over the facet
+path array (whole-stage codegen, no shuffle); the sideways counts are one
+explode + one distinct + one hash aggregate over (dim, child) — a single
+pass over the corpus regardless of how many dimensions are drilled.  At
+1000 executors the (dim, child) key space is the facet vocabulary, which
+hash-aggregates with map-side partials; no per-dimension re-scan, which is
+exactly what separates this from running k+1 drill-down queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# FacetsConfig.pathToString joins with ''; '/' here (documented
+# divergence — the testdata labels never contain '/').
+SEP = "/"
+
+
+def facet_path(dim: str, *components: str) -> str:
+    """DrillDownQuery.term analog: the stored label of a facet path."""
+    return SEP.join((dim, *components))
+
+
+def _subtree_match(paths_col: Column, dim: str, path: tuple[str, ...]) -> Column:
+    """Doc-level predicate: any stored path equals dim/path or extends it."""
+    full = facet_path(dim, *path)
+    return F.exists(
+        paths_col,
+        lambda p: (p == full) | p.startswith(full + SEP),
+    )
+
+
+def _dim_flag(paths_col: Column, dim: str, paths: list[tuple[str, ...]]) -> Column:
+    """OR of the dimension's drill paths (DrillDownQuery.merge semantics)."""
+    flag = F.lit(False)
+    for path in paths:
+        flag = flag | _subtree_match(paths_col, dim, path)
+    return flag
+
+
+def drill_down(
+    docs: DataFrame,
+    drills: dict[str, list[tuple[str, ...]]],
+    base: Column | None = None,
+    paths_col: str = "facets",
+) -> DataFrame:
+    """DrillDownQuery: docs matching ``base`` AND every dimension's drill
+    (paths within one dimension OR'd).  ``drills`` maps dim -> list of
+    path tuples.  Pure filter — constant-score by construction."""
+    out = docs
+    if base is not None:
+        out = out.where(base)
+    for dim, paths in drills.items():
+        out = out.where(_dim_flag(F.col(paths_col), dim, paths))
+    return out
+
+
+def drill_sideways_counts(
+    docs: DataFrame,
+    drills: dict[str, list[tuple[str, ...]]],
+    dims: list[str],
+    base: Column | None = None,
+    paths_col: str = "facets",
+    id_col: str = "doc_id",
+    top_n: int = 10,
+) -> DataFrame:
+    """DrillSideways facet counts in ONE pass: (dim, label, count) rows,
+    top_n per dim, ordered (dim asc, count desc, label asc).
+
+    For a drilled dim the counts are computed with that dim's clause
+    removed; for an undrilled dim with every clause applied
+    (DrillSideways.search, DrillSideways.java:133-175).  Labels are the
+    dim's top-level children."""
+    drilled = list(drills.keys())
+    pc = F.col(paths_col)
+
+    # per-doc flags: b_<dim> = passes that dim's drill; _nf = #failed dims
+    flagged = docs
+    if base is not None:
+        flagged = flagged.where(base)
+    nf = F.lit(0)
+    for dim in drilled:
+        b = _dim_flag(pc, dim, drills[dim])
+        flagged = flagged.withColumn(f"_b_{dim}", b)
+        nf = nf + F.when(F.col(f"_b_{dim}"), 0).otherwise(1)
+    flagged = flagged.withColumn("_nf", nf)
+    # near-miss pruning (DrillSidewaysScorer's contract): only docs failing
+    # zero clauses (count everywhere) or exactly one (count in the failed
+    # dim's sideways set) can contribute — a 2+-miss doc never counts.
+    flagged = flagged.where(F.col("_nf") <= 1)
+
+    exploded = flagged.select(
+        F.col(id_col).alias("_docid"),
+        "_nf",
+        *[F.col(f"_b_{d}") for d in drilled],
+        F.explode(pc).alias("_path"),
+    ).withColumn("_dim", F.split("_path", SEP).getItem(0))
+    exploded = exploded.where(F.col("_dim").isin(dims)).withColumn(
+        "_label", F.split("_path", SEP).getItem(1)
+    )
+
+    # relief: a row of a DRILLED dim forgives its own dim's failure
+    relief = F.lit(0)
+    for dim in drilled:
+        relief = F.when(
+            (F.col("_dim") == dim) & ~F.col(f"_b_{dim}"), 1
+        ).otherwise(relief)
+    ok = (F.col("_nf") - relief) == 0
+
+    counted = (
+        exploded.where(ok)
+        .select("_docid", F.col("_dim").alias("dim"), F.col("_label").alias("label"))
+        .distinct()
+        .groupBy("dim", "label")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("dim").orderBy(F.desc("count"), F.asc("label"))
+    )
+    return (
+        counted.withColumn("_rn", rn)
+        .where(F.col("_rn") <= top_n)
+        .drop("_rn")
+        .orderBy(F.asc("dim"), F.desc("count"), F.asc("label"))
+    )
+
+
+def taxonomy_top_children(
+    docs: DataFrame,
+    dim: str,
+    path: tuple[str, ...] = (),
+    paths_col: str = "facets",
+    id_col: str = "doc_id",
+    top_n: int = 10,
+) -> DataFrame:
+    """TaxonomyFacetCounts.getTopChildren(n, dim, path...): the immediate
+    children under dim/path with rolled-up doc counts (a doc counts once
+    per child subtree), ordered (count desc, label asc), top_n."""
+    prefix = facet_path(dim, *path)
+    depth = 1 + len(path)  # index of the child segment in the split path
+    exploded = docs.select(
+        F.col(id_col).alias("_docid"),
+        F.explode(paths_col).alias("_path"),
+    ).where(F.col("_path").startswith(prefix + SEP))
+    children = (
+        exploded.select(
+            "_docid", F.split("_path", SEP).getItem(depth).alias("label")
+        )
+        .where(F.col("label").isNotNull())
+        .distinct()
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("label"))
+        .limit(top_n)
+    )
+    return children
+
+
+def with_document_taxonomy(docs: DataFrame) -> DataFrame:
+    """The testdata documents table with its synthesized facet-path column
+    (the FacetsConfig.build analog over the columns the table carries):
+
+    - ``lang/<lang>``                     — flat dimension
+    - ``source/<source>``                 — flat dimension
+    - ``size/<n_chars//100*100>/<n_chars//10*10>`` — 2-level hierarchy
+
+    Deterministic and reproducible in SQL, so both engines derive the
+    identical taxonomy."""
+    b100 = (F.floor(F.col("n_chars") / 100) * 100).cast("int").cast("string")
+    b10 = (F.floor(F.col("n_chars") / 10) * 10).cast("int").cast("string")
+    return docs.withColumn(
+        "facets",
+        F.array(
+            F.concat(F.lit("lang" + SEP), F.col("lang")),
+            F.concat(F.lit("source" + SEP), F.col("source")),
+            F.concat(F.lit("size" + SEP), b100, F.lit(SEP), b10),
+        ),
+    )
