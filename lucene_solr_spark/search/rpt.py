@@ -285,3 +285,110 @@ def rpt_intersects_docset(
     if negate:
         cond = ~cond
     return docs.filter(cond).select("docid")
+
+
+# ---------------------------------------------------------------------------
+# Circle (point-radius) on the same grid — the GeoCircle shape
+# (spatial4j GeoCircle via SpatialRecursivePrefixTreeFieldType's
+# Intersects(Circle(...)); SpatialArgs "{!geofilt}" routes here when the
+# field type is RPT).  Same candidate discipline as the polygon: WITHIN
+# cells accept, EDGE cells verify with the exact haversine — so the filter
+# equals plain geodist <= d over all rows, which is what the oracle runs.
+# ---------------------------------------------------------------------------
+
+def circle_cover(
+    pt_lat: float, pt_lon: float, d_km: float, level: int
+) -> tuple[list[int], list[int]]:
+    """Classify the circle's bbox cells at ``level``: (within, edge) ids.
+    Conservative on the sphere: a cell is WITHIN only when its corners and
+    edge midpoints all sit inside the radius — anything boundary-ambiguous
+    verifies exactly, so misclassification can never change results."""
+    from lucene_solr_spark.search.spatial import calc_box, _haversine_py
+
+    lat_min, lat_max, lon_ranges = calc_box(pt_lat, pt_lon, d_km)
+    n = 1 << level
+    w = (WORLD[1] - WORLD[0]) / n
+    h = (WORLD[3] - WORLD[2]) / n
+    within, edge = [], []
+    for lon_lo, lon_hi in lon_ranges:
+        cx_lo = max(0, min(n - 1, int((lon_lo - WORLD[0]) / w)))
+        cx_hi = max(0, min(n - 1, int((lon_hi - WORLD[0]) / w)))
+        cy_lo = max(0, min(n - 1, int((lat_min - WORLD[2]) / h)))
+        cy_hi = max(0, min(n - 1, int((lat_max - WORLD[2]) / h)))
+        for cy in range(cy_lo, cy_hi + 1):
+            for cx in range(cx_lo, cx_hi + 1):
+                lo_x, hi_x, lo_y, hi_y = _cell_bounds(cx, cy, level)
+                probes = [
+                    (lo_y, lo_x), (lo_y, hi_x), (hi_y, lo_x), (hi_y, hi_x),
+                    (lo_y, (lo_x + hi_x) / 2), (hi_y, (lo_x + hi_x) / 2),
+                    ((lo_y + hi_y) / 2, lo_x), ((lo_y + hi_y) / 2, hi_x),
+                ]
+                dists = [
+                    _haversine_py(la, lo, pt_lat, pt_lon) for la, lo in probes
+                ]
+                # disjoint prune by the LATITUDE-BAND lower bound only:
+                # great-circle distance >= meridian distance of the lat
+                # separation, always.  A clamped-rectangle "nearest point"
+                # is planar reasoning and under-reaches near the poles
+                # (longitudes converge), which would drop matching cells.
+                import math as _m
+
+                from lucene_solr_spark.search.spatial import (
+                    EARTH_MEAN_RADIUS_KM,
+                )
+
+                lat_sep = max(lo_y - pt_lat, pt_lat - hi_y, 0.0)
+                if EARTH_MEAN_RADIUS_KM * _m.radians(lat_sep) > d_km:
+                    continue  # provably disjoint
+                # max over the rect is attained at a corner (distance along
+                # a meridian/parallel is endpoint-maximal), so the probe max
+                # soundly certifies WITHIN
+                if max(dists) <= d_km:
+                    within.append(cy * n + cx)
+                else:
+                    edge.append(cy * n + cx)
+    return within, edge
+
+
+def rpt_circle_docset(
+    docs: DataFrame,
+    sfield: str,
+    pt: str,
+    d_km: float,
+    max_cells: int = 512,
+) -> DataFrame:
+    """Intersects(Circle(pt d=km)) over the RPT grid: bbox conjuncts ->
+    cell IN within (accept) OR (cell IN edge AND exact haversine) — result
+    equals geofilt_docset by construction (the exactness argument in the
+    module docstring, distance flavor)."""
+    from lucene_solr_spark.search.spatial import (
+        bbox_cond,
+        coord_cols,
+        geodist_km_col,
+        parse_pt,
+    )
+
+    pt_lat, pt_lon = parse_pt(pt)
+    lat_c, lon_c = coord_cols(sfield)
+    lat, lon = F.col(lat_c), F.col(lon_c)
+    from lucene_solr_spark.search.spatial import calc_box
+
+    lat_min, lat_max, lon_ranges = calc_box(pt_lat, pt_lon, d_km)
+    # level budget over the circle's bbox corners (choose_level's shape)
+    verts = [
+        (lon_ranges[0][0], lat_min), (lon_ranges[-1][1], lat_min),
+        (lon_ranges[-1][1], lat_max), (lon_ranges[0][0], lat_max),
+    ]
+    level = choose_level(verts, max_cells)
+    within, edge = circle_cover(pt_lat, pt_lon, d_km, level)
+    cell = grid_cell_col(lat, lon, level)
+    cond = F.lit(False)
+    if within:
+        cond = cond | cell.isin(within)
+    if edge:
+        cond = cond | (
+            cell.isin(edge)
+            & (geodist_km_col(lat, lon, pt_lat, pt_lon) <= F.lit(d_km))
+        )
+    cond = bbox_cond(lat, lon, pt_lat, pt_lon, d_km) & cond
+    return docs.filter(cond).select("docid")

@@ -191,3 +191,82 @@ def geodist_km_sql(lat_expr: str, lon_expr: str, pt_lat: float, pt_lon: float) -
         f" * sin(({lo2} - {lo1}) / 2) * sin(({lo2} - {lo1}) / 2))"
         f")))"
     )
+
+
+def _haversine_py(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
+    """Driver-side great-circle km (same formula as geodist_km_col) — used
+    by the RPT circle cover's cell classification."""
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dlat = math.radians(lat2 - lat1) / 2
+    dlon = math.radians(lon2 - lon1) / 2
+    a = math.sin(dlat) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dlon) ** 2
+    return EARTH_MEAN_RADIUS_KM * 2 * math.asin(min(1.0, math.sqrt(a)))
+
+
+# ---------------------------------------------------------------------------
+# BufferedLineString — the spatial4j linestring shape
+# (spatial4j BufferedLineString / BufferedLine: planar 2D degree space, as
+# the reference constructs it for non-geo contexts; lucene/spatial's
+# prefix-tree tests exercise it via ShapeFactory linestrings).  A point
+# matches when its euclidean degree-space distance to ANY segment is
+# <= buf.  One unrolled least()-chain of per-segment point-to-segment
+# distances — pure codegen, shuffle-free, and the SAME formula text renders
+# the SQL oracle (shared-text discipline).
+# ---------------------------------------------------------------------------
+
+def _seg_dist2_text(ax: float, ay: float, bx: float, by: float,
+                    px: str, py: str) -> str:
+    """Squared planar distance from point (px,py) to segment (a,b) — one
+    formula string valid in both Spark SQL and DuckDB (clamped projection;
+    degenerate zero-length segments fall back to the endpoint)."""
+    dx, dy = bx - ax, by - ay
+    len2 = dx * dx + dy * dy
+    if len2 == 0.0:
+        return (f"(({px}) - {ax!r}) * (({px}) - {ax!r})"
+                f" + (({py}) - {ay!r}) * (({py}) - {ay!r})")
+    t = (f"greatest(0.0, least(1.0,"
+         f" ((({px}) - {ax!r}) * {dx!r} + (({py}) - {ay!r}) * {dy!r})"
+         f" / {len2!r}))")
+    return (f"((({px}) - ({ax!r} + {t} * {dx!r}))"
+            f" * (({px}) - ({ax!r} + {t} * {dx!r}))"
+            f" + (({py}) - ({ay!r} + {t} * {dy!r}))"
+            f" * (({py}) - ({ay!r} + {t} * {dy!r})))")
+
+
+def linestring_dist2_sql(
+    verts: list[tuple[float, float]], lon_expr: str, lat_expr: str
+) -> str:
+    """least() over the per-segment squared distances — the shared text."""
+    parts = [
+        _seg_dist2_text(ax, ay, bx, by, lon_expr, lat_expr)
+        for (ax, ay), (bx, by) in zip(verts, verts[1:])
+    ]
+    if len(parts) == 1:
+        return parts[0]
+    return "least(" + ", ".join(parts) + ")"
+
+
+def linestring_buffer_docset(
+    docs: DataFrame,
+    sfield: str,
+    verts: list[tuple[float, float]],
+    buf_deg: float,
+) -> DataFrame:
+    """Intersects(BufferedLineString) for point data: docids whose point
+    lies within ``buf_deg`` (planar degrees) of the polyline through
+    ``verts`` [(lon, lat), ...].  Bbox conjuncts (line bbox expanded by the
+    buffer — Parquet min/max-prunable) guard the distance chain."""
+    if len(verts) < 2:
+        raise ValueError("linestring needs >= 2 vertices")
+    lat_c, lon_c = coord_cols(sfield)
+    xs = [x for x, _ in verts]
+    ys = [y for _, y in verts]
+    cond = (
+        F.col(lat_c).between(min(ys) - buf_deg, max(ys) + buf_deg)
+        & F.col(lon_c).between(min(xs) - buf_deg, max(xs) + buf_deg)
+        & (
+            F.expr(linestring_dist2_sql(verts, lon_c, lat_c))
+            <= F.lit(buf_deg * buf_deg)
+        )
+    )
+    return docs.filter(cond).select("docid")

@@ -24,7 +24,7 @@ predicate pushes down to Parquet min/max stats on a term-sorted dictionary.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lucene_solr_spark.index.builder import IndexTables
@@ -113,20 +113,71 @@ def spellcheck(
     )
 
 
-def suggest_prefix(index: IndexTables, prefix: str, k: int = 10) -> DataFrame:
+def suggest_prefix(
+    index: IndexTables, prefix: str, k: int = 10, exact_first: bool = False,
+) -> DataFrame:
     """Top-k completions -> (suggestion, weight): dictionary terms starting
     with ``prefix``, ranked by collection frequency (the suggester weight),
-    term-asc tie-break."""
-    return (
+    term-asc tie-break.
+
+    ``exact_first=True`` is the WFSTCompletionLookup/FSTCompletion
+    exactFirst contract (lucene/suggest/.../fst/WFSTCompletionLookup.java:
+    66-78, FSTCompletion.java:109-122): an exact key match is pushed to the
+    first position regardless of weight.  With exact weights and
+    weight-desc order this IS the WFSTCompletionLookup semantics (min-cost
+    FST path = max weight); the TSTLookup / JaspellLookup structures return
+    the identical (weight desc, key) ordering over the same contract —
+    alternate single-node data structures, covered by this scan."""
+    out = (
         index.term_stats()
         .filter(F.col("term").startswith(prefix.lower()))
         .select(
             F.col("term").alias("suggestion"),
             F.col("cf").cast("long").alias("weight"),
         )
-        .orderBy(F.col("weight").desc(), F.col("suggestion").asc())
-        .limit(k)
     )
+    order = [F.col("weight").desc(), F.col("suggestion").asc()]
+    if exact_first:
+        order = [(F.col("suggestion") == prefix.lower()).desc()] + order
+    return out.orderBy(*order).limit(k)
+
+
+def fst_completion_lookup(
+    index: IndexTables,
+    prefix: str,
+    k: int = 10,
+    buckets: int = 10,
+    exact_first: bool = True,
+) -> DataFrame:
+    """FSTCompletionLookup (lucene/suggest/.../fst/FSTCompletionLookup.java:
+    72-235, FSTCompletion.java:40-312): weights are DISCRETIZED into
+    rank-based buckets at build time — entries sorted weight-asc, bucket =
+    floor(line * buckets / total) with equal weights sharing the bucket of
+    the run's first line (FSTCompletionLookup.java:199-216) — and lookup
+    returns matches bucket-DESC, alphabetical within a bucket (the FST
+    traversal order), exact match first.
+
+    One window function reproduces the build's bucket assignment exactly:
+    line = dense rank by (weight asc, term asc); the run-start line is
+    min(line) over the weight partition.  Returns (suggestion, bucket)."""
+    stats = index.term_stats().select(
+        F.col("term"), F.col("cf").cast("long").alias("weight")
+    )
+    w_line = Window.orderBy(F.asc("weight"), F.asc("term"))
+    lined = stats.withColumn("_line", F.row_number().over(w_line) - 1)
+    run_start = Window.partitionBy("weight")
+    total = stats.count()
+    bucketed = lined.withColumn(
+        "bucket",
+        (F.min("_line").over(run_start) * buckets / F.lit(total)).cast("int"),
+    )
+    out = bucketed.filter(F.col("term").startswith(prefix.lower())).select(
+        F.col("term").alias("suggestion"), "bucket"
+    )
+    order = [F.col("bucket").desc(), F.col("suggestion").asc()]
+    if exact_first:
+        order = [(F.col("suggestion") == prefix.lower()).desc()] + order
+    return out.orderBy(*order).limit(k)
 
 
 def suggest_infix(
