@@ -19,6 +19,9 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -192,11 +195,17 @@ def embedding_near_dup(
             .where(F.col("cosine") >= threshold)
         )
     # banded: band i hashes planes [i*planes, (i+1)*planes) of one shared
-    # coefficient table; candidates = union over bands, deduped on the id
-    # pair BEFORE the exact-cosine verify so each pair's dot product is
-    # computed once.  The pair-generation frame carries ids + bucket only
-    # (vectors join back for verification) — the exploded rows are 2 longs
-    # per (vec, band), not bands copies of the embedding.
+    # coefficient table.  Verification is the SemDeDup per-group Arrow
+    # kernel (SCALE.md §17): vectors shuffle ONCE per band to their
+    # (band, bucket) group (~bands copies of the corpus, bounded rows per
+    # group = the target bucket size), one normalized matmul per group
+    # emits only the pairs that PASS the threshold — candidate pairs are
+    # never materialized as a frame, which is what made the pair-join
+    # verify shuffle ~bands*128*N vector copies.  A same pair surfacing in
+    # several bands computes the identical rounded cosine, so the final
+    # distinct dedupes exactly.  Skew note: a degenerate corpus that lands
+    # in one bucket needs plane widening (raise planes), not salting — the
+    # bucket IS the similarity key.
     coeffs = plane_coeffs(bands * planes, dims)
     band_cols = []
     for band in range(bands):
@@ -208,31 +217,39 @@ def embedding_near_dup(
                 proj >= 0, F.lit(1 << p).cast("long")
             ).otherwise(0)
         band_cols.append(bucket)
-    ids = emb.select(
+    grouped = emb.select(
         F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
         F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
     )
-    a, b = ids.alias("a"), ids.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    thr = float(threshold)
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_id_a": pd.Series(dtype="int64"),
+                 "vec_id_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids_arr = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["v"].to_numpy()).astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cos = np.round(m @ m.T, 4)
+        ia, ib = np.triu_indices(len(ids_arr), k=1)
+        keep = cos[ia, ib] >= thr
+        return pd.DataFrame(
+            {"vec_id_a": ids_arr[ia[keep]], "vec_id_b": ids_arr[ib[keep]],
+             "cosine": cos[ia[keep], ib[keep]]}
         )
-        .select(
-            F.col("a.vec_id").alias("vec_id_a"),
-            F.col("b.vec_id").alias("vec_id_b"),
+
+    return (
+        grouped.groupBy("band", "bucket")
+        .applyInPandas(
+            _bucket_pairs, "vec_id_a long, vec_id_b long, cosine double"
         )
         .distinct()
     )
-    va = emb.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("_va"))
-    vb = emb.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("_vb"))
-    pairs = cand.join(va, "vec_id_a").join(vb, "vec_id_b")
-    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
-    return pairs.select(
-        "vec_id_a", "vec_id_b", F.round(cos, 4).alias("cosine")
-    ).where(F.col("cosine") >= threshold)
 
 
 # ---------------------------------------------------------------------------
