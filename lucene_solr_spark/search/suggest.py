@@ -157,20 +157,27 @@ def fst_completion_lookup(
     returns matches bucket-DESC, alphabetical within a bucket (the FST
     traversal order), exact match first.
 
-    One window function reproduces the build's bucket assignment exactly:
-    line = dense rank by (weight asc, term asc); the run-start line is
-    min(line) over the weight partition.  Returns (suggestion, bucket)."""
+    The run-start line of weight w is exactly the count of entries with a
+    strictly smaller weight, so the bucket derives from the WEIGHT
+    HISTOGRAM's cumulative counts — a window over the bounded histogram,
+    never a global |V|-row sort (the scale-safe equivalent of the
+    OfflineSorter pass).  Returns (suggestion, bucket)."""
     stats = index.term_stats().select(
         F.col("term"), F.col("cf").cast("long").alias("weight")
     )
-    w_line = Window.orderBy(F.asc("weight"), F.asc("term"))
-    lined = stats.withColumn("_line", F.row_number().over(w_line) - 1)
-    run_start = Window.partitionBy("weight")
     total = stats.count()
-    bucketed = lined.withColumn(
-        "bucket",
-        (F.min("_line").over(run_start) * buckets / F.lit(total)).cast("int"),
+    hist = stats.groupBy("weight").agg(F.count(F.lit(1)).alias("_cnt"))
+    cume = Window.orderBy(F.asc("weight")).rowsBetween(
+        Window.unboundedPreceding, -1
     )
+    wbucket = hist.select(
+        "weight",
+        (
+            F.coalesce(F.sum("_cnt").over(cume), F.lit(0))
+            * buckets / F.lit(total)
+        ).cast("int").alias("bucket"),
+    )
+    bucketed = stats.join(F.broadcast(wbucket), "weight")
     out = bucketed.filter(F.col("term").startswith(prefix.lower())).select(
         F.col("term").alias("suggestion"), "bucket"
     )
