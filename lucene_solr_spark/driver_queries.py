@@ -5966,6 +5966,72 @@ GROUP BY 1 ORDER BY cnt DESC, label ASC LIMIT 10""",
             docs, "size", ("200",), top_n=10
         ).withColumnRenamed("count", "cnt")
 
+    @_q(
+        "facet_taxonomy_sum",
+        """SELECT CAST(CAST(floor(n_chars / 100) * 100 AS INT) AS VARCHAR) AS label,
+       sum(CAST(n_chars AS DOUBLE)) AS total
+FROM documents
+GROUP BY 1 ORDER BY total DESC, label ASC LIMIT 10""",
+    )
+    def facet_taxonomy_sum(spark, sf_dir):
+        """TaxonomyFacetSumValueSource (lucene/facet/.../taxonomy/
+        TaxonomyFacetSumValueSource.java:47-130): per matching doc, add
+        value(doc) (= n_chars) to each of its children under the size
+        dim, total desc / label asc."""
+        from lucene_solr_spark.facets.taxonomy import (
+            taxonomy_sum_value,
+            with_document_taxonomy,
+        )
+
+        docs = with_document_taxonomy(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+        return taxonomy_sum_value(
+            docs, "size", value_col="n_chars", top_n=10
+        )
+
+    from lucene_solr_spark.hashing import hash64_sql
+
+    _H = hash64_sql("('s0#' || CAST(doc_id AS VARCHAR))")
+
+    @_q(
+        "facet_sampled_counts",
+        f"""WITH d AS (
+  SELECT doc_id,
+         CAST(CAST(floor(n_chars / 100) * 100 AS INT) AS VARCHAR) AS label
+  FROM documents
+),
+cand AS (
+  SELECT label, count(*) AS sampled_count
+  FROM d WHERE ({_H}) % 1000 < 500
+  GROUP BY label ORDER BY sampled_count DESC, label ASC LIMIT 5
+),
+exact AS (
+  SELECT label, count(*) AS cnt FROM d
+  WHERE label IN (SELECT label FROM cand) GROUP BY label
+)
+SELECT c.label, e.cnt, c.sampled_count
+FROM cand c JOIN exact e ON e.label = c.label
+ORDER BY c.sampled_count DESC, c.label ASC""",
+    )
+    def facet_sampled_counts(spark, sf_dir):
+        """RandomSamplingFacetsCollector + amortizeFacetCounts
+        (lucene/facet/.../RandomSamplingFacetsCollector.java:43-262):
+        sampled candidate top-5 (deterministic portable-hash Bernoulli,
+        both engines), then EXACT counts recomputed for just those labels
+        — the amortize pass — order = the sampled ranking."""
+        from lucene_solr_spark.facets.taxonomy import (
+            sampled_top_children,
+            with_document_taxonomy,
+        )
+
+        docs = with_document_taxonomy(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+        return sampled_top_children(
+            docs, "size", top_n=5, sample_permille=500, seed="s0"
+        ).withColumnRenamed("count", "cnt")
+
 
 _register_taxonomy_queries()
 
@@ -6197,6 +6263,8 @@ _DEFER_LAST = [
     "lmdirichlet_query",        # lmjm_query (same LM scorer frame, smoothing swapped, now in-window); r4 green
     "interval_facets_nchars",   # facet_range_nchars (same bucket-count machinery, in-window) + drill_sideways (N-dim conditional aggregate generalization, now in-window); r4 green (the regraded r1 fix)
     "spatial_bbox",             # spatial_rpt_polygon (quad-grid RPT path whose cell cover subsumes bbox, in-window) + spatial_geofilt (in-window); r4 green
+    "facet_taxonomy_sum",       # facet_taxonomy_path / drill_sideways (same taxonomy explode/dedup/agg frame, in-window); SumValueSource differential in test_taxonomy; registered r5
+    "facet_sampled_counts",     # facet_taxonomy_path (same frame) + the amortize-equals-exact invariant in test_taxonomy; registered r5
     "spatial_rpt_circle",       # spatial_geofilt (identical result set by construction, in-window) + spatial_rpt_polygon (same grid cover machinery, in-window); cover-classification differential in test_spatial_shapes; registered r5
     "spatial_linestring_buffer", # spatial_rpt_polygon (spatial shape family, in-window); segment-distance differential vs pure-Python in test_spatial_shapes; registered r5
     "function_geodist",         # spatial_geofilt (same haversine frame, in-window) + function_index_stats (value-source registry, in-window); r4 green

@@ -211,3 +211,105 @@ def with_document_taxonomy(docs: DataFrame) -> DataFrame:
             F.concat(F.lit("size" + SEP), b100, F.lit(SEP), b10),
         ),
     )
+
+
+def taxonomy_sum_value(
+    docs: DataFrame,
+    dim: str,
+    path: tuple[str, ...] = (),
+    value_col: str = "n_chars",
+    paths_col: str = "facets",
+    id_col: str = "doc_id",
+    top_n: int = 10,
+) -> DataFrame:
+    """TaxonomyFacetSumValueSource (lucene/facet/.../taxonomy/
+    TaxonomyFacetSumValueSource.java:47-130; the int/float association
+    variants TaxonomyFacetSumIntAssociations sum a stored per-(doc,
+    category) weight — the per-doc ValueSource form implemented here is the
+    SumValueSource contract): for every matching doc, add value(doc) to
+    each of its categories under dim/path, once per (doc, child) subtree
+    like the count rollup.  Returns (label, total) ordered
+    (total desc, label asc), top_n.  Same one-explode/dedup/hash-agg scale
+    shape as taxonomy_top_children — the value rides the deduped frame."""
+    prefix = facet_path(dim, *path)
+    depth = 1 + len(path)
+    exploded = docs.select(
+        F.col(id_col).alias("_docid"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.explode(paths_col).alias("_path"),
+    ).where(F.col("_path").startswith(prefix + SEP))
+    return (
+        exploded.select(
+            "_docid", "_v", F.split("_path", SEP).getItem(depth).alias("label")
+        )
+        .where(F.col("label").isNotNull())
+        .distinct()
+        .groupBy("label")
+        .agg(F.sum("_v").alias("total"))
+        .orderBy(F.desc("total"), F.asc("label"))
+        .limit(top_n)
+    )
+
+
+def sampled_top_children(
+    docs: DataFrame,
+    dim: str,
+    path: tuple[str, ...] = (),
+    paths_col: str = "facets",
+    id_col: str = "doc_id",
+    top_n: int = 10,
+    sample_permille: int = 500,
+    seed: str = "s0",
+    amortize: bool = True,
+) -> DataFrame:
+    """RandomSamplingFacetsCollector + amortizeFacetCounts
+    (lucene/facet/.../RandomSamplingFacetsCollector.java:43-262): count
+    facets over a RANDOM SAMPLE of the matching docs to find the top-n
+    candidate labels cheaply, then (amortize) replace the sampled counts
+    with EXACT counts computed for just those n labels — the reference's
+    per-label drill-down recount, here ONE pruned aggregation with the
+    candidate set broadcast.  The label ORDER stays the sampled ranking
+    (amortizeFacetCounts fixes values in place, java :226-262).
+
+    The sample is a deterministic hash Bernoulli (the portable 60-bit hash
+    over seed#docid, shared with the SQL oracle) rather than the
+    reference's XORShift stream — the reference's sample is
+    iteration-order-dependent and unreproducible across engines by
+    construction; a content-hash sample keeps the SAME statistical
+    contract and is parallelism-invariant, which is what a distributed
+    engine needs anyway.
+
+    Scale shape (100 TB): the sampled pass prunes at the SCAN (the hash
+    predicate pushes down; ~permille/1000 of the corpus feeds the explode),
+    and the exact pass explodes only rows whose path prefix matches, then
+    prunes to the n candidate labels BEFORE the dedup shuffle."""
+    from lucene_solr_spark.hashing import hash64_col
+
+    prefix = facet_path(dim, *path)
+    depth = 1 + len(path)
+    h = hash64_col(
+        F.concat(F.lit(seed + "#"), F.col(id_col).cast("string"))
+    ) % 1000
+    cand = taxonomy_top_children(
+        docs.where(h < sample_permille), dim, path, paths_col, id_col, top_n
+    ).withColumnRenamed("count", "sampled_count")
+    if not amortize:
+        return cand
+    exploded = docs.select(
+        F.col(id_col).alias("_docid"),
+        F.explode(paths_col).alias("_path"),
+    ).where(F.col("_path").startswith(prefix + SEP))
+    exact = (
+        exploded.select(
+            "_docid", F.split("_path", SEP).getItem(depth).alias("label")
+        )
+        .join(F.broadcast(cand.select("label")), "label", "left_semi")
+        .distinct()
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    return (
+        cand.join(exact, "label")
+        .select("label", "count", "sampled_count")
+        .orderBy(F.desc("sampled_count"), F.asc("label"))
+    )

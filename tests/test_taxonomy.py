@@ -187,3 +187,57 @@ def test_multivalued_dim_counts_doc_once(spark):
         df, {"tag": [("a",)]}, ["tag"], paths_col="facets", top_n=10
     ).collect()
     assert {(r.label): r["count"] for r in side} == {"a": 2, "b": 1}
+
+
+def test_taxonomy_sum_value_vs_python(docs, rows):
+    """SumValueSource semantics: each matching doc adds value(doc) to each
+    of its children under the dim, once per child subtree."""
+    from collections import defaultdict
+
+    from lucene_solr_spark.facets.taxonomy import taxonomy_sum_value
+
+    got = {
+        r.label: r.total
+        for r in taxonomy_sum_value(
+            docs, "size", value_col="n_chars", top_n=1000
+        ).collect()
+    }
+    want: dict = defaultdict(float)
+    for r in rows:
+        want["%d" % (r.n_chars // 100 * 100)] += float(r.n_chars)
+    assert got == dict(want)
+
+
+def test_sampled_counts_amortize_exact(docs, rows):
+    """Amortized sampled facets: candidate labels come from the sample,
+    reported counts are EXACT (equal to the full-count oracle), order is
+    the sampled ranking."""
+    from lucene_solr_spark.facets.taxonomy import (
+        sampled_top_children,
+        taxonomy_top_children,
+    )
+
+    out = sampled_top_children(
+        docs, "size", top_n=5, sample_permille=500, seed="s0"
+    ).collect()
+    assert out
+    exact = {
+        r.label: r["count"]
+        for r in taxonomy_top_children(docs, "size", top_n=1000).collect()
+    }
+    for r in out:
+        assert r["count"] == exact[r.label], r.label
+    keys = [(-r.sampled_count, r.label) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_sampled_counts_deterministic(docs):
+    from lucene_solr_spark.facets.taxonomy import sampled_top_children
+
+    a = sampled_top_children(docs, "size", top_n=5, seed="s0").collect()
+    b = sampled_top_children(docs, "size", top_n=5, seed="s0").collect()
+    assert a == b
+    # a different seed samples a different subset (counts may coincide,
+    # sampled_count rarely all equal)
+    c = sampled_top_children(docs, "size", top_n=5, seed="s1").collect()
+    assert {r.label for r in c}  # runs and returns rows
