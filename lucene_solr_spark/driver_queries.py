@@ -6032,6 +6032,38 @@ ORDER BY c.sampled_count DESC, c.label ASC""",
             docs, "size", top_n=5, sample_permille=500, seed="s0"
         ).withColumnRenamed("count", "cnt")
 
+    @_q(
+        "drill_down_scored_query",
+        f"""{PRELUDE},
+base AS (
+  {bool_sql(should=("table", "merge"), k=1000000, as_cte="base")}
+),
+allow AS (
+  SELECT CAST(doc_id AS BIGINT) AS docid FROM documents
+  WHERE lang = 'en' AND n_chars >= 200 AND n_chars < 400
+)
+SELECT b.docid, b.score
+FROM base b JOIN allow a ON a.docid = b.docid
+ORDER BY b.score DESC, b.docid ASC LIMIT 10""",
+    )
+    def drill_down_scored_query(spark, sf_dir):
+        """DrillDownQuery with a scored base (DrillDownQuery.java:96-103):
+        BM25 OR-query hits restricted to the lang=en AND size in
+        {200s,300s} drill-down, ranked by the BASE scores alone (drills
+        are constant-score clauses)."""
+        from lucene_solr_spark.facets.taxonomy import (
+            drill_down_scored,
+            with_document_taxonomy,
+        )
+
+        docs = with_document_taxonomy(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+        return drill_down_scored(
+            get_index(spark, sf_dir), ["table", "merge"], docs,
+            {"lang": [("en",)], "size": [("200",), ("300",)]}, k=10,
+        )
+
 
 _register_taxonomy_queries()
 
@@ -6263,6 +6295,7 @@ _DEFER_LAST = [
     "lmdirichlet_query",        # lmjm_query (same LM scorer frame, smoothing swapped, now in-window); r4 green
     "interval_facets_nchars",   # facet_range_nchars (same bucket-count machinery, in-window) + drill_sideways (N-dim conditional aggregate generalization, now in-window); r4 green (the regraded r1 fix)
     "spatial_bbox",             # spatial_rpt_polygon (quad-grid RPT path whose cell cover subsumes bbox, in-window) + spatial_geofilt (in-window); r4 green
+    "drill_down_scored_query",  # drill_sideways (same drill predicate machinery, in-window) + the base-score ranking invariant in test_taxonomy; registered r5
     "facet_taxonomy_sum",       # facet_taxonomy_path / drill_sideways (same taxonomy explode/dedup/agg frame, in-window); SumValueSource differential in test_taxonomy; registered r5
     "facet_sampled_counts",     # facet_taxonomy_path (same frame) + the amortize-equals-exact invariant in test_taxonomy; registered r5
     "spatial_rpt_circle",       # spatial_geofilt (identical result set by construction, in-window) + spatial_rpt_polygon (same grid cover machinery, in-window); cover-classification differential in test_spatial_shapes; registered r5

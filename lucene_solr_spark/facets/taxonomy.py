@@ -313,3 +313,37 @@ def sampled_top_children(
         .select("label", "count", "sampled_count")
         .orderBy(F.desc("sampled_count"), F.asc("label"))
     )
+
+
+def drill_down_scored(
+    index,
+    query_terms: list[str],
+    taxo_docs: DataFrame,
+    drills: dict[str, list[tuple[str, ...]]],
+    k: int = 10,
+    paths_col: str = "facets",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DrillDownQuery with a scored base query (DrillDownQuery.java:96-103:
+    baseQuery MUST + one constant-score clause per drilled dim) — the
+    reference's faceted-search flow: hits are ranked by the BASE query's
+    BM25 scores alone, the drills only filter.
+
+    Plan shape: the drill predicate evaluates on the taxonomy frame
+    (codegen, no shuffle), reduces to a docid set, and semi-joins into the
+    scored search — the filter applies BEFORE the top-k cut, exactly where
+    a Solr fq sits."""
+    from lucene_solr_spark.search.bm25 import search
+    from lucene_solr_spark.search.query import BooleanQuery
+
+    allowed = drill_down(taxo_docs, drills, paths_col=paths_col).select(
+        F.col(id_col).cast("long").alias("docid")
+    )
+    scored = search(
+        index, BooleanQuery.of(should=query_terms), k=1 << 31, ordered=False
+    )
+    return (
+        scored.join(allowed, "docid", "left_semi")
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )

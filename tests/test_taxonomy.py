@@ -241,3 +241,34 @@ def test_sampled_counts_deterministic(docs):
     # sampled_count rarely all equal)
     c = sampled_top_children(docs, "size", top_n=5, seed="s1").collect()
     assert {r.label for r in c}  # runs and returns rows
+
+
+def test_drill_down_scored_base_query(spark, sf_dir, docs, rows):
+    """DrillDownQuery with a scored base: hits = base top-k restricted to
+    the drill-down set, ranked by the BASE scores alone."""
+    from lucene_solr_spark.facets.taxonomy import drill_down_scored
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.bm25 import search
+    from lucene_solr_spark.search.query import BooleanQuery
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index = build_index(
+        spark, raw, key_col="doc_id", docid_col="doc_id",
+        num_index_partitions=8,
+    )
+    out = drill_down_scored(
+        index, ["table", "merge"], docs, DRILLS, k=10
+    ).collect()
+    allowed = {
+        r.doc_id
+        for r in rows
+        if _passes(r, "lang", DRILLS["lang"]) and _passes(r, "size", DRILLS["size"])
+    }
+    full = search(
+        index, BooleanQuery.of(should=["table", "merge"]), k=10_000
+    ).collect()
+    want = [
+        (r.docid, r.score) for r in full if r.docid in allowed
+    ][:10]
+    assert [(r.docid, r.score) for r in out] == want
+    assert out  # non-degenerate
