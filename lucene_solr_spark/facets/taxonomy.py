@@ -98,6 +98,7 @@ def drill_sideways_counts(
     paths_col: str = "facets",
     id_col: str = "doc_id",
     top_n: int = 10,
+    base_docids: DataFrame | None = None,
 ) -> DataFrame:
     """DrillSideways facet counts in ONE pass: (dim, label, count) rows,
     top_n per dim, ordered (dim asc, count desc, label asc).
@@ -113,6 +114,15 @@ def drill_sideways_counts(
     flagged = docs
     if base is not None:
         flagged = flagged.where(base)
+    if base_docids is not None:
+        # DrillSideways over a real base QUERY (DrillSideways.search's
+        # baseQuery): the base's matching DocSet semi-joins in — never an
+        # isin over a collected set, so a 10^9-hit base stays distributed
+        flagged = flagged.join(
+            base_docids.select(F.col(base_docids.columns[0]).alias(id_col)),
+            id_col,
+            "left_semi",
+        )
     nf = F.lit(0)
     for dim in drilled:
         b = _dim_flag(pc, dim, drills[dim])

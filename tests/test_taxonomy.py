@@ -272,3 +272,45 @@ def test_drill_down_scored_base_query(spark, sf_dir, docs, rows):
     ][:10]
     assert [(r.docid, r.score) for r in out] == want
     assert out  # non-degenerate
+
+
+def test_drill_sideways_with_scored_base_docset(spark, sf_dir, docs, rows):
+    """DrillSideways over a real base query (DrillSideways.search's
+    baseQuery): counts restrict to the base's matching DocSet via a
+    semi-join; per-dim semantics unchanged."""
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.bm25 import search
+    from lucene_solr_spark.search.query import BooleanQuery
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index = build_index(
+        spark, raw, key_col="doc_id", docid_col="doc_id",
+        num_index_partitions=8,
+    )
+    hits = search(
+        index, BooleanQuery.of(should=["table", "merge"]), k=10_000
+    ).select("docid")
+    hit_ids = {r.docid for r in hits.collect()}
+
+    out = drill_sideways_counts(
+        docs, DRILLS, ["lang", "source", "size"],
+        base_docids=hits, top_n=1000,
+    ).collect()
+    got = {(r.dim, r.label): r["count"] for r in out}
+
+    want: dict[tuple, int] = {}
+    for dim in ["lang", "source", "size"]:
+        applied = {d: p for d, p in DRILLS.items() if d != dim}
+        eligible = [
+            r for r in rows
+            if r.doc_id in hit_ids
+            and all(_passes(r, d, p) for d, p in applied.items())
+        ]
+        c: Counter = Counter()
+        for r in eligible:
+            for lb in {p[1] for p in _doc_paths(r) if p[0] == dim}:
+                c[lb] += 1
+        for lb, n in c.items():
+            want[(dim, lb)] = n
+    assert got == want
+    assert want
