@@ -314,3 +314,78 @@ def test_drill_sideways_with_scored_base_docset(spark, sf_dir, docs, rows):
             want[(dim, lb)] = n
     assert got == want
     assert want
+
+
+def test_drill_sideways_property_random_taxonomies(spark):
+    """Property test: for random multi-dim taxonomies and random drills,
+    the one-pass sideways counts equal the brute-force per-dimension
+    re-query definition (and hits = docs passing every drill)."""
+    import random
+
+    from lucene_solr_spark.facets.taxonomy import (
+        drill_down,
+        drill_sideways_counts,
+    )
+
+    rng = random.Random(1234)
+    dims_pool = ["a", "b", "c"]
+    for case in range(6):
+        n_docs = rng.randint(6, 24)
+        rows_py = []
+        for i in range(n_docs):
+            paths = []
+            for dim in dims_pool:
+                for _ in range(rng.randint(1, 2)):  # multiValued dims
+                    depth = rng.randint(1, 2)
+                    comps = [str(rng.randint(0, 2)) for _ in range(depth)]
+                    paths.append(dim + "/" + "/".join(comps))
+            rows_py.append((i, sorted(set(paths))))
+        df = spark.createDataFrame(rows_py, "doc_id long, facets array<string>")
+
+        n_drilled = rng.randint(1, 2)
+        drills = {}
+        for dim in rng.sample(dims_pool, n_drilled):
+            drills[dim] = [
+                tuple(str(rng.randint(0, 2)) for _ in range(rng.randint(1, 2)))
+                for _ in range(rng.randint(1, 2))
+            ]
+
+        def passes(paths, dim, dpaths):
+            for p in paths:
+                segs = p.split("/")
+                if segs[0] != dim:
+                    continue
+                for dp in dpaths:
+                    if tuple(segs[1 : 1 + len(dp)]) == tuple(dp):
+                        return True
+            return False
+
+        # hits
+        got_hits = sorted(
+            r.doc_id for r in drill_down(df, drills, paths_col="facets").collect()
+        )
+        want_hits = sorted(
+            i for i, paths in rows_py
+            if all(passes(paths, d, p) for d, p in drills.items())
+        )
+        assert got_hits == want_hits, (case, drills)
+
+        # sideways
+        out = drill_sideways_counts(
+            df, drills, dims_pool, paths_col="facets", top_n=1000
+        ).collect()
+        got = {(r.dim, r.label): r["count"] for r in out}
+        want = {}
+        for dim in dims_pool:
+            applied = {d: p for d, p in drills.items() if d != dim}
+            elig = [
+                (i, paths) for i, paths in rows_py
+                if all(passes(paths, d, p) for d, p in applied.items())
+            ]
+            cnt = {}
+            for _, paths in elig:
+                for lb in {p.split("/")[1] for p in paths if p.split("/")[0] == dim}:
+                    cnt[lb] = cnt.get(lb, 0) + 1
+            for lb, n in cnt.items():
+                want[(dim, lb)] = n
+        assert got == want, (case, drills)
