@@ -2001,6 +2001,22 @@ def _register_textops_queries():
             .orderBy("docid_a", "docid_b")
         )
 
+    @_q("dedup_components", T.near_dup_components_sql())
+    def dedup_components(spark, sf_dir):
+        """Near-duplicate CLUSTER formation (the step between pair
+        generation and survivor selection in every published fuzzy-dedup
+        pipeline — C4 / RefinedWeb / SlimPajama document dedup, public
+        method): connected components of the LSH pair graph by iterative
+        hash-min label propagation (textops/dedup.connected_components);
+        component id = min docid, keep = the survivor flag.  Oracle:
+        WITH RECURSIVE reachability closure over the same pair CTEs."""
+        from lucene_solr_spark.textops.dedup import near_dup_components
+
+        return (
+            near_dup_components(_aug_docs(spark, sf_dir), threshold=0.5)
+            .orderBy(F.asc("docid"))
+        )
+
     @_q("dedup_simhash", T.simhash_sql(max_docid=100))
     def dedup_simhash(spark, sf_dir):
         d = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
@@ -6295,6 +6311,7 @@ _DEFER_LAST = [
     "lmdirichlet_query",        # lmjm_query (same LM scorer frame, smoothing swapped, now in-window); r4 green
     "interval_facets_nchars",   # facet_range_nchars (same bucket-count machinery, in-window) + drill_sideways (N-dim conditional aggregate generalization, now in-window); r4 green (the regraded r1 fix)
     "spatial_bbox",             # spatial_rpt_polygon (quad-grid RPT path whose cell cover subsumes bbox, in-window) + spatial_geofilt (in-window); r4 green
+    "dedup_components",         # dedup_near_pairs (in-window; components consume exactly its pair graph) + union-find differential in test_textops; registered r5
     "drill_down_scored_query",  # drill_sideways (same drill predicate machinery, in-window) + the base-score ranking invariant in test_taxonomy; registered r5
     "facet_taxonomy_sum",       # facet_taxonomy_path / drill_sideways (same taxonomy explode/dedup/agg frame, in-window); SumValueSource differential in test_taxonomy; registered r5
     "facet_sampled_counts",     # facet_taxonomy_path (same frame) + the amortize-equals-exact invariant in test_taxonomy; registered r5

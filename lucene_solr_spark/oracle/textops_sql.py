@@ -496,3 +496,63 @@ WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
             4) >= {threshold!r}
 ORDER BY vec_id_a ASC, vec_id_b ASC"""
+
+
+def near_dup_components_sql(
+    num_perm: int = 8, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """Connected components over the MinHash-LSH pair graph (the dedup
+    cluster-formation step): same pair CTEs as near_dup_pairs_sql, then a
+    WITH RECURSIVE reachability closure — component = min reachable docid,
+    keep = (docid == component)."""
+    rows = num_perm // bands
+    band_selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        bucket_h = hash64_sql("'" + str(b) + "' || '|' || " + cols)
+        band_selects.append(f"SELECT docid, {bucket_h} AS bucket FROM sig")
+    buckets = "\n  UNION ALL ".join(band_selects)
+    return f"""WITH RECURSIVE {AUG_DOCS},
+{tok_cte('aug')},
+{SHINGLES_CTE},
+{_sig_cte(num_perm)},
+buckets AS (
+  {buckets}
+),
+cand AS (
+  SELECT DISTINCT a.docid AS docid_a, b.docid AS docid_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.docid < b.docid
+),
+sizes AS (SELECT docid, count(*) AS n FROM sh GROUP BY docid),
+common AS (
+  SELECT c.docid_a, c.docid_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.docid = c.docid_a
+  JOIN sh sb ON sb.docid = c.docid_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.docid_a, c.docid_b
+  FROM cand c
+  LEFT JOIN common cm ON cm.docid_a = c.docid_a AND cm.docid_b = c.docid_b
+  JOIN sizes na ON na.docid = c.docid_a
+  JOIN sizes nb ON nb.docid = c.docid_b
+  WHERE 1.0 * coalesce(cm.n_common, 0)
+        / (na.n + nb.n - coalesce(cm.n_common, 0)) >= {threshold}
+),
+nodes AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS docid FROM aug),
+edges AS (
+  SELECT docid_a AS a, docid_b AS b FROM pairs
+  UNION ALL
+  SELECT docid_b AS a, docid_a AS b FROM pairs
+),
+reach(docid, r) AS (
+  SELECT docid, docid FROM nodes
+  UNION
+  SELECT re.docid, e.b FROM reach re JOIN edges e ON e.a = re.r
+)
+SELECT docid, min(r) AS component, (docid = min(r)) AS keep
+FROM reach GROUP BY docid
+ORDER BY docid ASC"""

@@ -309,3 +309,91 @@ def decontaminate(
             ).alias("contaminated"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    a_col: str = "docid_a",
+    b_col: str = "docid_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(docid, component): connected components of the near-duplicate pair
+    graph — the cluster-formation step every published fuzzy-dedup pipeline
+    runs between pair generation and survivor selection (C4 / RefinedWeb /
+    SlimPajama document-level dedup; public method).  The component id is
+    the MINIMUM docid in the component (deterministic).
+
+    Algorithm: iterative hash-min label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; converged
+    when no label changes.  Rounds = graph diameter, which for near-dup
+    clusters (cliques and short chains by construction: members of a
+    cluster are pairwise-similar to a shared survivor) is small.  Each
+    round is one join + one hash aggregate; `localCheckpoint` truncates
+    the iterative lineage so plan size stays constant.  The known
+    large-star/small-star variant (Kiveris et al., "Connected Components
+    in MapReduce and Beyond") halves round count at web scale — the swap
+    changes this function only.
+
+    ``nodes`` (optional, one id column) adds isolated docs as singleton
+    components; by default only docs appearing in ``edges`` are labeled."""
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    if nodes is not None:
+        ids = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
+    else:
+        ids = sym.select(F.col("src").alias("id")).distinct()
+    comp = ids.select("id", F.col("id").alias("comp")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(comp, sym["dst"] == comp["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("_nbr_min"))
+        )
+        new_comp = (
+            comp.join(nbr, comp["id"] == nbr["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("_nbr_min", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return comp.select(F.col("id").alias("docid"), F.col("comp").alias("component"))
+
+
+def near_dup_components(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(docid, component, keep): near-duplicate clusters over the MinHash-LSH
+    pair graph, with the survivor flag — keep = (docid == component), i.e.
+    the smallest docid of each cluster survives (the published pipelines'
+    deterministic canonical pick).  Docs with no near-duplicate are their
+    own singleton component and survive."""
+    pairs = near_dup_pairs(df, threshold=threshold, id_col=id_col,
+                           text_col=text_col)
+    all_ids = df.select(F.col(id_col).cast("long").alias("docid"))
+    comp = connected_components(
+        pairs, nodes=all_ids, a_col="docid_a", b_col="docid_b"
+    )
+    return comp.withColumn("keep", F.col("docid") == F.col("component"))

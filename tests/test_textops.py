@@ -258,3 +258,60 @@ def test_banded_near_dup_recall_measured(spark):
     # 4-band sign-LSH at planes=8, cos>=0.95: analytic per-band collision
     # ~0.9^8=0.43, 4 bands -> ~0.90 expected; gate leaves contention room
     assert recall >= 0.7, f"banded near-dup recall {recall:.2f}"
+
+
+def test_connected_components_vs_union_find(spark):
+    """Hash-min label propagation equals a python union-find on a graph
+    with chains, cliques, singletons, and two merged stars."""
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain
+        (10, 11), (10, 12), (11, 12),    # triangle
+        (20, 21), (22, 21), (23, 24), (24, 21),  # merged stars
+    ]
+    nodes = list(range(1, 5)) + [7, 8] + list(range(10, 13)) + list(range(20, 25))
+    from lucene_solr_spark.textops.dedup import connected_components
+
+    e = spark.createDataFrame(edges, "docid_a long, docid_b long")
+    n = spark.createDataFrame([(x,) for x in nodes], "docid long")
+    got = {
+        r.docid: r.component
+        for r in connected_components(e, nodes=n).collect()
+    }
+
+    parent = {x: x for x in nodes}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in nodes}
+    assert got == want
+    assert got[7] == 7 and got[8] == 8  # singletons survive
+
+
+def test_near_dup_components_survivors(spark, docs):
+    """Cluster formation over the LSH pair graph: exactly one survivor per
+    component (the min docid), every doc labeled."""
+    from lucene_solr_spark.textops.dedup import (
+        near_dup_components,
+        near_dup_pairs,
+    )
+
+    out = near_dup_components(docs, threshold=0.8).collect()
+    n_docs = docs.count()
+    assert len(out) == n_docs
+    by_comp: dict[int, list] = {}
+    for r in out:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1
+        assert keepers[0].docid == comp == min(m.docid for m in members)
+    # consistency with the pair graph: endpoints of every pair share a comp
+    comp_of = {r.docid: r.component for r in out}
+    for p in near_dup_pairs(docs, threshold=0.8).collect():
+        assert comp_of[p.docid_a] == comp_of[p.docid_b]
