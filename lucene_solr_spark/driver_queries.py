@@ -2105,6 +2105,28 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
             .orderBy("vec_id_a", "vec_id_b")
         )
 
+    @_q("emb_pq_ann", T.pq_topk_sql(m=4, ksub=8, dims=64, query_id=0, k=10))
+    def emb_pq_ann(spark, sf_dir):
+        """IVF-PQ / ADC ANN (the FAISS product-quantization shape; Jegou
+        et al. TPAMI 2011, public method): per-subspace codebooks trained
+        with the engine's deterministic Lloyd round, vectors stored as m
+        sub-codes (m bytes vs 256 B float32 — THE memory path at 10^12
+        embeddings), queries scored against CODES via per-subspace
+        lookup tables (textops/similarity.pq_train/pq_encode/pq_topk);
+        oracle re-derives identical codebooks from the parquet."""
+        from lucene_solr_spark.textops.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        emb = _emb(spark, sf_dir)
+        books = pq_train(emb, m=4, ksub=8, iters=1)
+        codes = pq_encode(emb, books)
+        return pq_topk(
+            codes, books, _qvec(spark, sf_dir), k=10, exclude_id=0
+        )
+
     @_q("emb_ivf_ann", T.ivf_topk_sql(n_centroids=8, n_probe=2, query_id=0, k=10))
     def emb_ivf_ann(spark, sf_dir):
         """IVF-flat ANN (FAISS-style coarse quantizer, public knowledge):
@@ -6311,6 +6333,7 @@ _DEFER_LAST = [
     "lmdirichlet_query",        # lmjm_query (same LM scorer frame, smoothing swapped, now in-window); r4 green
     "interval_facets_nchars",   # facet_range_nchars (same bucket-count machinery, in-window) + drill_sideways (N-dim conditional aggregate generalization, now in-window); r4 green (the regraded r1 fix)
     "spatial_bbox",             # spatial_rpt_polygon (quad-grid RPT path whose cell cover subsumes bbox, in-window) + spatial_geofilt (in-window); r4 green
+    "emb_pq_ann",               # semdedup_pairs (in-window; same deterministic Lloyd quantizer) + emb_ivf_ann covers (coarse-quantizer sibling); full-chain numpy differential in test_pq; registered r5
     "dedup_components",         # dedup_near_pairs (in-window; components consume exactly its pair graph) + union-find differential in test_textops; registered r5
     "drill_down_scored_query",  # drill_sideways (same drill predicate machinery, in-window) + the base-score ranking invariant in test_taxonomy; registered r5
     "facet_taxonomy_sum",       # facet_taxonomy_path / drill_sideways (same taxonomy explode/dedup/agg frame, in-window); SumValueSource differential in test_taxonomy; registered r5

@@ -556,3 +556,93 @@ reach(docid, r) AS (
 SELECT docid, min(r) AS component, (docid = min(r)) AS keep
 FROM reach GROUP BY docid
 ORDER BY docid ASC"""
+
+
+def pq_topk_sql(
+    m: int = 4,
+    ksub: int = 8,
+    dims: int = 64,
+    query_id: int = 0,
+    k: int = 10,
+) -> str:
+    """IVF-PQ / ADC oracle: per-subspace codebooks re-derived from the
+    parquet exactly as textops/similarity.pq_train does (smallest-id init,
+    one grid-quantized Lloyd round, smallest-cid ties), codes by final
+    assignment, approx distance = sum of the query's per-subspace
+    lookup-table entries (Jégou et al. ADC) — formula-for-formula the
+    Spark path's ((dxx - 2*dxc) + dcc) arithmetic on DuckDB list slices."""
+    subdim = dims // m
+    dist = (
+        "(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b}))"
+        " + list_dot_product({b}, {b})"
+    )
+    ctes = ["""e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)"""]
+    joins = []
+    approx_parts = []
+    for s in range(m):
+        lo, hi = s * subdim + 1, (s + 1) * subdim
+        sub = f"e.v[{lo}:{hi}]"
+        d_ec0 = dist.format(a=sub, b="c0.cv")
+        d_ec1 = dist.format(a=sub, b="c1.cv")
+        d_qc1 = dist.format(a=f"q.qv[{lo}:{hi}]", b="c1.cv")
+        ctes.append(f"""cs0_{s} AS (
+  SELECT vec_id AS cid, v[{lo}:{hi}] AS cv FROM e WHERE vec_id < {ksub}
+)""")
+        ctes.append(f"""as0_{s} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c0.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {dist.format(a=sub, b="c0.cv")} ASC, c0.cid ASC
+           ) AS rn
+    FROM e CROSS JOIN cs0_{s} c0
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""comp_{s} AS (
+  SELECT cid, d,
+         CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qq
+  FROM (
+    SELECT a0.cid,
+           unnest(range(1, {subdim} + 1)) AS d,
+           unnest(e.v[{lo}:{hi}]) AS x
+    FROM e JOIN as0_{s} a0 ON a0.vec_id = e.vec_id
+  )
+)""")
+        ctes.append(f"""cm_{s} AS (
+  SELECT cid, list((sq / n) / 1000000.0 ORDER BY d) AS cv
+  FROM (SELECT cid, d, sum(qq) AS sq, count(*) AS n FROM comp_{s} GROUP BY 1, 2)
+  GROUP BY cid
+)""")
+        ctes.append(f"""cs1_{s} AS (
+  SELECT c0.cid, coalesce(cm.cv, c0.cv) AS cv
+  FROM cs0_{s} c0 LEFT JOIN cm_{s} cm ON cm.cid = c0.cid
+)""")
+        ctes.append(f"""code_{s} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c1.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {d_ec1} ASC, c1.cid ASC
+           ) AS rn
+    FROM e CROSS JOIN cs1_{s} c1
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""adc_{s} AS (
+  SELECT c1.cid, {d_qc1} AS t FROM cs1_{s} c1 CROSS JOIN q
+)""")
+        joins.append(
+            f"JOIN code_{s} k{s} ON k{s}.vec_id = e.vec_id "
+            f"JOIN adc_{s} a{s} ON a{s}.cid = k{s}.cid"
+        )
+        approx_parts.append(f"a{s}.t")
+    q_cte = f"q AS (SELECT v AS qv FROM e WHERE vec_id = {query_id})"
+    ctes.insert(1, q_cte)
+    body = ",\n".join(ctes)
+    joins_sql = "\n  ".join(joins)
+    approx = " + ".join(approx_parts)
+    return f"""WITH {body}
+SELECT e.vec_id, round({approx}, 4) AS approx_dist
+FROM e
+  {joins_sql}
+WHERE e.vec_id <> {query_id}
+ORDER BY approx_dist ASC, e.vec_id ASC LIMIT {k}"""

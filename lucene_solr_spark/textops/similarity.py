@@ -660,3 +660,101 @@ def semdedup_pairs_arrow(
         )
 
     return withc.groupBy("cid").applyInPandas(pairs_of, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization — the MEMORY-side ANN scale path (the classic
+# FAISS PQ/ADC shape, public knowledge: Jégou et al., "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011).  A 64-dim float32 vector
+# (256 B) compresses to m sub-codes (m bytes at ksub<=256) by running an
+# independent k-means in each of m subspaces; queries score against the
+# CODES with one per-subspace distance lookup table (ADC) — at 10^12
+# embeddings this is the difference between RAM-resident codes and
+# impossible.  Training/encode reuse the engine's deterministic quantizer
+# discipline (ivf_train: smallest-id init, integer-grid mean updates,
+# smallest-centroid ties), so the DuckDB oracle re-derives identical
+# codebooks from the parquet alone.
+# ---------------------------------------------------------------------------
+
+def _subspace(vec_col: str, s: int, subdim: int):
+    return F.slice(F.col(vec_col), s * subdim + 1, subdim)
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks: codebooks[s][j] = centroid j of subspace s.
+    Each subspace trains with the shared deterministic Lloyd round
+    (ivf_train) over the sliced vectors — m bounded driver-side models."""
+    dims = len(emb.select(vec_col).first()[0])
+    assert dims % m == 0, (dims, m)
+    subdim = dims // m
+    books = []
+    for s in range(m):
+        sub = emb.select(
+            F.col(id_col).alias("vec_id"),
+            _subspace(vec_col, s, subdim).alias("embedding"),
+        )
+        books.append(ivf_train(sub, n_centroids=ksub, iters=iters))
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>): per-subspace nearest-centroid codes —
+    the flat-array argmin per subspace (the ivf_assign discipline), all m
+    subspaces in ONE projection.  At scale this is the one full pass that
+    replaces storing the float vectors."""
+    subdim = len(books[0][0])
+    code_cols = []
+    for s, book in enumerate(books):
+        sub = _subspace(vec_col, s, subdim)
+        dists = F.array(*[_sq_dist_col(sub, c) for c in book])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return emb.select(
+        F.col(id_col).alias("vec_id"), F.array(*code_cols).alias("codes")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k over PQ codes: approx squared L2 = sum over subspaces of
+    ||q_s - codebook[s][code_s]||^2, each a literal lookup-table
+    element_at — pure codegen over the codes column, no float vectors
+    touched.  Returns (vec_id, approx_dist) ordered (approx asc, vec_id
+    asc).  The standard refinement (exact re-rank of the top R) composes
+    with cosine_topk over the candidate ids."""
+    subdim = len(books[0][0])
+    dist = F.lit(0.0)
+    for s, book in enumerate(books):
+        qs = query_vec[s * subdim : (s + 1) * subdim]
+        table = [
+            sum((float(a) - float(b)) ** 2 for a, b in zip(qs, c))
+            for c in book
+        ]
+        dist = dist + F.element_at(
+            F.array(*[F.lit(float(t)) for t in table]),
+            F.col("codes").getItem(s) + 1,
+        )
+    out = codes.select(
+        "vec_id", F.round(dist, 4).alias("approx_dist")
+    )
+    if exclude_id is not None:
+        out = out.where(F.col("vec_id") != exclude_id)
+    return out.orderBy(F.asc("approx_dist"), F.asc("vec_id")).limit(k)

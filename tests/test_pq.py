@@ -1,0 +1,101 @@
+"""IVF-PQ: the full train -> encode -> ADC chain differentially checked
+against an independent numpy replication (smallest-id init, grid-quantized
+Lloyd round, first-index argmin ties, per-subspace lookup tables)."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.textops.similarity import pq_encode, pq_topk, pq_train
+
+M, KSUB, DIMS = 4, 8, 64
+SUBDIM = DIMS // M
+QUANT = 1e6
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def np_state(emb):
+    rows = emb.orderBy("vec_id").collect()
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    books = []
+    for s in range(M):
+        X = V[:, s * SUBDIM : (s + 1) * SUBDIM]
+        init_mask = ids < KSUB
+        C = X[init_mask][np.argsort(ids[init_mask])].copy()
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+        a = d.argmin(1)
+        C2 = C.copy()
+        for c in range(KSUB):
+            mask = a == c
+            if mask.any():
+                sq = np.floor(X[mask] * QUANT + 0.5).astype(np.int64).sum(0)
+                C2[c] = (sq / mask.sum()) / QUANT
+        books.append(C2)
+    codes = np.stack(
+        [
+            ((V[:, s * SUBDIM : (s + 1) * SUBDIM][:, None, :] - books[s][None, :, :]) ** 2)
+            .sum(2)
+            .argmin(1)
+            for s in range(M)
+        ],
+        axis=1,
+    )
+    return V, ids, books, codes
+
+
+def test_codebooks_match_numpy(emb, np_state):
+    _, _, books_np, _ = np_state
+    books = pq_train(emb, m=M, ksub=KSUB, iters=1)
+    for s in range(M):
+        assert np.allclose(np.array(books[s]), books_np[s], atol=1e-12), s
+
+
+def test_codes_match_numpy(emb, np_state):
+    _, ids, _, codes_np = np_state
+    books = pq_train(emb, m=M, ksub=KSUB, iters=1)
+    got = {r.vec_id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    want = {int(i): list(map(int, c)) for i, c in zip(ids, codes_np)}
+    assert got == want
+
+
+def test_adc_topk_matches_numpy(emb, np_state):
+    V, ids, books_np, codes_np = np_state
+    books = pq_train(emb, m=M, ksub=KSUB, iters=1)
+    codes = pq_encode(emb, books)
+    qv = [float(x) for x in emb.where("vec_id = 0").first().embedding]
+    out = pq_topk(codes, books, qv, k=10, exclude_id=0).collect()
+
+    q = np.array(qv)
+    dist = np.zeros(len(V))
+    for s in range(M):
+        t = ((q[s * SUBDIM : (s + 1) * SUBDIM][None, :] - books_np[s]) ** 2).sum(1)
+        dist += t[codes_np[:, s]]
+    want = sorted(
+        (round(float(d), 4), int(i)) for d, i in zip(dist, ids) if i != 0
+    )[:10]
+    assert [(r.approx_dist, r.vec_id) for r in out] == want
+
+
+def test_compression_and_distance_correlation(emb, np_state):
+    """PQ is lossy by design; the meaningful sanity is that ADC distances
+    CORRELATE with exact distances (they do even on this structureless
+    uniform-random corpus — real embedding corpora cluster and correlate
+    far higher), and codes live in [0, ksub) (the 64x memory story:
+    m bytes vs 256 B float32)."""
+    V, ids, books_np, codes_np = np_state
+    qv = [float(x) for x in emb.where("vec_id = 0").first().embedding]
+    q = np.array(qv)
+    dist = np.zeros(len(V))
+    for s in range(M):
+        t = ((q[s * SUBDIM : (s + 1) * SUBDIM][None, :] - books_np[s]) ** 2).sum(1)
+        dist += t[codes_np[:, s]]
+    exact_d = ((V - q[None, :]) ** 2).sum(1)
+    mask = ids != 0
+    corr = float(np.corrcoef(dist[mask], exact_d[mask])[0, 1])
+    assert corr > 0.4, corr  # measured 0.56 on the sf0.01 uniform corpus
+    assert all(0 <= c < KSUB for row in codes_np for c in row)
