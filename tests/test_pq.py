@@ -99,3 +99,49 @@ def test_compression_and_distance_correlation(emb, np_state):
     corr = float(np.corrcoef(dist[mask], exact_d[mask])[0, 1])
     assert corr > 0.4, corr  # measured 0.56 on the sf0.01 uniform corpus
     assert all(0 <= c < KSUB for row in codes_np for c in row)
+
+
+def test_pq_recall_on_clustered_corpus(spark):
+    """On data with real cluster structure (what embedding corpora look
+    like), ADC over PQ codes retrieves the query's CLUSTER: within-cluster
+    distances sit below the quantization resolution (same codes -> equal
+    approx distance), so the guarantee is cluster-level neighbors, with
+    exact re-ranking (cosine_topk over the candidates) recovering the fine
+    order — the standard PQ + refine pipeline."""
+    rng = np.random.RandomState(11)
+    n_clusters, per, dims = 10, 40, 64
+    centers = rng.uniform(-1.0, 1.0, size=(n_clusters, dims))
+    V = np.vstack([
+        centers[c] + rng.normal(0, 0.05, size=(per, dims))
+        for c in range(n_clusters)
+    ])
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_train(emb, m=M, ksub=KSUB, iters=1)
+    codes = pq_encode(emb, books)
+    qv = [float(x) for x in V[0]]
+    approx = {
+        r.vec_id
+        for r in pq_topk(codes, books, qv, k=10, exclude_id=0).collect()
+    }
+    # every retrieved id belongs to the query's cluster (ids 0..per-1)
+    assert approx and all(i < per for i in approx), sorted(approx)
+    # and exact re-rank over a wider ADC candidate set recovers the true
+    # top-10 (the refine step)
+    from lucene_solr_spark.textops.similarity import cosine_topk
+
+    cand_ids = {
+        r.vec_id
+        for r in pq_topk(codes, books, qv, k=50, exclude_id=0).collect()
+    }
+    cand = emb.where(emb.vec_id.isin([int(i) for i in cand_ids]))
+    refined = [r.vec_id for r in cosine_topk(cand, qv, k=10, exclude_id=0).collect()]
+    exact_cos = (V @ np.array(qv)) / (
+        np.linalg.norm(V, axis=1) * np.linalg.norm(qv)
+    )
+    want = [
+        i for _, i in sorted(((-c, i) for i, c in enumerate(exact_cos) if i != 0))
+    ][:10]
+    assert len(set(refined) & set(want)) >= 8, (refined, want)
