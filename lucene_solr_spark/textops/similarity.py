@@ -758,3 +758,33 @@ def pq_topk(
     if exclude_id is not None:
         out = out.where(F.col("vec_id") != exclude_id)
     return out.orderBy(F.asc("approx_dist"), F.asc("vec_id")).limit(k)
+
+
+def pq_topk_refined(
+    codes: DataFrame,
+    books: list[list[list[float]]],
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_candidates: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """The standard PQ + refine pipeline (FAISS IndexRefineFlat shape):
+    ADC over the codes produces ``n_candidates`` (default 5k) cheap
+    candidates, then the exact cosine re-ranks ONLY those — the float
+    vectors are touched for a bounded candidate set, never the corpus.
+    At 10^12 embeddings the codes column is the resident index; the
+    refine join reads the candidate rows' vectors by id."""
+    n_cand = n_candidates if n_candidates is not None else 5 * k
+    cand = pq_topk(
+        codes, books, query_vec, k=n_cand, exclude_id=exclude_id
+    ).select("vec_id")
+    cand_vecs = emb.join(
+        F.broadcast(cand), emb[id_col] == cand["vec_id"], "left_semi"
+    )
+    return cosine_topk(
+        cand_vecs, query_vec, k=k, id_col=id_col, vec_col=vec_col,
+        exclude_id=exclude_id,
+    )

@@ -145,3 +145,21 @@ def test_pq_recall_on_clustered_corpus(spark):
         i for _, i in sorted(((-c, i) for i, c in enumerate(exact_cos) if i != 0))
     ][:10]
     assert len(set(refined) & set(want)) >= 8, (refined, want)
+
+
+def test_pq_refined_recovers_exact_topk(emb):
+    """PQ + refine on the real corpus: with a 10%-of-corpus candidate set
+    the refined top-10 equals the exact brute-force cosine top-10."""
+    from lucene_solr_spark.textops.similarity import (
+        cosine_topk,
+        pq_topk_refined,
+    )
+
+    books = pq_train(emb, m=M, ksub=KSUB, iters=1)
+    codes = pq_encode(emb, books)
+    qv = [float(x) for x in emb.where("vec_id = 0").first().embedding]
+    ref = pq_topk_refined(
+        codes, books, emb, qv, k=10, n_candidates=200, exclude_id=0
+    ).collect()
+    exact = cosine_topk(emb, qv, k=10, exclude_id=0).collect()
+    assert {r.vec_id for r in ref} == {r.vec_id for r in exact}
