@@ -6106,6 +6106,65 @@ ORDER BY b.score DESC, b.docid ASC LIMIT 10""",
 _register_taxonomy_queries()
 
 
+def _register_bpe_queries() -> None:
+    """BPE vocabulary induction (round 5): tokenizer training over the
+    corpus — the distributed word-count pass holds a full SQL oracle; the
+    merge loop and the encode are iterative (merge i+1 depends on counts
+    after merge i) and register rows-only, pinned by the published
+    Sennrich worked example + round-trip invariants in
+    tests/test_bpe_train.py."""
+    from lucene_solr_spark.oracle.sqlgen import _PAT
+
+    @_q(
+        "bpe_word_counts",
+        f"""SELECT lower(t) AS word, count(*) AS n
+FROM (
+  SELECT unnest(regexp_extract_all(text, {_PAT})) AS t FROM documents
+)
+WHERE t <> ''
+GROUP BY 1 ORDER BY n DESC, word ASC LIMIT 40""",
+    )
+    def bpe_word_counts(spark, sf_dir):
+        """The corpus word-frequency table BPE trains on (Sennrich et al.
+        ACL 2016; sentencepiece trainer shape) — one scan + hash agg,
+        lowercased analyzer tokens WITHOUT stop removal (tokenizer
+        training must see function words)."""
+        from lucene_solr_spark.textops.bpe import word_counts
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return word_counts(docs, max_words=40)
+
+    # rows-only: the merge loop is inherently sequential (merge i+1 depends
+    # on the pair counts AFTER merge i) — not SQL-expressible; pinned by
+    # the published worked example + invariants in test_bpe_train.py
+    @_q("bpe_train_merges")
+    def bpe_train_merges(spark, sf_dir):
+        """The learned merge list (rank, left, right) — 50 merges over the
+        corpus word-frequency table (textops/bpe.bpe_train)."""
+        from lucene_solr_spark.textops.bpe import bpe_train
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        merges = bpe_train(docs, num_merges=50)
+        return spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "rank int, left string, right string",
+        )
+
+    # rows-only: the encode applies the iterative merge ranks
+    @_q("bpe_subword_stats")
+    def bpe_subword_stats(spark, sf_dir):
+        """Per-doc (n_tokens, n_subwords) under the learned merges — the
+        Arrow-batched encode (textops/bpe.bpe_apply)."""
+        from lucene_solr_spark.textops.bpe import bpe_apply, bpe_train
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        merges = bpe_train(docs, num_merges=50)
+        return bpe_apply(docs, merges).orderBy(F.asc("docid")).limit(100)
+
+
+_register_bpe_queries()
+
+
 def _register_curation_pipeline_query() -> None:
     from lucene_solr_spark.oracle.textops_sql import SHINGLES_CTE, tok_cte
 
@@ -6333,6 +6392,9 @@ _DEFER_LAST = [
     "lmdirichlet_query",        # lmjm_query (same LM scorer frame, smoothing swapped, now in-window); r4 green
     "interval_facets_nchars",   # facet_range_nchars (same bucket-count machinery, in-window) + drill_sideways (N-dim conditional aggregate generalization, now in-window); r4 green (the regraded r1 fix)
     "spatial_bbox",             # spatial_rpt_polygon (quad-grid RPT path whose cell cover subsumes bbox, in-window) + spatial_geofilt (in-window); r4 green
+    "bpe_word_counts",          # text_token_stats / facet_terms_highcard covers (same scan+hash-agg frame); registered r5
+    "bpe_train_merges",         # rows-only: sequential merge loop; Sennrich worked example + invariants in test_bpe_train; registered r5
+    "bpe_subword_stats",        # rows-only: iterative encode; round-trip/monotonicity invariants in test_bpe_train; registered r5
     "emb_pq_ann",               # semdedup_pairs (in-window; same deterministic Lloyd quantizer) + emb_ivf_ann covers (coarse-quantizer sibling); full-chain numpy differential in test_pq; registered r5
     "dedup_components",         # dedup_near_pairs (in-window; components consume exactly its pair graph) + union-find differential in test_textops; registered r5
     "drill_down_scored_query",  # drill_sideways (same drill predicate machinery, in-window) + the base-score ranking invariant in test_taxonomy; registered r5
