@@ -97,6 +97,7 @@ def run(sf_dir: str, cpus: str) -> dict:
         "emb_near_dup": lambda: _emb_near_dup(),
         "emb_pq_ann": lambda: _pq(),
         "dedup_components": lambda: _components(),
+        "bpe_train_50": lambda: _bpe(),
         "drill_sideways": lambda: _drill_sideways(),
         "classic_tfidf": lambda: _classic(),
         "lm_dirichlet": lambda: _lm(),
@@ -131,6 +132,16 @@ def run(sf_dir: str, cpus: str) -> dict:
         # are build artifacts, trained once outside the timer like the IVF
         # layout)
         return _pq_state["topk"]()
+
+    def _bpe():
+        # the corpus word-count pass + the 50-merge loop; returns the
+        # merge table (collect happens in the timing loop's .collect())
+        from lucene_solr_spark.textops.bpe import bpe_train
+        merges = bpe_train(docs_src, num_merges=50)
+        return spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "rank int, left string, right string",
+        )
 
     def _components():
         from lucene_solr_spark.textops.dedup import near_dup_components
